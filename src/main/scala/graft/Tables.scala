@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * All loads are plain parquet scans so Catalyst pushes predicates and
+  * prunes columns at the source (verified via `PushedFilters`/`ReadSchema`
+  * in `.explain("formatted")`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * as a timestamp. Read nanos as long and rebuild a micros timestamp —
+    * integer `div` (not `/`, which would round-trip through double and lose
+    * precision above 2^53) truncates exactly like DuckDB's ns→µs read.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** Epoch micros of 2024-01-01T00:00:00Z — the synthetic events stream's
+    * origin. Event times are exposed as integral micros since this origin so
+    * the Spark plan and the DuckDB oracle agree bit-for-bit (no float time).
+    */
+  val EventsEpochMicros: Long = 1704067200000000L
+
+  /** events with a blueetl-style long spike/event table shape:
+    * (time: long micros since origin, gid: long, event_type, value, props).
+    * Mirrors the reference's (time, gid) report model
+    * (reference: src/blueetl/extract/spikes.py:19).
+    */
+  def spikes(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .withColumn("time", unix_micros(col("ts")) - lit(EventsEpochMicros))
+      .withColumnRenamed("user_id", "gid")
+      .select("time", "gid", "event_type", "value", "event_id")
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core of the SURVEY §2 inventory over the synthetic star
+  * schema: the P1 filter DSL, projections, joins (J1/J3/J5), basic
+  * aggregations (A18/A19), sorts/top-k (O-group via window functions),
+  * SQL-window operators (§2.5).
+  *
+  * Every query keeps the plan fully declarative so Catalyst pushes filters
+  * into the parquet scan and picks broadcast joins for the dimension side.
+  * Double sums go through `dsum`/`davg` (exact decimal) so results are
+  * independent of partial-aggregation order — required both for the DuckDB
+  * hash-compare and for run-to-run determinism on a real cluster.
+  */
+object Relational {
+
+  private val ts = "TIMESTAMP '2000-12-01 00:00:00'"
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- A-group: pricing summary (classic full-scan agg; tests partial agg,
+    // decimal-exact sums, filter pushdown to parquet) ----
+    GQuery(
+      "q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= $ts
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- P1: the etl.q dict-filter DSL compiled to one Catalyst predicate
+    // (reference: blueetl-core etl.q; SURVEY §2.2 P1) ----
+    GQuery(
+      "p1_dsl_ops",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity < 30
+        |  AND l_returnflag IN ('A', 'N') AND l_linestatus <> 'X'""".stripMargin) { (s, dir) =>
+      val spec = QAnd(
+        "l_quantity" -> QCond(Seq(QGe(10), QLt(30))),
+        "l_returnflag" -> QCond(QIsIn(Seq("A", "N"))),
+        "l_linestatus" -> QCond(QNe("X")))
+      Q.q(Tables.lineitem(s, dir), spec)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+    },
+
+    // P1 list-of-dicts form: union (OR) of row sets + unanchored regex
+    GQuery(
+      "p1_dsl_union_regex",
+      """SELECT p_partkey, p_name, p_type, p_size, p_retailprice FROM part
+        |WHERE (p_size IN (1, 5, 11) AND regexp_matches(p_name, 'w.dget'))
+        |   OR (p_retailprice > 1500.0)""".stripMargin) { (s, dir) =>
+      val spec = QOr(Seq(
+        QAnd(
+          "p_size" -> QCond(QIsIn(Seq(1, 5, 11))),
+          "p_name" -> QCond(QRegex("w.dget"))),
+        QAnd("p_retailprice" -> QCond(QGt(1500.0)))))
+      Q.q(Tables.part(s, dir), spec)
+        .select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+    },
+
+    // ---- J1: equi-join chain, dimensions broadcast (SURVEY §2.3 J1) ----
+    GQuery(
+      "j1_join_chain",
+      """SELECT n_name, r_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    },
+
+    // ---- J3: anti-join — "missing simulations" pattern
+    // (reference: src/blueetl/repository.py:354-374) ----
+    GQuery(
+      "j3_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin) {
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir).filter(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+    },
+
+    // ---- J5: semi-join — node-id intersection pattern
+    // (reference: src/blueetl/extract/neurons.py:79-80) ----
+    GQuery(
+      "j5_semi_join",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)""".stripMargin) {
+      (s, dir) =>
+        Tables.supplier(s, dir)
+          .join(
+            Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+    },
+
+    // ---- A18: distinct / dropDuplicates (reference: parallel.py:30) ----
+    GQuery(
+      "a18_distinct",
+      "SELECT DISTINCT event_type, user_id FROM events") { (s, dir) =>
+      Tables.events(s, dir).select("event_type", "user_id").distinct()
+    },
+
+    // ---- A19: import stats — single wide agg
+    // (reference: converters/convert_spikes.py:110-130) ----
+    GQuery(
+      "a19_import_stats",
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_ids,
+        |  MIN(user_id) AS min_id, MAX(user_id) AS max_id,
+        |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_ids"),
+        min(col("user_id")).as("min_id"),
+        max(col("user_id")).as("max_id"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+    },
+
+    // ---- O/top-k via deterministic window ranking (SURVEY §2.5/§2.6) ----
+    GQuery(
+      "o1_topk_per_group",
+      """SELECT event_type, user_id, total_value FROM (
+        |  SELECT event_type, user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) DESC,
+        |                                user_id) AS rn
+        |  FROM events GROUP BY event_type, user_id
+        |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val totals = Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(dsum(col("value")).as("total_value"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("total_value").desc, col("user_id"))
+      totals.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("event_type", "user_id", "total_value")
+    },
+
+    // ---- §2.5: lag over event-time partitions (ISI pattern —
+    // reference: external/bluecv/gid.py:38-51) ----
+    GQuery(
+      "w1_lag_intervals",
+      """SELECT user_id AS gid, event_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                         ORDER BY epoch_us(ts), event_id) AS isi
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      ev.select(
+        col("user_id").as("gid"),
+        col("event_id"),
+        (col("t") - lag(col("t"), 1).over(w)).as("isi"))
+    }
+  )
+}
