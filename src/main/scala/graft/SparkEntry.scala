@@ -12,9 +12,7 @@ import graft.queries.GQuery
 object SparkEntry {
 
   def registry: Seq[GQuery] =
-    queries_relational
-
-  private def queries_relational: Seq[GQuery] = graft.queries.Relational.all
+    graft.queries.Relational.all ++ graft.queries.Spikes.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

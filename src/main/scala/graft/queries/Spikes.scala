@@ -1,0 +1,429 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The blueetl analytics core re-expressed over the synthetic `events`
+  * stream (time µs since origin, gid) standing in for a spike report
+  * (reference data model: src/blueetl/extract/spikes.py:19).
+  *
+  * Covers SURVEY §2: J4 (interval/range window assignment), A1-A2
+  * (by-trial aggregation + per-gid rates), A5-A7 (dense histogram, gaussian
+  * smoothing with reflect boundary, extrema/argmax), A11 (ISI/CV/LV
+  * spiketrain statistics), A12 (pairwise correlation of binned trains),
+  * A14 (complexity PDF), A17 (onset detection), O4 (deterministic seeded
+  * sampling), U1 (union by name), §2.5 window functions, plus a tumbling
+  * event-time window (batch form of the streaming extension).
+  *
+  * Scale notes: the windows table is tiny and always broadcast, so J4 is a
+  * broadcast range join with no shuffle of the big side beyond the terminal
+  * aggregation; histograms aggregate to (type × bins) rows — partial
+  * aggregation does the heavy lifting map-side; the pairwise correlation
+  * bounds its gid set explicitly (an unbounded all-pairs corr is a
+  * cartesian blowup at 100 TB — callers pick the cohort).
+  */
+object Spikes {
+
+  private val H = 3600000000L // 1 hour in µs
+  private val D = 24 * H
+  private val Origin = Tables.EventsEpochMicros
+
+  /** (win, trial, w_offset, t_start, t_stop) — all times µs.
+    * "early" = first 12 h of days 1..3 as 3 trials (blueetl trial model:
+    * offset + k*trial_step, reference src/blueetl/extract/windows.py:166-217).
+    */
+  private val windowRows: Seq[(String, Int, Long, Long, Long)] = Seq(
+    ("early", 0, 0L, 0L, 12 * H),
+    ("early", 1, D, 0L, 12 * H),
+    ("early", 2, 2 * D, 0L, 12 * H),
+    ("day1", 0, 0L, 0L, D),
+    ("full", 0, 0L, 0L, 30 * D))
+
+  private def windowsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    windowRows.toDF("win", "trial", "w_offset", "t_start", "t_stop")
+  }
+
+  /** J4: spikes × windows broadcast range join, time rebased to the window
+    * (reference: src/blueetl/extract/spikes.py:22-29 `_assign_window`).
+    */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.spikes(s, dir)
+    val w = broadcast(windowsDf(s))
+    sp.join(
+        w,
+        sp("time") >= w("w_offset") + w("t_start") &&
+          sp("time") < w("w_offset") + w("t_stop"))
+      .select(
+        w("win"), w("trial"), sp("gid"), sp("event_type"), sp("event_id"),
+        (sp("time") - w("w_offset")).as("time"))
+  }
+
+  // Shared oracle prefix: spikes view + windows VALUES + range-join CTE.
+  private val winsSql = windowRows
+    .map { case (w, t, o, a, b) =>
+      s"('$w', $t, CAST($o AS BIGINT), CAST($a AS BIGINT), CAST($b AS BIGINT))"
+    }
+    .mkString(", ")
+
+  private val cte =
+    s"""WITH spikes AS (
+       |  SELECT epoch_us(ts) - $Origin AS time, user_id AS gid, event_type, event_id, value
+       |  FROM events),
+       |wins AS (
+       |  SELECT * FROM (VALUES $winsSql) AS w(win, trial, w_offset, t_start, t_stop)),
+       |assigned AS (
+       |  SELECT w.win, w.trial, s.gid, s.event_type, s.event_id, s.time - w.w_offset AS time
+       |  FROM spikes s JOIN wins w
+       |    ON s.time >= w.w_offset + w.t_start AND s.time < w.w_offset + w.t_stop)
+       |""".stripMargin
+
+  /** Dense per-event_type hourly histogram of a window as a DataFrame:
+    * (event_type, bin, cnt) with empty bins filled (A5 dense fill —
+    * reference: external/bnac/calculate_features.py:67-93 np.histogram).
+    */
+  private def denseHist(s: SparkSession, dir: String, win: String, nBins: Int): DataFrame = {
+    val a = assigned(s, dir).filter(col("win") === win)
+    val hist = a
+      .withColumn("bin", expr(s"time div $H").cast("int"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+    val types = a.select("event_type").distinct()
+    val bins = s.range(0, nBins).select(col("id").cast("int").as("bin"))
+    types.crossJoin(broadcast(bins))
+      .join(hist, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  private def denseHistSql(win: String, nBins: Int): String =
+    s"""hist AS (
+       |  SELECT event_type, CAST(time // $H AS INT) AS bin, count(*) AS cnt
+       |  FROM assigned WHERE win = '$win' GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT event_type FROM assigned WHERE win = '$win'),
+       |bins AS (SELECT CAST(b AS INT) AS bin FROM generate_series(0, ${nBins - 1}) AS t(b)),
+       |dense AS (
+       |  SELECT t.event_type, b.bin, COALESCE(h.cnt, 0) AS cnt
+       |  FROM types t CROSS JOIN bins b
+       |  LEFT JOIN hist h ON h.event_type = t.event_type AND h.bin = b.bin)
+       |""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- J4: interval/range join window assignment ----
+    GQuery(
+      "j4_window_assign",
+      cte + "SELECT win, trial, gid, event_type, event_id, time FROM assigned") { (s, dir) =>
+      assigned(s, dir)
+    },
+
+    // ---- A1: by-trial spike aggregation with ordered list collect
+    // (reference: external/bnac/calculate_features.py:21-27) ----
+    GQuery(
+      "a1_spikes_by_trial",
+      cte +
+        """SELECT win, trial, gid, count(*) AS cnt, min(time) AS first_time,
+          |  list(time ORDER BY time) AS times
+          |FROM assigned WHERE win = 'early' GROUP BY win, trial, gid""".stripMargin) { (s, dir) =>
+      assigned(s, dir).filter(col("win") === "early")
+        .groupBy("win", "trial", "gid")
+        .agg(
+          count(lit(1)).as("cnt"),
+          min("time").as("first_time"),
+          sort_array(collect_list("time")).as("times"))
+    },
+
+    // ---- A2: per-gid mean counts across trials (absent trials count 0,
+    // reference: external/bnac/calculate_features.py:29-49 fillna(0).mean) ----
+    GQuery(
+      "a2_mean_rate_per_gid",
+      cte +
+        """, g AS (SELECT DISTINCT gid FROM assigned WHERE win = 'early'),
+          |t AS (SELECT DISTINCT trial FROM wins WHERE win = 'early'),
+          |c AS (SELECT gid, trial, count(*) AS cnt FROM assigned WHERE win = 'early' GROUP BY 1, 2)
+          |SELECT g.gid, avg(COALESCE(c.cnt, 0)) AS mean_count,
+          |  avg(COALESCE(c.cnt, 0)) / 43200.0 AS rate_per_sec
+          |FROM g CROSS JOIN t LEFT JOIN c ON c.gid = g.gid AND c.trial = t.trial
+          |GROUP BY g.gid""".stripMargin) { (s, dir) =>
+      val a = assigned(s, dir).filter(col("win") === "early")
+      val gids = a.select("gid").distinct()
+      val trials = windowsDf(s).filter(col("win") === "early").select("trial")
+      val counts = a.groupBy("gid", "trial").agg(count(lit(1)).as("cnt"))
+      gids.crossJoin(broadcast(trials))
+        .join(counts, Seq("gid", "trial"), "left")
+        .groupBy("gid")
+        .agg(avg(coalesce(col("cnt"), lit(0L))).as("mean_count"))
+        .withColumn("rate_per_sec", col("mean_count") / lit(43200.0))
+    },
+
+    // ---- A5: dense PSTH histogram normalized by cohort size
+    // (reference: external/bnac/calculate_features.py:67-93) ----
+    GQuery(
+      "a5_psth_histogram",
+      cte + "," + denseHistSql("day1", 24) +
+        """, ng AS (SELECT event_type, count(DISTINCT gid) AS n
+          |         FROM assigned WHERE win = 'day1' GROUP BY 1)
+          |SELECT d.event_type, d.bin, d.cnt, CAST(d.cnt AS DOUBLE) / ng.n AS value
+          |FROM dense d JOIN ng ON ng.event_type = d.event_type""".stripMargin) { (s, dir) =>
+      val a = assigned(s, dir).filter(col("win") === "day1")
+      val ng = a.groupBy("event_type").agg(countDistinct("gid").as("n"))
+      denseHist(s, dir, "day1", 24)
+        .join(broadcast(ng), "event_type")
+        .select(
+          col("event_type"), col("bin"), col("cnt"),
+          (col("cnt").cast("double") / col("n")).as("value"))
+    },
+
+    // ---- A6: gaussian smoothing of the dense histogram, scipy reflect
+    // boundary, truncate=4σ (reference: external/bnac/calculate_features.py:82,
+    // scipy.ndimage.gaussian_filter 1-D, sigma=2 here, radius=8) ----
+    GQuery(
+      "a6_gaussian_smooth",
+      cte + "," + denseHistSql("day1", 24) +
+        """, kernel AS (
+          |  SELECT k, exp(-(k * k) / 8.0) / sum(exp(-(k * k) / 8.0)) OVER () AS w
+          |  FROM generate_series(-8, 8) AS t(k))
+          |SELECT d.event_type, d.bin,
+          |  CAST(sum(src.cnt * kk.w) AS DOUBLE) AS smoothed
+          |FROM dense d CROSS JOIN kernel kk
+          |JOIN dense src ON src.event_type = d.event_type
+          |  AND src.bin = (CASE WHEN d.bin + kk.k < 0 THEN -(d.bin + kk.k) - 1
+          |                      WHEN d.bin + kk.k >= 24 THEN 47 - (d.bin + kk.k)
+          |                      ELSE d.bin + kk.k END)
+          |GROUP BY d.event_type, d.bin""".stripMargin) { (s, dir) =>
+      val dense = denseHist(s, dir, "day1", 24)
+      val kernel = s.range(-8, 9).select(col("id").cast("int").as("k"))
+        .withColumn("w0", exp(-(col("k") * col("k")) / lit(8.0)))
+        .withColumn("w", col("w0") / sum("w0").over(Window.partitionBy()))
+        .select("k", "w")
+      val idx = col("bin") + col("k")
+      val reflect = when(idx < 0, -idx - 1).when(idx >= 24, lit(47) - idx).otherwise(idx)
+      val src = dense.select(
+        col("event_type").as("s_event_type"), col("bin").as("s_bin"),
+        col("cnt").as("s_cnt"))
+      dense.crossJoin(broadcast(kernel))
+        .withColumn("src_bin", reflect)
+        .join(src, col("s_event_type") === col("event_type") && col("s_bin") === col("src_bin"))
+        .groupBy("event_type", "bin")
+        .agg(sum(col("s_cnt") * col("w")).cast("double").as("smoothed"))
+    },
+
+    // ---- A7: histogram extrema + argmax (max_by semantics made
+    // deterministic via rank; reference: bnac/calculate_features.py:79-90) ----
+    GQuery(
+      "a7_hist_extrema",
+      cte + "," + denseHistSql("day1", 24) +
+        """SELECT event_type, min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+          |  min(CASE WHEN rk = 1 THEN bin END) AS argmax_bin
+          |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          |                                   ORDER BY cnt DESC, bin) AS rk FROM dense)
+          |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val dense = denseHist(s, dir, "day1", 24)
+      val w = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("bin"))
+      dense.withColumn("rk", row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+          min("cnt").as("min_cnt"),
+          max("cnt").as("max_cnt"),
+          min(when(col("rk") === 1, col("bin"))).as("argmax_bin"))
+    },
+
+    // ---- A11: per-gid spiketrain statistics — MFR, mean ISI, CV, LV
+    // (reference: external/bluecv/gid.py:14-61; ISIs via lag, CV uses
+    // population std, LV = 3·mean(((i1-i2)/(i1+i2))²) over consecutive pairs) ----
+    GQuery(
+      "a11_isi_stats",
+      cte +
+        """, d AS (
+          |  SELECT gid, time, event_id,
+          |    time - lag(time) OVER (PARTITION BY gid ORDER BY time, event_id) AS isi
+          |  FROM spikes),
+          |p AS (
+          |  SELECT gid, isi,
+          |    lag(isi) OVER (PARTITION BY gid ORDER BY time, event_id) AS prev_isi
+          |  FROM d)
+          |SELECT gid, count(*) + 1 AS n_spikes,
+          |  CAST(count(*) + 1 AS DOUBLE) / 2592000.0 AS mfr,
+          |  avg(isi) AS mean_isi,
+          |  stddev_pop(isi) / avg(isi) AS cv,
+          |  3 * avg(power(CAST(isi - prev_isi AS DOUBLE) / NULLIF(isi + prev_isi, 0), 2)) AS lv
+          |FROM p WHERE isi IS NOT NULL
+          |GROUP BY gid HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      val sp = Tables.spikes(s, dir)
+      val w = Window.partitionBy("gid").orderBy("time", "event_id")
+      val d = sp.withColumn("isi", col("time") - lag("time", 1).over(w))
+      val p = d.withColumn("prev_isi", lag("isi", 1).over(w))
+        .filter(col("isi").isNotNull)
+      val ratio = (col("isi") - col("prev_isi")).cast("double") /
+        when(col("isi") + col("prev_isi") =!= 0, col("isi") + col("prev_isi"))
+      p.groupBy("gid")
+        .agg(
+          (count(lit(1)) + 1).as("n_spikes"),
+          ((count(lit(1)) + 1).cast("double") / lit(2592000.0)).as("mfr"),
+          avg("isi").as("mean_isi"),
+          (stddev_pop("isi") / avg("isi")).as("cv"),
+          (lit(3) * avg(pow(ratio, 2))).as("lv"))
+        .filter(col("n_spikes") >= 3)
+    },
+
+    // ---- A12: pairwise Pearson correlation of hourly-binned trains for a
+    // bounded cohort (reference: external/bluecv/neuron_class.py:47-49;
+    // unbounded all-pairs is cartesian — cohort selection is the scale knob) ----
+    GQuery(
+      "a12_correlation_pairs",
+      cte +
+        """, c AS (
+          |  SELECT gid, CAST(time // 3600000000 AS INT) AS bin, count(*) AS cnt
+          |  FROM assigned WHERE win = 'day1' AND gid <= 10 GROUP BY 1, 2),
+          |g AS (SELECT DISTINCT gid FROM c),
+          |b AS (SELECT CAST(x AS INT) AS bin FROM generate_series(0, 23) AS t(x)),
+          |dense AS (
+          |  SELECT g.gid, b.bin, COALESCE(c.cnt, 0) AS cnt
+          |  FROM g CROSS JOIN b LEFT JOIN c ON c.gid = g.gid AND c.bin = b.bin)
+          |SELECT d1.gid AS gid1, d2.gid AS gid2, corr(d1.cnt, d2.cnt) AS r
+          |FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
+          |GROUP BY d1.gid, d2.gid""".stripMargin) { (s, dir) =>
+      val c = assigned(s, dir)
+        .filter(col("win") === "day1" && col("gid") <= 10)
+        .withColumn("bin", expr(s"time div $H").cast("int"))
+        .groupBy("gid", "bin").agg(count(lit(1)).as("cnt"))
+      val g = c.select("gid").distinct()
+      val b = s.range(0, 24).select(col("id").cast("int").as("bin"))
+      val dense = g.crossJoin(broadcast(b))
+        .join(c, Seq("gid", "bin"), "left")
+        .select(col("gid"), col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val d2 = dense.select(
+        col("gid").as("gid2"), col("bin").as("bin2"), col("cnt").as("cnt2"))
+      dense.join(d2, col("bin") === col("bin2") && col("gid") < col("gid2"))
+        .groupBy(col("gid").as("gid1"), col("gid2"))
+        .agg(corr("cnt", "cnt2").as("r"))
+    },
+
+    // ---- A14: complexity PDF — distribution of #simultaneously-active
+    // gids per 1-min bin incl. empty bins (reference: bluecv/neuron_class.py:52-55) ----
+    GQuery(
+      "a14_complexity_pdf",
+      cte +
+        """, cx AS (
+          |  SELECT CAST(time // 60000000 AS INT) AS bin, count(DISTINCT gid) AS complexity
+          |  FROM assigned WHERE win = 'day1' GROUP BY 1),
+          |b AS (SELECT CAST(x AS INT) AS bin FROM generate_series(0, 1439) AS t(x)),
+          |dense AS (
+          |  SELECT b.bin, COALESCE(cx.complexity, 0) AS complexity
+          |  FROM b LEFT JOIN cx ON cx.bin = b.bin)
+          |SELECT complexity, count(*) AS n_bins, count(*) / 1440.0 AS p
+          |FROM dense GROUP BY complexity""".stripMargin) { (s, dir) =>
+      val cx = assigned(s, dir).filter(col("win") === "day1")
+        .withColumn("bin", expr("time div 60000000").cast("int"))
+        .groupBy("bin").agg(countDistinct("gid").as("complexity"))
+      val b = s.range(0, 1440).select(col("id").cast("int").as("bin"))
+      b.join(cx, Seq("bin"), "left")
+        .select(coalesce(col("complexity"), lit(0L)).as("complexity"))
+        .groupBy("complexity")
+        .agg(count(lit(1)).as("n_bins"), (count(lit(1)) / lit(1440.0)).as("p"))
+    },
+
+    // ---- A17: onset detection — first bin above baseline mean + 2σ
+    // (reference: external/bnac/calculate_trial_step.py:19-112; baseline =
+    // first 24 hourly bins, scan the rest) ----
+    GQuery(
+      "a17_onset_detection",
+      cte + "," + denseHistSql("full", 720) +
+        """, base AS (
+          |  SELECT event_type, avg(cnt) AS mu, stddev_pop(cnt) AS sd
+          |  FROM dense WHERE bin < 24 GROUP BY event_type)
+          |SELECT d.event_type, base.mu + 2 * base.sd AS threshold,
+          |  min(CASE WHEN d.bin >= 24 AND d.cnt > base.mu + 2 * base.sd THEN d.bin END) AS onset_bin
+          |FROM dense d JOIN base ON base.event_type = d.event_type
+          |GROUP BY d.event_type, base.mu, base.sd""".stripMargin) { (s, dir) =>
+      val dense = denseHist(s, dir, "full", 720)
+      val base = dense.filter(col("bin") < 24)
+        .groupBy("event_type")
+        .agg(avg("cnt").as("mu"), stddev_pop("cnt").as("sd"))
+      dense.join(broadcast(base), "event_type")
+        .groupBy("event_type", "mu", "sd")
+        .agg(min(when(col("bin") >= 24 && col("cnt") > col("mu") + lit(2) * col("sd"),
+          col("bin"))).as("onset_bin"))
+        .select(
+          col("event_type"), (col("mu") + lit(2) * col("sd")).as("threshold"),
+          col("onset_bin"))
+    },
+
+    // ---- O4: deterministic seeded sampling — md5-ranked limit per group
+    // (reference: extract/neurons.py:82-83 np.random.choice; distributive
+    // redefinition per SURVEY §7.4: hash ranking, same both engines) ----
+    GQuery(
+      "o4_seeded_sample",
+      cte +
+        """, g AS (SELECT DISTINCT event_type, gid FROM spikes)
+          |SELECT event_type, gid FROM (
+          |  SELECT event_type, gid,
+          |    row_number() OVER (PARTITION BY event_type
+          |                       ORDER BY md5(CAST(gid AS VARCHAR) || ':42'), gid) AS rk
+          |  FROM g) WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val g = Tables.spikes(s, dir).select("event_type", "gid").distinct()
+      val key = md5(concat(col("gid").cast("string"), lit(":42")))
+      val w = Window.partitionBy("event_type").orderBy(key, col("gid"))
+      g.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("event_type", "gid")
+    },
+
+    // ---- U1: union by name with missing columns (smart_concat —
+    // reference: blueetl-core, used at extract/spikes.py:56) ----
+    GQuery(
+      "u1_union_by_name",
+      cte +
+        """SELECT event_id, gid, value, CAST(NULL AS VARCHAR) AS event_type
+          |FROM spikes WHERE event_type = 'click'
+          |UNION ALL
+          |SELECT event_id, gid, CAST(NULL AS DOUBLE) AS value, event_type
+          |FROM spikes WHERE event_type = 'error'""".stripMargin) { (s, dir) =>
+      val sp = Tables.spikes(s, dir)
+      val a = sp.filter(col("event_type") === "click").select("event_id", "gid", "value")
+      val b = sp.filter(col("event_type") === "error").select("event_id", "gid", "event_type")
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // ---- §2.5: incremental index per group (neuron_class_index —
+    // reference: extract/neurons.py:139-143) ----
+    GQuery(
+      "w2_group_index",
+      cte +
+        """, g AS (SELECT DISTINCT event_type, gid FROM spikes)
+          |SELECT event_type, gid,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY gid) - 1 AS idx
+          |FROM g""".stripMargin) { (s, dir) =>
+      val g = Tables.spikes(s, dir).select("event_type", "gid").distinct()
+      val w = Window.partitionBy("event_type").orderBy("gid")
+      g.withColumn("idx", row_number().over(w) - 1)
+    },
+
+    // ---- §2.5: normalize by group max (hist/max_hist —
+    // reference: bnac/calculate_features.py:81-84) ----
+    GQuery(
+      "w3_norm_by_group_max",
+      cte + "," + denseHistSql("day1", 24) +
+        """SELECT event_type, bin, cnt,
+          |  CAST(cnt AS DOUBLE) / max(cnt) OVER (PARTITION BY event_type) AS norm
+          |FROM dense""".stripMargin) { (s, dir) =>
+      val dense = denseHist(s, dir, "day1", 24)
+      val w = Window.partitionBy("event_type")
+      dense.withColumn("norm", col("cnt").cast("double") / max("cnt").over(w))
+    },
+
+    // ---- Streaming extension, batch form: tumbling event-time window.
+    // The same plan runs under readStream + watermark (see streaming spec). ----
+    GQuery(
+      "s1_tumbling_window",
+      """SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day").as("wnd"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("wnd.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+    }
+  )
+}
