@@ -12,7 +12,8 @@ import graft.queries.GQuery
 object SparkEntry {
 
   def registry: Seq[GQuery] =
-    graft.queries.Relational.all ++ graft.queries.Spikes.all
+    graft.queries.Relational.all ++ graft.queries.Spikes.all ++
+      graft.queries.Text.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

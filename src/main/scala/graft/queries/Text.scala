@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline over the `documents` table: exact and
+  * near-duplicate detection (hash-group, MinHash+LSH banding, n-gram
+  * Jaccard, SimHash), document fingerprinting, token statistics, quality
+  * scoring, and a language-ID heuristic.
+  *
+  * Everything is expressed with codegen'd built-ins (split/transform/
+  * explode/md5/regexp) — no UDFs — so the plans stay inside whole-stage
+  * codegen and the only shuffles are the terminal groupBys on doc_id or
+  * (band, bucket) keys.
+  *
+  * Scale design: near-dup detection never goes all-pairs — candidates come
+  * from LSH band buckets (equi-join on the bucket key, shuffle partitioned
+  * by bucket), and the exact Jaccard re-rank runs only on candidates. At
+  * 100 TB the band join is the scale path: bucket keys distribute, skewed
+  * mega-buckets can be salted, and the shingle explosion is map-side only.
+  */
+object Text {
+
+  /** doc_id + lowercase whitespace tokens. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+
+  /** Distinct word n-gram shingles per doc (map-side explode, then
+    * distinct on (doc_id, shingle)).
+    */
+  private def shingles(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    toks(s, dir)
+      .filter(size(col("ts")) >= n)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(ts)-${n - 1}), i -> concat_ws(' ', $parts))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+       |idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${n - 1})) AS i
+       |        FROM toks WHERE len(ts) >= $n),
+       |sh AS (SELECT DISTINCT doc_id, $parts AS shingle FROM idx)
+       |""".stripMargin
+  }
+
+  // 8 salted minhash slots, banded 4×2 for LSH (shared by t6/t7).
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val mh = shingles(s, dir, 3)
+      .crossJoin(broadcast(s.range(0, 8).select(col("id").cast("int").as("j"))))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle")))).as("mh"))
+    mh.groupBy(col("doc_id"), expr("j div 2").as("band"))
+      .agg(collect_list(struct(col("j"), col("mh"))).as("pairs"))
+      .select(
+        col("doc_id"), col("band"),
+        expr("array_join(transform(sort_array(pairs), x -> x.mh), '|')").as("bkey"))
+  }
+
+  private val lshSql =
+    s"""${shinglesSql(3)},
+       |mh AS (
+       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+       |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+       |  FROM mh GROUP BY doc_id, j // 2),
+       |cand AS (
+       |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id)
+       |""".stripMargin
+
+  private val StopRe = "\\b(the|a|of|and|to|in|is|it)\\b"
+  private val PunctRe = "[.,!?;:]"
+  private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- Exact dedup: hash-groupBy on normalized text; survivor = min id ----
+    GQuery(
+      "t1_exact_dedup",
+      """SELECT md5(lower(text)) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(lower(col("text"))).as("h"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- Token counting: whitespace + regex (BPE-ish pre-tokenizer) ----
+    GQuery(
+      "t2_token_stats",
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_re_tokens,
+         |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(TokRe), lit(0))).as("n_re_tokens"),
+        (col("n_chars").cast("double") / size(split(col("text"), " ", -1)))
+          .as("chars_per_token"))
+    },
+
+    // ---- Quality scoring: length / punctuation / stopword signals ----
+    GQuery(
+      "t3_quality_score",
+      s"""SELECT doc_id, n_chars,
+         |  len(regexp_extract_all(text, '$PunctRe')) AS n_punct,
+         |  len(regexp_extract_all(lower(text), '$StopRe')) AS n_stop,
+         |  len(string_split(text, ' ')) AS n_tok,
+         |  CAST(len(regexp_extract_all(text, '$PunctRe')) AS DOUBLE) / n_chars AS punct_ratio,
+         |  CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+         |    / len(string_split(text, ' ')) AS stop_ratio,
+         |  least(1.0, n_chars / 400.0) * 0.5
+         |    + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+         |                   / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val nTok = size(split(col("text"), " ", -1))
+      val nPunct = size(regexp_extract_all(col("text"), lit(PunctRe), lit(0)))
+      val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
+      val stopRatio = nStop.cast("double") / nTok
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        nPunct.as("n_punct"), nStop.as("n_stop"), nTok.as("n_tok"),
+        (nPunct.cast("double") / col("n_chars")).as("punct_ratio"),
+        stopRatio.as("stop_ratio"),
+        (least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
+          least(lit(0.3), stopRatio) * 0.5 / 0.3).as("quality"))
+    },
+
+    // ---- Language-ID heuristic: function-word profile scores + argmax
+    // (deterministic tie-break by profile order then name) ----
+    GQuery(
+      "t4_langid", {
+        val profs = Seq(
+          "en" -> "\\b(the|and|of|is)\\b",
+          "de" -> "\\b(der|und|die|ist)\\b",
+          "fr" -> "\\b(le|et|les|est)\\b",
+          "es" -> "\\b(el|y|los|es)\\b")
+        val scoreCols = profs.map { case (l, re) =>
+          s"len(regexp_extract_all(lower(text), '$re')) AS s_$l"
+        }.mkString(", ")
+        s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+           |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+           |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+           |       WHEN s_fr >= s_es THEN 'fr'
+           |       ELSE 'es' END AS predicted
+           |FROM (SELECT doc_id, $scoreCols FROM documents)""".stripMargin
+      }) { (s, dir) =>
+      val profs = Seq(
+        "en" -> "\\b(the|and|of|is)\\b",
+        "de" -> "\\b(der|und|die|ist)\\b",
+        "fr" -> "\\b(le|et|les|est)\\b",
+        "es" -> "\\b(el|y|los|es)\\b")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id") +: profs.map { case (l, re) =>
+          size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).as(s"s_$l")
+        }: _*)
+      scored.withColumn(
+        "predicted",
+        when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+    },
+
+    // ---- Document fingerprinting: rolling word-5-gram hash, min + k-min
+    // sketch (winnowing-style content signature) ----
+    GQuery(
+      "t5_fingerprint",
+      s"""WITH ${shinglesSql(5)},
+         |h AS (SELECT doc_id, md5(shingle) AS h FROM sh)
+         |SELECT doc_id, min(h) AS fp_min,
+         |  array_to_string(list(h ORDER BY h)[1:3], ',') AS fp_kmin
+         |FROM h GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      shingles(s, dir, 5)
+        .select(col("doc_id"), md5(col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(
+          min("h").as("fp_min"),
+          array_join(slice(sort_array(collect_list(col("h"))), 1, 3), ",").as("fp_kmin"))
+    },
+
+    // ---- MinHash + LSH near-dup candidates: 8 salted min-hashes over word
+    // 3-gram shingles, 4 bands × 2 rows, bucket equi-join ----
+    GQuery(
+      "t6_minhash_lsh_neardup",
+      s"WITH $lshSql SELECT doc1, doc2 FROM cand") { (s, dir) =>
+      val b = lshBuckets(s, dir)
+      val b2 = b.select(
+        col("doc_id").as("doc2"), col("band").as("band2"), col("bkey").as("bkey2"))
+      b.join(b2, col("band") === col("band2") && col("bkey") === col("bkey2") &&
+          col("doc_id") < col("doc2"))
+        .select(col("doc_id").as("doc1"), col("doc2"))
+        .distinct()
+    },
+
+    // ---- n-gram Jaccard re-rank of LSH candidates (exact similarity on
+    // the candidate set only — never all-pairs) ----
+    GQuery(
+      "t7_ngram_jaccard",
+      s"""WITH $lshSql,
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS ic
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc1
+         |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+         |  GROUP BY c.doc1, c.doc2)
+         |SELECT i.doc1, i.doc2,
+         |  CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) AS jaccard
+         |FROM inter i
+         |JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
+         |WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.5""".stripMargin) { (s, dir) =>
+      val sh = shingles(s, dir, 3)
+      val cand = {
+        val b = lshBuckets(s, dir)
+        val b2 = b.select(
+          col("doc_id").as("doc2"), col("band").as("band2"), col("bkey").as("bkey2"))
+        b.join(b2, col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("doc_id") < col("doc2"))
+          .select(col("doc_id").as("doc1"), col("doc2"))
+          .distinct()
+      }
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+      val jac = col("ic").cast("double") /
+        (col("na") + col("nb") - col("ic"))
+      inter
+        .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+        .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+        .select(col("doc1"), col("doc2"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+
+    // ---- SimHash: 64-bit signature from token md5 bits, majority vote per
+    // bit position, emitted as a 64-char bit string ----
+    GQuery(
+      "t8_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |    ((strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) - 1) >> (3 - (p % 4))) & 1 AS b
+        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS p)),
+        |votes AS (
+        |  SELECT doc_id, p, CASE WHEN sum(2 * b - 1) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM bits GROUP BY doc_id, p)
+        |SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val th = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+      val ps = broadcast(s.range(0, 64).select(col("id").cast("int").as("p")))
+      val bit = expr("shiftright(instr('0123456789abcdef', substr(h, (p div 4) + 1, 1)) - 1, 3 - (p % 4)) & 1")
+      th.crossJoin(ps)
+        .select(col("doc_id"), col("p"), bit.as("b"))
+        .groupBy("doc_id", "p")
+        .agg(when(sum(lit(2) * col("b") - 1) > 0, 1).otherwise(0).as("bit"))
+        .groupBy("doc_id")
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(p, bit))), x -> cast(x.bit as string)), '')")
+          .as("simhash"))
+    }
+  )
+}
