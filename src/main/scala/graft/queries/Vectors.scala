@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim unit-norm float
+  * vectors): brute-force cosine top-k as the correctness baseline, a
+  * random-hyperplane LSH bucketed candidate search and an IVF-style
+  * two-stage search as the scale paths, plus centroid/dimension statistics.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over the
+  * array column (sequential left-to-right double accumulation — matches the
+  * DuckDB oracle's `list_dot_product` bit-for-bit at rtol 1e-6), no UDFs.
+  *
+  * Scale design: brute force broadcasts the (small) query set against the
+  * corpus — a map-side cross product with no shuffle of the corpus, then a
+  * top-k window partitioned by query. The LSH variant replaces the cross
+  * product with an equi-join on (band, bucket) — the corpus shuffles once
+  * by bucket key, so cost scales with bucket occupancy, not corpus².
+  * The IVF variant prunes to one centroid cell per query before scoring.
+  */
+object Vectors {
+
+  /** Dot product of two array<float> columns in double, sequential order. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  /** ±1 hyperplane coefficient for (plane, dim), derived from md5 so both
+    * engines generate the identical plane matrix with no stored state.
+    * (Same semantics; Spark spells the string cast STRING, DuckDB VARCHAR.)
+    */
+  private val coefSql =
+    "CASE WHEN substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END"
+  private val coefSpark =
+    "CASE WHEN substr(md5(concat(CAST(plane AS STRING), ':', CAST(d AS STRING))), 1, 1) < '8' THEN 1 ELSE -1 END"
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- Brute-force cosine top-k: every 25th vector queries the corpus ----
+    GQuery(
+      "v1_knn_brute",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT q_id, vec_id, rk, cos FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+        |                                c.vec_id) AS rk
+        |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
+        |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("q_id", "vec_id", "rk", "cos")
+    },
+
+    // ---- LSH-bucketed similar-pair search: 4 bands × 4 random hyperplanes;
+    // candidates share a 4-bit signature in some band; exact cosine re-rank ----
+    GQuery(
+      "v2_ann_lsh_pairs",
+      s"""WITH x AS (
+         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |    unnest(generate_series(0, len(embedding) - 1)) AS d
+         |  FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id, plane, sum(($coefSql) * x) AS s
+         |  FROM x, (SELECT unnest(generate_series(0, 15)) AS plane)
+         |  GROUP BY vec_id, plane),
+         |sig AS (
+         |  SELECT vec_id, plane // 4 AS band,
+         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bkey
+         |  FROM proj GROUP BY vec_id, plane // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings)
+         |SELECT c.v1, c.v2, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val planes = broadcast(s.range(0, 16).select(col("id").cast("int").as("plane")))
+      val proj = x.crossJoin(planes)
+        .groupBy("vec_id", "plane")
+        .agg(sum(expr(coefSpark) * col("x")).as("s"))
+      val sig = proj
+        .groupBy(col("vec_id"), expr("plane div 4").as("band"))
+        .agg(collect_list(struct(col("plane"), when(col("s") >= 0, "1").otherwise("0").as("bit"))).as("bits"))
+        .select(
+          col("vec_id"), col("band"),
+          expr("array_join(transform(sort_array(bits), b -> b.bit), '')").as("bkey"))
+      val sig2 = sig.select(
+        col("vec_id").as("v2"), col("band").as("band2"), col("bkey").as("bkey2"))
+      val cand = sig.join(sig2,
+          col("band") === col("band2") && col("bkey") === col("bkey2") &&
+            col("vec_id") < col("v2"))
+        .select(col("vec_id").as("v1"), col("v2"))
+        .distinct()
+      val e = withNorm(Tables.embeddings(s, dir))
+      val ea = e.select(col("vec_id").as("v1"), col("embedding").as("va"), col("nrm").as("na"))
+      val eb = e.select(col("vec_id").as("v2"), col("embedding").as("vb"), col("nrm").as("nb"))
+      cand.join(ea, "v1").join(eb, "v2")
+        .withColumn("cos", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select("v1", "v2", "cos")
+    },
+
+    // ---- Per-label centroids (posexplode → groupBy label,dim → avg) ----
+    GQuery(
+      "v3_label_centroids",
+      """SELECT label, d, avg(x) AS c FROM (
+        |  SELECT label, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d
+        |  FROM embeddings) GROUP BY label, d""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("label", "d")
+        .agg(avg(col("x").cast("double")).as("c"))
+    },
+
+    // ---- Per-dimension corpus statistics (normalization stats) ----
+    GQuery(
+      "v4_dim_stats",
+      """SELECT d, avg(x) AS mean, stddev_pop(x) AS std, min(x) AS mn, max(x) AS mx
+        |FROM (
+        |  SELECT unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d
+        |  FROM embeddings) GROUP BY d""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .groupBy("d")
+        .agg(
+          avg("x").as("mean"), stddev_pop("x").as("std"),
+          min("x").as("mn"), max("x").as("mx"))
+    },
+
+    // ---- IVF-style two-stage ANN: coarse-quantize queries to the nearest
+    // label centroid, exact cosine only within that cell, top-3 ----
+    GQuery(
+      "v5_ivf_search",
+      """WITH x AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d
+        |  FROM embeddings),
+        |cent AS (SELECT label, d, avg(x) AS c FROM x GROUP BY label, d),
+        |qdot AS (
+        |  SELECT x.vec_id AS q_id, cent.label, sum(x.x * cent.c) AS dp
+        |  FROM x JOIN cent ON cent.d = x.d
+        |  WHERE x.vec_id % 25 = 0 GROUP BY x.vec_id, cent.label),
+        |qcell AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+        |    FROM qdot) WHERE rk = 1),
+        |e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT q_id, vec_id, rk, cos FROM (
+        |  SELECT qc.q_id, c.vec_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+        |    row_number() OVER (PARTITION BY qc.q_id
+        |                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+        |                                c.vec_id) AS rk
+        |  FROM qcell qc
+        |  JOIN e q ON q.vec_id = qc.q_id
+        |  JOIN e c ON c.label = qc.label AND c.vec_id <> qc.q_id)
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val cent = x.groupBy(col("label").as("c_label"), col("d"))
+        .agg(avg("x").as("c"))
+      val qdot = x.filter(col("vec_id") % 25 === 0)
+        .join(broadcast(cent), "d")
+        .groupBy(col("vec_id").as("q_id"), col("c_label"))
+        .agg(sum(col("x") * col("c")).as("dp"))
+      val wq = Window.partitionBy("q_id").orderBy(col("dp").desc, col("c_label"))
+      val qcell = qdot.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("c_label").as("cell"))
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val c = e.select(
+        col("vec_id"), col("label"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      broadcast(qcell.join(q, "q_id"))
+        .join(c, col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", expr(dotExpr("q_emb", "c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "rk", "cos")
+    }
+  )
+}
