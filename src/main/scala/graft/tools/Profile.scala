@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: run named queries twice (cold/warm) and optionally dump
+  * the formatted plan. Usage: runMain graft.tools.Profile <sfDir> q1 q2 ...
+  * with -Dgraft.explain=true for plans.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      if (sys.props.get("graft.explain").contains("true"))
+        fn(spark, sfDir).explain("formatted")
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val cnt = fn(spark, sfDir).count()
+        println(f"[profile] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
+      }
+    }
+    spark.stop()
+  }
+}
