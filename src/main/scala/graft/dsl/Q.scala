@@ -58,6 +58,45 @@ final case class QRegex(pattern: String) extends QOp
 
 object Q {
 
+  /** Parse the reference's dict form into a spec: a map is AND-of-keys
+    * (value = scalar eq, seq = isin, op-map = ops), a list of maps is OR
+    * (union of row sets), null/empty = no filter. Mirrors `etl.q` argument
+    * handling (reference: blueetl-core, notebook 01_core_transformations).
+    */
+  def parse(v: Any): QSpec = v match {
+    case null => QTrue
+    case m: Map[_, _] if m.isEmpty => QTrue
+    case m: Map[_, _] =>
+      QAnd(m.map { case (k, cond) => k.toString -> parseCond(cond) }.toMap)
+    case s: Seq[_] => QOr(s.map(parse))
+    case other => throw new IllegalArgumentException(s"bad filter spec: $other")
+  }
+
+  private val opNames = Set("eq", "ne", "le", "lt", "ge", "gt", "isin", "regex")
+
+  private def parseCond(v: Any): QCond = v match {
+    case m: Map[_, _] if m.keys.forall(k => opNames(k.toString)) =>
+      QCond(m.toSeq.map {
+        case (k, x) => k.toString match {
+          case "eq" => QEq(x)
+          case "ne" => QNe(x)
+          case "le" => QLe(x)
+          case "lt" => QLt(x)
+          case "ge" => QGe(x)
+          case "gt" => QGt(x)
+          case "isin" => QIsIn(asSeq(x))
+          case "regex" => QRegex(x.toString)
+        }
+      })
+    case s: Seq[_] => QCond(QIsIn(s))
+    case scalar => QCond(QEq(scalar))
+  }
+
+  private def asSeq(x: Any): Seq[Any] = x match {
+    case s: Seq[_] => s
+    case other => Seq(other)
+  }
+
   /** Compile a spec to a Catalyst predicate. */
   def compile(spec: QSpec): Column = spec match {
     case QTrue => lit(true)

@@ -1,0 +1,121 @@
+package graft.engine
+
+import graft.dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Canonical, order-stable description of config pieces for checksumming
+  * (the reference checksums YAML dumps — cache.py:288-304; a Scala Map's
+  * toString is hash-ordered, so everything goes through sorted canonical
+  * JSON).
+  */
+object Describe {
+  def spec(q: QSpec): Any = q match {
+    case QTrue => null
+    case QAnd(m) => m.toSeq.sortBy(_._1).map { case (k, c) => Seq(k, cond(c)) }
+    case QOr(ss) => Map("or" -> ss.map(spec))
+    case QAllOf(ss) => Map("all" -> ss.map(spec))
+  }
+  private def cond(c: QCond): Any = c.ops.map {
+    case QEq(v) => s"eq:$v"
+    case QNe(v) => s"ne:$v"
+    case QLe(v) => s"le:$v"
+    case QLt(v) => s"lt:$v"
+    case QGe(v) => s"ge:$v"
+    case QGt(v) => s"gt:$v"
+    case QIsIn(vs) => s"isin:${vs.mkString("|")}"
+    case QRegex(p) => s"regex:$p"
+  }
+
+  def window(w: WindowSpec): Any = Map(
+    "bounds" -> Seq(w.bounds._1, w.bounds._2), "initial_offset" -> w.initialOffset,
+    "n_trials" -> w.nTrials, "trial_steps_value" -> w.trialStepsValue,
+    "window_type" -> w.windowType)
+
+  def neuronClass(c: NeuronClassSpec): Any = Map(
+    "query" -> spec(c.query), "node_id" -> c.nodeId.map(_.mkString(",")).orNull,
+    "limit" -> c.limit.map(_.toString).orNull)
+
+  def features(f: FeaturesSpec): Any = Map(
+    "groupby" -> f.groupby, "function" -> f.function,
+    "params" -> f.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" },
+    "windows" -> f.windows, "neuron_classes" -> f.neuronClasses, "suffix" -> f.suffix)
+
+  def analysis(cfg: SingleAnalysisConfig, campaign: Campaign): Map[String, Any] = Map(
+    "campaign" -> campaign.rows,
+    "report_type" -> cfg.reportType,
+    "windows" -> cfg.windows.toSeq.sortBy(_._1).map { case (k, w) => Seq(k, window(w)) },
+    "neuron_classes" -> cfg.neuronClasses.toSeq.sortBy(_._1)
+      .map { case (k, c) => Seq(k, neuronClass(c)) },
+    "limit" -> cfg.limit.map(_.toString).orNull,
+    "seed" -> cfg.seed)
+}
+
+/** Materialized-extraction cache: one parquet per name under
+  * `<dir>/{repo,features}/`, a JSON manifest of config checksums, a
+  * dependency-ordered invalidation chain, and narrowing-filter reuse
+  * (reference: src/blueetl/cache.py — C1 manager, C2 invalidation DAG,
+  * C3 `_is_subfilter` reuse, C5 lock).
+  */
+final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boolean = false) {
+  private val manifestPath = Paths.get(dir, "manifest.json")
+  Files.createDirectories(Paths.get(dir, "repo"))
+  Files.createDirectories(Paths.get(dir, "features"))
+
+  private val lockChannel =
+    if (readonly) None
+    else {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(dir, ".lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      Option(ch.tryLock()) match {
+        case Some(_) => Some(ch)
+        case None => throw new IllegalStateException(s"cache dir locked: $dir")
+      }
+    }
+  def close(): Unit = lockChannel.foreach(_.close())
+
+  // manifest: name -> checksum (flat JSON of strings)
+  private var manifest: Map[String, String] = loadManifest()
+  private def loadManifest(): Map[String, String] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else {
+      val txt = Files.readString(manifestPath)
+      """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  private def saveManifest(): Unit = {
+    val json = manifest.toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    Files.writeString(manifestPath, json)
+  }
+
+  private def path(kind: String, name: String) = s"$dir/$kind/$name.parquet"
+
+  /** Load `name` if its checksum (and all upstream checksums, via the
+    * caller passing a chained checksum) matches; else compute and
+    * write through. `chain` must already fold in upstream checksums so a
+    * config change upstream invalidates everything downstream (C2).
+    */
+  def loadOrCompute(kind: String, name: String, chain: String, compute: => DataFrame): DataFrame = {
+    val key = s"$kind/$name"
+    val p = path(kind, name)
+    if (manifest.get(key).contains(chain) && Files.exists(Paths.get(p)))
+      spark.read.parquet(p)
+    else {
+      val df = compute
+      if (!readonly) {
+        df.write.mode("overwrite").parquet(p)
+        manifest += key -> chain
+        saveManifest()
+        spark.read.parquet(p)
+      } else df
+    }
+  }
+
+  /** Simulations-filter reuse decision (C3): cached data built with filter
+    * `old` can serve a request with filter `next` iff next ⊆ old — then the
+    * loaded frames are just re-filtered (P8). Returns true when reusable.
+    */
+  def filterReusable(next: QSpec, old: QSpec): Boolean = Q.isSubfilter(next, old)
+}

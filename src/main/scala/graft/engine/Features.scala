@@ -1,0 +1,218 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The feature-function surface (reference UDTF contract:
+  * src/blueetl/features.py:392-446 `_user_func_wrapper` — a python callable
+  * per group key over the merged neurons×windows×report frame).
+  *
+  * Spark-first restatement: a feature function receives the *whole* scoped
+  * report plus the small dimension tables and returns complete feature
+  * DataFrames grouped by the configured keys — the reference's per-group
+  * loop becomes `groupBy(keys)` inside the function, so Catalyst plans one
+  * distributed aggregation instead of a driver-side loop. Truly opaque
+  * per-group code uses [[FeatureFns.rowUdtf]] (groupByKey.flatMapGroups),
+  * the explicitly-non-relational escape hatch (SURVEY §2.11 X1).
+  */
+final case class FeatureCtx(
+    spark: SparkSession,
+    groupby: Seq[String],
+    params: Map[String, Any],
+    report: DataFrame,   // scoped to the spec's windows/neuron_classes (P6)
+    windows: DataFrame,
+    neurons: DataFrame,
+    neuronClasses: DataFrame)
+
+trait FeatureFn extends Serializable {
+  /** name → feature DataFrame; key columns must lead (etl.add_conditions
+    * parity — reference: features.py:434-439).
+    */
+  def compute(ctx: FeatureCtx): Map[String, DataFrame]
+}
+
+object FeatureFns {
+
+  /** Registry: short names here, or any fully-qualified class name of a
+    * [[FeatureFn]] (reflection — reference: utils.py:146-156
+    * `import_by_string`).
+    */
+  def resolve(name: String): FeatureFn = builtin.getOrElse(name,
+    Class.forName(name).getDeclaredConstructor().newInstance().asInstanceOf[FeatureFn])
+
+  val builtin: Map[String, FeatureFn] = Map(
+    "mean_firing_rates" -> MeanFiringRates,
+    "spike_stats" -> SpikeStats,
+    "histograms" -> Histograms,
+    "soma_stats" -> SomaStats)
+
+  /** Escape hatch for opaque per-group logic: groupByKey on the configured
+    * keys + flatMapGroups, with an explicit output schema. Rows arrive
+    * sorted within each group only if `sortWithinGroup` is set.
+    */
+  def rowUdtf(
+      groupby: Seq[String],
+      outSchema: StructType,
+      f: (Row, Iterator[Row]) => Iterator[Row]): FeatureFn = new FeatureFn {
+    def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+      val df = ctx.report
+      val keySchema = StructType(groupby.map(n => df.schema(n)))
+      val keyEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(keySchema))
+      val outEnc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+      val keyed = df.groupByKey { r: Row =>
+        Row.fromSeq(groupby.map(n => r.getAs[Any](n)))
+      }(keyEnc)
+      Map("udtf" -> keyed.flatMapGroups { (k: Row, it: Iterator[Row]) => f(k, it) }(outEnc).toDF())
+    }
+  }
+}
+
+/** by_gid / by_neuron_class firing-rate features
+  * (reference: external/bnac/calculate_features.py:21-63 — counts and first
+  * spike per trial, means across trials with absent-trial zero fill, rates
+  * from window duration, class-level mean/std with population σ).
+  */
+object MeanFiringRates extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    val perTrial = ctx.report
+      .groupBy((keys :+ "trial").map(col) :+ col("gid"): _*)
+      .agg(count(lit(1)).as("cnt"), min("time").as("first_spike"))
+    // universe = member gids × window trials, so silent gids/trials = 0
+    val members = ctx.neurons.select("circuit_id", "neuron_class", "gid")
+    val trials = ctx.windows
+      .select("simulation_id", "circuit_id", "window", "trial", "duration").distinct()
+    val universe = trials.join(members, Seq("circuit_id"))
+    val filled = universe.join(
+        perTrial, (keys :+ "trial") :+ "gid", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val byGid = filled
+      .groupBy((keys :+ "gid").map(col) :+ col("duration"): _*)
+      .agg(
+        avg("cnt").as("mean_count"),
+        avg("first_spike").as("mean_first_spike"))
+      .withColumn("mean_firing_rate", col("mean_count") * lit(1000.0) / col("duration"))
+      .drop("duration")
+    val byClass = byGid.groupBy(keys.map(col): _*)
+      .agg(
+        avg("mean_firing_rate").as("mean_of_mean_firing_rates"),
+        stddev_pop("mean_firing_rate").as("std_of_mean_firing_rates"),
+        avg("mean_first_spike").as("mean_of_mean_first_spikes"))
+    Map("by_gid" -> byGid, "by_neuron_class" -> byClass)
+  }
+}
+
+/** Per-gid spiketrain statistics: spike count, MFR over the window, ISI
+  * mean/CV, LV (reference: external/bluecv/gid.py:14-61).
+  */
+object SpikeStats extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    val w = Window.partitionBy((keys :+ "gid").map(col): _*).orderBy("time")
+    val withIsi = ctx.report
+      .withColumn("isi", col("time") - lag("time", 1).over(w))
+      .withColumn("prev_isi", lag("isi", 1).over(w))
+    val dur = ctx.windows.select("window", "duration").distinct()
+    val ratio = (col("isi") - col("prev_isi")) /
+      when(col("isi") + col("prev_isi") =!= 0, col("isi") + col("prev_isi"))
+    val byGid = withIsi
+      .groupBy((keys :+ "gid").map(col): _*)
+      .agg(
+        count(lit(1)).as("spike_count"),
+        avg("isi").as("mean_isi"),
+        (stddev_pop("isi") / avg("isi")).as("cv"),
+        (lit(3) * avg(pow(ratio, 2))).as("lv"))
+      .join(broadcast(dur), Seq("window"))
+      .withColumn("mfr", col("spike_count") * lit(1000.0) / col("duration"))
+      .drop("duration")
+    Map("by_gid" -> byGid)
+  }
+}
+
+/** Dense per-group PSTH with configurable bin size
+  * (reference: external/bnac/calculate_features.py:67-93,
+  * bluecv/neuron_class.py:58-79). params: bin_size (report time units).
+  */
+object Histograms extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    val binSize = ctx.params.get("bin_size").map {
+      case n: Number => n.doubleValue()
+    }.getOrElse(1.0)
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    val binned = ctx.report
+      .withColumn("bin", floor((col("time") - lit(0.0)) / binSize).cast("long"))
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // dense fill: every group × every bin in its window span
+    val spans = ctx.windows
+      .select(
+        col("simulation_id"), col("circuit_id"), col("window"),
+        floor(col("t_start") / binSize).cast("long").as("bin_lo"),
+        (ceil(col("t_stop") / binSize).cast("long") - 1).as("bin_hi"))
+      .distinct()
+    val groups = ctx.report.select(keys.map(col): _*).distinct()
+      .join(broadcast(spans),
+        spans.columns.filter(c => keys.contains(c) && c != "bin_lo" && c != "bin_hi").toSeq)
+    val dense = groups
+      .withColumn("bin", explode(sequence(col("bin_lo"), col("bin_hi"))))
+      .drop("bin_lo", "bin_hi")
+      .join(binned, keys :+ "bin", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    Map("histograms" -> dense)
+  }
+}
+
+/** Frame-report value statistics per group
+  * (reference: external/soma/calculate_features.py:10-15; pandas std there
+  * is the sample std — kept).
+  */
+object SomaStats extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    val byClass = ctx.report
+      .groupBy(ctx.groupby.map(col): _*)
+      .agg(avg("value").as("mean"), stddev("value").as("std"),
+        min("value").as("min"), max("value").as("max"))
+    Map("by_group" -> byClass)
+  }
+}
+
+/** Feature-config expansion + the union view over per-combo outputs
+  * (reference: params_product/params_zip, config/analysis.py:132-170, and
+  * ConcatenatedFeatures, features.py:36-116).
+  */
+object FeatureExpansion {
+
+  /** Expand one raw spec map's params_product / params_zip into concrete
+    * FeaturesSpec combos with `_i` suffixes.
+    */
+  def expand(spec: FeaturesSpec, product: Map[String, Seq[Any]], zip: Map[String, Seq[Any]]): Seq[FeaturesSpec] = {
+    val productCombos: Seq[Map[String, Any]] =
+      product.foldLeft(Seq(Map.empty[String, Any])) { case (acc, (k, vs)) =>
+        for (m <- acc; v <- vs) yield m + (k -> v)
+      }
+    val zipCombos: Seq[Map[String, Any]] =
+      if (zip.isEmpty) Seq(Map.empty)
+      else {
+        val n = zip.values.map(_.size).min
+        (0 until n).map(i => zip.map { case (k, vs) => k -> vs(i) })
+      }
+    val combos = for (p <- productCombos; z <- zipCombos) yield p ++ z
+    if (combos == Seq(Map.empty)) Seq(spec)
+    else combos.zipWithIndex.map { case (extra, i) =>
+      spec.copy(params = spec.params ++ extra, suffix = s"_$i")
+    }
+  }
+
+  /** The ConcatenatedFeatures view: per-combo outputs unioned with their
+    * varying params as literal columns (J6 broadcast-params join).
+    */
+  def concatView(outputs: Seq[(Map[String, Any], DataFrame)]): DataFrame =
+    outputs.map { case (params, df) =>
+      params.toSeq.sortBy(_._1).foldLeft(df) { case (d, (k, v)) =>
+        d.withColumn(k, lit(v))
+      }
+    }.reduce(_ unionByName (_, true))
+}

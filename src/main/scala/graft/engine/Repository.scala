@@ -1,0 +1,235 @@
+package graft.engine
+
+import graft.dsl.{Q, QSpec, QTrue}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The five canonical extractions as lazy DataFrame builders
+  * (reference: src/blueetl/repository.py:334-338 and the extract modules).
+  * Dependency DAG: simulations → {neurons → neuron_classes, windows} →
+  * report. Everything is one declarative plan per output; the per-
+  * simulation fan-out the reference runs in joblib subprocesses
+  * (extract/report.py:106-123) is Spark's own partition parallelism here.
+  */
+final class Repository(
+    val spark: SparkSession,
+    val campaign: Campaign,
+    val cfg: SingleAnalysisConfig,
+    val adapter: DataAdapter,
+    val simulationsFilter: QSpec = QTrue) {
+
+  import Repository._
+
+  /** Campaign rows × existence status, filtered to COMPLETE sims matching
+    * `simulations_filter` (reference: extract/simulations.py:115-166).
+    * Condition columns stay open-schema (simulations.py:37-39).
+    */
+  lazy val simulations: DataFrame = {
+    val condKeys = campaign.rows.flatMap(_.keys).distinct
+      .filterNot(Set("simulation_path", "circuit_path")).sorted
+    val paths = campaign.resolvedPaths
+    val circuitOf = paths.map(p => campaign.rows(paths.indexOf(p))
+      .getOrElse("circuit_path", p).toString)
+    val distinctCircuits = circuitOf.distinct
+    val rows = campaign.rows.zipWithIndex.map { case (r, i) =>
+      val status = if (adapter.isComplete(paths(i))) "COMPLETE" else "MISSING"
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(i, distinctCircuits.indexOf(circuitOf(i)), paths(i), circuitOf(i), status) ++
+          condKeys.map(k => coerce(r.get(k).orNull)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        field("simulation_id", "int"), field("circuit_id", "int"),
+        field("simulation_path", "string"), field("circuit_path", "string"),
+        field("_status", "string")) ++
+        condKeys.map(k => fieldFor(k, campaign.rows.flatMap(_.get(k)).headOption.orNull)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    Q.q(df.filter(col("_status") === "COMPLETE").drop("_status"), simulationsFilter)
+  }
+
+  /** Distinct (circuit_id, circuit_path) of the selected simulations —
+    * driver-side, tiny (reference: extract/neurons.py:135 first-per-circuit).
+    */
+  private lazy val circuits: Seq[(Int, String)] =
+    simulations.select("circuit_id", "circuit_path").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  /** Per-class node membership: P1 query over node properties, optional
+    * node_id intersection, deterministic seeded limit, per-class index
+    * (reference: extract/neurons.py:62-96,139-143). Sampling is md5-rank
+    * (SURVEY §7.4: np.random.choice is not distributively reproducible).
+    */
+  lazy val neurons: DataFrame = {
+    val perCircuit = circuits.map { case (cid, cpath) =>
+      val nodes = adapter.nodes(spark, cpath)
+      val perClass = cfg.neuronClasses.toSeq.sortBy(_._1).map { case (cls, spec) =>
+        var df = Q.q(nodes, spec.query)
+        spec.nodeId.foreach { ids => df = df.filter(col("gid").isin(ids: _*)) }
+        val lim = spec.limit.orElse(cfg.limit)
+        lim.foreach { n =>
+          // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+          // top-k, not a single-partition row_number pass.
+          df = df
+            .withColumn("_rk", md5(concat(col("gid").cast("string"), lit(":" + cfg.seed))))
+            .orderBy(col("_rk"), col("gid")).limit(n).drop("_rk")
+        }
+        df.select(lit(cid).as("circuit_id"), lit(cls).as("neuron_class"), col("gid"))
+      }
+      perClass.reduce(_ unionByName _)
+    }
+    val all = perCircuit.reduce(_ unionByName _)
+    val w = Window.partitionBy("circuit_id", "neuron_class").orderBy("gid")
+    all.withColumn("neuron_class_index", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Class-level summary: member counts + the class query it came from
+    * (reference: extract/neuron_classes.py:53-69, counts A8).
+    */
+  lazy val neuronClasses: DataFrame = {
+    val counts = neurons.groupBy("circuit_id", "neuron_class")
+      .agg(count(lit(1)).as("count"))
+    val queries = cfg.neuronClasses.toSeq.sortBy(_._1).map { case (cls, spec) =>
+      (cls, ConfigIO.canonical(Describe.spec(spec.query)))
+    }
+    import spark.implicits._
+    counts.join(
+      broadcast(queries.toDF("neuron_class", "query")), Seq("neuron_class"), "left")
+      .select("circuit_id", "neuron_class", "count", "query")
+  }
+
+  /** Per-simulation window/trial rows. Static trials shift by
+    * trial_steps_value; `window_type = "dynamic_onset"` adds a per-
+    * simulation onset offset detected from the spikes themselves (the
+    * data-dependent two-phase plan of SURVEY §7.4; reference:
+    * extract/windows.py:78-111 + external/bnac/calculate_trial_step.py).
+    */
+  lazy val windows: DataFrame = {
+    import spark.implicits._
+    val trialRows = cfg.windows.toSeq.sortBy(_._1).flatMap { case (wn, w) =>
+      (0 until w.nTrials).map { k =>
+        (wn, k, w.initialOffset + k * w.trialStepsValue,
+          w.bounds._1, w.bounds._2, w.duration, w.windowType)
+      }
+    }
+    val wdf = trialRows
+      .toDF("window", "trial", "offset", "t_start", "t_stop", "duration", "window_type")
+    val base = simulations.select("simulation_id", "circuit_id")
+      .crossJoin(broadcast(wdf))
+    val needsOnset = cfg.windows.values.exists(_.windowType == "dynamic_onset")
+    if (!needsOnset) base
+    else {
+      // Phase 1: per-simulation onset scalar = first time-bin (width = the
+      // window's duration/100) whose spike count exceeds mean+2σ of the
+      // first 25 bins. Collected driver-side, then joined back (tiny).
+      val binW = cfg.windows.values.map(_.duration).max / 100.0
+      val hist = allSpikes
+        .withColumn("bin", floor(col("time") / binW))
+        .groupBy("simulation_id", "bin").agg(count(lit(1)).as("cnt"))
+      val basestats = hist.filter(col("bin") < 25)
+        .groupBy("simulation_id")
+        .agg(avg("cnt").as("mu"), stddev_pop("cnt").as("sd"))
+      val onsets = hist.join(basestats, "simulation_id")
+        .filter(col("bin") >= 25 && col("cnt") > col("mu") + lit(2) * col("sd"))
+        .groupBy("simulation_id")
+        .agg((min("bin") * binW).as("onset"))
+      base.join(broadcast(onsets), Seq("simulation_id"), "left")
+        .withColumn("offset",
+          when(col("window_type") === "dynamic_onset",
+            col("offset") + coalesce(col("onset"), lit(0.0)))
+            .otherwise(col("offset")))
+        .drop("onset")
+    }
+  }
+
+  /** All simulations' spike events tagged with ids — the union the
+    * reference materializes per-subprocess (extract/report.py:126-158).
+    */
+  private lazy val allSpikes: DataFrame =
+    simulations.select("simulation_id", "circuit_id", "simulation_path")
+      .collect().toSeq
+      .map { r =>
+        adapter.spikes(spark, r.getString(2))
+          .select(
+            lit(r.getInt(0)).as("simulation_id"), lit(r.getInt(1)).as("circuit_id"),
+            col("time"), col("gid"))
+      }
+      .reduce(_ unionByName _)
+
+  private lazy val allFrames: DataFrame =
+    simulations.select("simulation_id", "circuit_id", "simulation_path")
+      .collect().toSeq
+      .map { r =>
+        val f = adapter.frames(spark, r.getString(2))
+        val extra = if (f.columns.contains("section")) Seq(col("section")) else Nil
+        f.select(
+          Seq(
+            lit(r.getInt(0)).as("simulation_id"), lit(r.getInt(1)).as("circuit_id"),
+            col("time"), col("gid"), col("value")) ++ extra: _*)
+      }
+      .reduce(_ unionByName _)
+
+  /** The report extraction: events range-joined into window/trials (J4),
+    * time rebased, classes attached via the neurons join
+    * (reference: extract/spikes.py:19-56, soma_report.py:42-53).
+    * Windows and neurons-per-class are small → broadcast; the event table
+    * is the only big side and shuffles once for the terminal consumer.
+    */
+  lazy val report: DataFrame = {
+    val events = if (cfg.reportType == "spikes") allSpikes else allFrames
+    val extra = Seq("value", "section").filter(events.columns.contains)
+    val w = broadcast(windows)
+    val joined = events.alias("e").join(
+      w.alias("w"),
+      col("e.simulation_id") === col("w.simulation_id") &&
+        col("e.circuit_id") === col("w.circuit_id") &&
+        col("e.time") >= col("w.offset") + col("w.t_start") &&
+        col("e.time") < col("w.offset") + col("w.t_stop"))
+    joined.select(
+      Seq(
+        col("e.simulation_id").as("simulation_id"), col("e.circuit_id").as("circuit_id"),
+        col("w.window").as("window"), col("w.trial").as("trial"),
+        (col("e.time") - col("w.offset")).as("time"), col("e.gid").as("gid")) ++
+        extra.map(n => col(s"e.$n").as(n)): _*)
+      .join(broadcast(neurons.select("circuit_id", "neuron_class", "gid")),
+        Seq("circuit_id", "gid"))
+      .select(
+        (Seq("simulation_id", "circuit_id", "neuron_class", "window", "trial", "time", "gid") ++
+          extra).map(col): _*)
+  }
+
+  /** All five, in dependency order (reference: repository.py:334-338). */
+  def names: Seq[String] = Repository.Names
+  def df(name: String): DataFrame = name match {
+    case "simulations" => simulations
+    case "neurons" => neurons
+    case "neuron_classes" => neuronClasses
+    case "windows" => windows
+    case "report" => report
+  }
+}
+
+object Repository {
+  val Names: Seq[String] = Seq("simulations", "neurons", "neuron_classes", "windows", "report")
+
+  private def coerce(v: Any): Any = v match {
+    case n: java.lang.Integer => n.longValue()
+    case n: java.lang.Long => n
+    case n: java.lang.Double => n
+    case n: java.lang.Float => n.doubleValue()
+    case b: java.lang.Boolean => b
+    case null => null
+    case other => other.toString
+  }
+
+  private def field(n: String, t: String) =
+    org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t))
+
+  private def fieldFor(n: String, sample: Any) = sample match {
+    case _: java.lang.Integer | _: java.lang.Long => field(n, "bigint")
+    case _: java.lang.Double | _: java.lang.Float => field(n, "double")
+    case _: java.lang.Boolean => field(n, "boolean")
+    case _ => field(n, "string")
+  }
+}

@@ -1,0 +1,191 @@
+package graft.engine
+
+import graft.SparkSuite
+import graft.dsl._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end engine test: a 2-simulation campaign carved out of the
+  * sf0.001 events table (user_id parity = "simulation"), nodes derived
+  * from distinct gids, full extraction + features + cache + applyFilter.
+  */
+class AnalyzerSpec extends SparkSuite {
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-engine-fix").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spikes = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("time",
+        (expr("ts div 1000") - lit(graft.Tables.EventsEpochMicros)).cast("double") / 1000.0)
+      .withColumnRenamed("user_id", "gid")
+      .select("time", "gid")
+    for (p <- 0 to 1)
+      spikes.filter(col("gid") % 2 === p)
+        .write.mode("overwrite").parquet(s"$dir/sim$p/spikes.parquet")
+    val nodes = spikes.select("gid").distinct()
+      .withColumn("parity", (col("gid") % 2).cast("long"))
+      .withColumn("cohort", (col("gid") % 5).cast("long"))
+    nodes.write.mode("overwrite").parquet(s"$dir/circuit/nodes.parquet")
+    Files.writeString(Paths.get(dir, "campaign.yaml"),
+      s"""name: test-campaign
+         |attrs:
+         |  path_prefix: "$dir"
+         |data:
+         |  - {simulation_path: sim0/spikes.parquet, circuit_path: "$dir/circuit/nodes.parquet", ca: 1.1, seed: 1}
+         |  - {simulation_path: sim1/spikes.parquet, circuit_path: "$dir/circuit/nodes.parquet", ca: 1.2, seed: 1}
+         |  - {simulation_path: missing/spikes.parquet, circuit_path: "$dir/circuit/nodes.parquet", ca: 1.3, seed: 1}
+         |""".stripMargin)
+    Files.writeString(Paths.get(dir, "analysis.yaml"),
+      s"""simulation_campaign: $dir/campaign.yaml
+         |output: $dir/out
+         |seed: 0
+         |analysis:
+         |  spikes:
+         |    extraction:
+         |      report: {type: spikes}
+         |      neuron_classes:
+         |        even: {query: {parity: 0}}
+         |        c0:   {query: {cohort: 0}, limit: 10}
+         |        all:  {}
+         |      windows:
+         |        w1: {bounds: [0, 500000], n_trials: 2, trial_steps_value: 1000000}
+         |        w2: {bounds: [0, 2000000]}
+         |    features:
+         |      - groupby: [simulation_id, circuit_id, neuron_class, window]
+         |        function: mean_firing_rates
+         |        params: {}
+         |      - groupby: [simulation_id, circuit_id, neuron_class, window]
+         |        function: histograms
+         |        params: {bin_size: 100000.0}
+         |        windows: [w2]
+         |""".stripMargin)
+    dir
+  }
+
+  private lazy val ma = MultiAnalyzer.fromFile(spark, s"$fixtureDir/analysis.yaml")
+  private lazy val an = ma("spikes")
+
+  test("simulations: status filter drops the missing sim, conditions survive") {
+    val sims = an.simulations.collect()
+    assert(sims.length === 2)
+    assert(an.simulations.columns.contains("ca"))
+    val cas = an.simulations.select("ca").collect().map(_.getDouble(0)).sorted
+    assert(cas.toSeq === Seq(1.1, 1.2))
+  }
+
+  test("neurons: class queries + limit + per-class index") {
+    val n = an.neurons
+    val byClass = n.groupBy("neuron_class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cohort0 = spark.read.parquet(s"$fixtureDir/circuit/nodes.parquet")
+      .filter(col("cohort") === 0).count()
+    assert(byClass("c0") === math.min(10L, cohort0)) // limit applied
+    assert(byClass.contains("even") && byClass.contains("all"))
+    // parity query actually filtered
+    val evenGids = n.filter(col("neuron_class") === "even").select("gid")
+      .collect().map(_.getLong(0))
+    assert(evenGids.forall(_ % 2 == 0))
+    // index is 0..count-1 per class
+    val idx = n.filter(col("neuron_class") === "c0")
+      .select("neuron_class_index").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq === (0L until byClass("c0")))
+  }
+
+  test("neuron_classes: counts match neurons") {
+    val counts = an.neuronClasses.select("neuron_class", "count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromNeurons = an.neurons.groupBy("neuron_class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === fromNeurons)
+  }
+
+  test("windows: trials shift by trial_steps_value") {
+    val w = an.windows.filter(col("window") === "w1" && col("simulation_id") === 0)
+      .select("trial", "offset").collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(w === Map(0 -> 0.0, 1 -> 1000000.0))
+    assert(an.windows.count() === 2 * 3) // 2 sims × (2 trials + 1 window)
+  }
+
+  test("report: window containment, rebase, and class tagging hold") {
+    val r = an.report
+    assert(r.filter(col("time") < 0).count() === 0)
+    val w2max = r.filter(col("window") === "w2").agg(max("time")).collect()(0).getDouble(0)
+    assert(w2max < 2000000.0)
+    // every (sim, gid) pair respects the parity split of the fixture
+    val bad = r.filter(col("neuron_class") === "even" && col("gid") % 2 =!= 0).count()
+    assert(bad === 0)
+    // spikes from sim0 carry simulation_id 0
+    val simGidParity = r.select("simulation_id", "gid").distinct()
+      .filter((col("gid") % 2) =!= col("simulation_id")).count()
+    assert(simGidParity === 0)
+  }
+
+  test("features: firing rates match a direct computation") {
+    val feats = an.calculateFeatures()
+    assert(feats.contains("by_gid") && feats.contains("by_neuron_class") &&
+      feats.contains("histograms"))
+    val byGid = feats("by_gid")
+    // direct check for one cell: class 'all', window 'w2' (1 trial) —
+    // mean_count == raw spike count in that window, rate = cnt*1000/duration
+    val cell = byGid.filter(
+      col("neuron_class") === "all" && col("window") === "w2" && col("simulation_id") === 0)
+    val direct = an.report.filter(
+        col("neuron_class") === "all" && col("window") === "w2" && col("simulation_id") === 0)
+      .groupBy("gid").agg(count(lit(1)).as("cnt"))
+    val joined = cell.join(direct, Seq("gid"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    assert(joined.filter(abs(col("mean_count") - col("cnt")) > 1e-9).count() === 0)
+    assert(joined.filter(
+      abs(col("mean_firing_rate") - col("cnt") * 1000.0 / 2000000.0) > 1e-9).count() === 0)
+    // histograms scoped to w2 only
+    assert(feats("histograms").select("window").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("w2"))
+  }
+
+  test("cache: second analyzer loads from parquet and matches") {
+    an.extractRepo()
+    val n1 = an.report.count()
+    ma.close()
+    val ma2 = MultiAnalyzer.fromFile(spark, s"$fixtureDir/analysis.yaml")
+    val an2 = ma2("spikes")
+    assert(Files.exists(Paths.get(s"$fixtureDir/out/spikes/repo/report.parquet")))
+    assert(an2.report.count() === n1)
+    // loaded-from-cache plan is a bare parquet scan (no join in the plan)
+    val plan = an2.report.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"expected cache scan, got:\n$plan")
+    ma2.close()
+  }
+
+  test("applyFilter: in-memory rescope by condition column") {
+    val filtered = an.applyFilter(QAnd("ca" -> QCond(QEq(1.1))))
+    assert(filtered.simulations.count() === 1)
+    assert(filtered.report.select("simulation_id").distinct().count() === 1)
+  }
+
+  test("subfilter algebra gates cache filter reuse") {
+    val cm = an.cache
+    val narrow = QAnd("ca" -> QCond(QEq(1.1)))
+    val broad = QAnd("ca" -> QCond(QIsIn(Seq(1.1, 1.2))))
+    assert(Q.isSubfilter(narrow, broad))
+    assert(!Q.isSubfilter(broad, narrow))
+  }
+
+  test("udtf escape hatch: flatMapGroups per-group spike count") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("neuron_class", StringType), StructField("window", StringType),
+      StructField("n", LongType)))
+    val fn = FeatureFns.rowUdtf(
+      Seq("neuron_class", "window"), schema,
+      (k, it) => Iterator(org.apache.spark.sql.Row(
+        k.getString(0), k.getString(1), it.size.toLong)))
+    val ctx = FeatureCtx(
+      spark, Seq("neuron_class", "window"), Map.empty, an.report,
+      an.windows, an.neurons, an.neuronClasses)
+    val out = fn.compute(ctx)("udtf")
+    val viaSql = an.report.groupBy("neuron_class", "window").count()
+    val diff = out.join(viaSql, Seq("neuron_class", "window"))
+      .filter(col("n") =!= col("count")).count()
+    assert(diff === 0)
+  }
+}
