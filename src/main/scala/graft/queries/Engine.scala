@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsl._
+import graft.engine._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end engine queries: the full Analyzer pipeline (campaign →
+  * simulations/neurons/windows extraction → range-join report → features)
+  * over a campaign whose single simulation IS the testdata events table,
+  * so the DuckDB oracle can replicate the whole computation in SQL.
+  * This puts the engine facade itself under the driver's correctness gate,
+  * not just the individual operators.
+  */
+object Engine {
+
+  private val H = 3600000000L
+  private val D = 24 * H
+  private val Origin = Tables.EventsEpochMicros
+
+  private def analyzer(s: SparkSession, dir: String): Analyzer = {
+    val campaign = Campaign(
+      name = "testdata",
+      pathPrefix = dir,
+      attrs = Map.empty,
+      rows = Seq(Map(
+        "simulation_path" -> "events.parquet",
+        "circuit_path" -> s"$dir/events.parquet",
+        "ca" -> 1.1)))
+    val cfg = SingleAnalysisConfig(
+      name = "spikes",
+      reportType = "spikes",
+      windows = Map(
+        "w1" -> WindowSpec(
+          bounds = (0.0, 12.0 * H), nTrials = 3, trialStepsValue = D.toDouble),
+        "w2" -> WindowSpec(bounds = (0.0, 7.0 * D))),
+      neuronClasses = Map(
+        "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+        "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+      features = Seq(
+        FeaturesSpec(
+          groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+          function = "mean_firing_rates")))
+    new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None)
+  }
+
+  // Shared oracle: replicate campaign/extraction relationally over events.
+  private val oracleCte =
+    s"""WITH spikes AS (
+       |  SELECT CAST(epoch_us(ts) - $Origin AS DOUBLE) AS time, user_id AS gid FROM events),
+       |nodes AS (SELECT DISTINCT gid FROM spikes),
+       |classes AS (
+       |  SELECT gid, CASE WHEN gid % 2 = 0 THEN 'even' ELSE 'odd' END AS neuron_class
+       |  FROM nodes),
+       |wins AS (
+       |  SELECT * FROM (VALUES
+       |    ('w1', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+       |    ('w1', 1, CAST($D AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+       |    ('w1', 2, CAST(${2 * D} AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+       |    ('w2', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${7 * D} AS DOUBLE), CAST(${7 * D} AS DOUBLE))
+       |  ) AS w(win, trial, w_offset, t_start, t_stop, duration)),
+       |assigned AS (
+       |  SELECT w.win, w.trial, w.duration, c.neuron_class, s.gid,
+       |    s.time - w.w_offset AS time
+       |  FROM spikes s
+       |  JOIN wins w ON s.time >= w.w_offset + w.t_start AND s.time < w.w_offset + w.t_stop
+       |  JOIN classes c ON c.gid = s.gid)
+       |""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    // Full pipeline → by_gid mean firing rates (counts per trial with
+    // absent-trial zero fill, rate from window duration)
+    GQuery(
+      "e1_engine_rates_by_gid",
+      oracleCte +
+        """, counts AS (
+          |  SELECT neuron_class, win, trial, gid, count(*) AS cnt, min(time) AS first_spike
+          |  FROM assigned GROUP BY 1, 2, 3, 4)
+          |SELECT 0 AS simulation_id, 0 AS circuit_id, c.neuron_class, w.win AS window, c.gid,
+          |  avg(COALESCE(k.cnt, 0)) AS mean_count,
+          |  avg(k.first_spike) AS mean_first_spike,
+          |  avg(COALESCE(k.cnt, 0)) * 1000.0 / w.duration AS mean_firing_rate
+          |FROM classes c
+          |CROSS JOIN wins w
+          |LEFT JOIN counts k ON k.neuron_class = c.neuron_class AND k.win = w.win
+          |  AND k.trial = w.trial AND k.gid = c.gid
+          |GROUP BY c.neuron_class, w.win, c.gid, w.duration""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).calculateFeatures()("by_gid")
+    },
+
+    // Class-level rollup of the same pipeline (population σ — reference
+    // uses numpy ddof=0 std at bnac/calculate_features.py:63)
+    GQuery(
+      "e2_engine_rates_by_class",
+      oracleCte +
+        """, counts AS (
+          |  SELECT neuron_class, win, trial, gid, count(*) AS cnt, min(time) AS first_spike
+          |  FROM assigned GROUP BY 1, 2, 3, 4),
+          |by_gid AS (
+          |  SELECT c.neuron_class, w.win AS win, c.gid,
+          |    avg(COALESCE(k.cnt, 0)) * 1000.0 / w.duration AS rate,
+          |    avg(k.first_spike) AS mfs
+          |  FROM classes c
+          |  CROSS JOIN wins w
+          |  LEFT JOIN counts k ON k.neuron_class = c.neuron_class AND k.win = w.win
+          |    AND k.trial = w.trial AND k.gid = c.gid
+          |  GROUP BY c.neuron_class, w.win, c.gid, w.duration)
+          |SELECT 0 AS simulation_id, 0 AS circuit_id, neuron_class, win AS window,
+          |  avg(rate) AS mean_of_mean_firing_rates,
+          |  stddev_pop(rate) AS std_of_mean_firing_rates,
+          |  avg(mfs) AS mean_of_mean_first_spikes
+          |FROM by_gid GROUP BY neuron_class, win""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).calculateFeatures()("by_neuron_class")
+    },
+
+    // The extracted report itself (J4 + class tagging through the facade)
+    GQuery(
+      "e3_engine_report",
+      oracleCte +
+        """SELECT 0 AS simulation_id, 0 AS circuit_id, neuron_class, win AS window, trial, time, gid
+          |FROM assigned""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).report
+    }
+  )
+}
