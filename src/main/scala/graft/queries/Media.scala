@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal-pipeline queries: the binary-payload decode and frame-sample
+  * paths (mapPartitions batch UDFs over opaque bytes) with DuckDB oracles
+  * that replicate the deterministic fake decode from md5 arithmetic.
+  */
+object Media {
+
+  // hex digit i of md5(text), as an int — shared oracle helper
+  private def hx(i: Int) =
+    s"strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1"
+
+  val all: Seq[GQuery] = Seq(
+
+    GQuery(
+      "m1_decode_meta",
+      s"""SELECT doc_id,
+         |  CAST(32 + 8 * (${hx(0)}) AS INT) AS width,
+         |  CAST(32 + 8 * (${hx(1)}) AS INT) AS height,
+         |  CAST(1 + (${hx(2)}) % 3 AS INT) AS channels,
+         |  CAST(2 + (${hx(3)}) % 4 AS INT) AS n_frames
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.decodeMeta(Multimodal.asBinaryTable(Tables.documents(s, dir)))
+    },
+
+    GQuery(
+      "m2_frame_sample",
+      s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |  md5(text || ':' || CAST(i AS VARCHAR)) AS frame_sig
+         |FROM (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(0, 2 + (${hx(3)}) % 4 - 1)) AS i
+         |  FROM documents)""".stripMargin) { (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asBinaryTable(Tables.documents(s, dir)))
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming specs: the same transform over a file stream (fed in two
+  * micro-batches) must agree with the batch plan over the full input.
+  */
+class StreamOpsSpec extends SparkSuite {
+
+  private lazy val stagingDirs: (String, String) = {
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val half1 = Files.createTempDirectory("graft-stream-b1").toString
+    val ev = graft.Tables.spikes(spark, sf0001)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(half1)
+    (src, half1)
+  }
+
+  test("tumbling window: stream over two micro-batches equals batch") {
+    val (srcDir, moreDir) = stagingDirs
+    val stream = StreamOps.fileStream(spark, srcDir)
+    val agg = StreamOps.tumblingCounts(stream, "1 day", "0 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // drop the second half in as a new micro-batch
+      val more = spark.read.parquet(moreDir)
+      more.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+      val batch = StreamOps.tumblingCounts(
+        graft.Tables.spikes(spark, sf0001)
+          .withColumn("ts", timestamp_micros(col("time") + lit(graft.Tables.EventsEpochMicros))),
+        "1 day", "0 seconds")
+      assert(got.count() === batch.count())
+      val diff = got.join(batch, Seq("day", "event_type"))
+        .filter(got("n") =!= batch("n")).count()
+      assert(diff === 0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: streaming state matches batch plan for closed sessions") {
+    val gap = 3600000000L // 1h in µs
+    val ev = graft.Tables.spikes(spark, sf0001)
+    val batchSessions = StreamOps.sessionizeBatch(ev, gap)
+      .filter(col("n_events") > 0)
+    // streaming run over a single batch containing everything: all sessions
+    // except each gid's last (still open) are emitted
+    val src = Files.createTempDirectory("graft-sess-src").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = StreamOps.fileStream(spark, src)
+    val sess = StreamOps.sessionizeStreaming(spark, stream, gap)
+    val q = sess.writeStream
+      .format("memory").queryName("sessions_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_test")
+      // batch sessions minus the open (= per-gid last) session
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("gid").orderBy(col("t_start").desc)
+      val closed = batchSessions.withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select("gid", "n_events", "t_start", "t_end", "span")
+      assert(got.count() === closed.count())
+      val diff = got.join(closed, Seq("gid", "t_start"))
+        .filter(got("n_events") =!= closed("n_events") || got("t_end") =!= closed("t_end"))
+        .count()
+      assert(diff === 0)
+    } finally q.stop()
+  }
+}
