@@ -1,0 +1,81 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The blueetl-core dataframe accessor surface (`df.etl.*` — reference:
+  * blueetl-core, demonstrated in doc/source/notebooks/
+  * 01_core_transformations.ipynb) as an implicit extension:
+  * `import graft.dsl.EtlOps._` then `df.etl.q(...)`, `.one()`, `.first()`,
+  * `.addConditions(...)`, `.labels(...)`.
+  *
+  * Index-level vs column unification is free (no index concept — SURVEY
+  * §2.2 P1); `multi_index` is presentation-only, key columns simply lead.
+  */
+object EtlOps {
+
+  implicit final class EtlDataFrame(private val df: DataFrame) extends AnyVal {
+    def etl: Etl = new Etl(df)
+  }
+
+  final class Etl(private val df: DataFrame) {
+
+    /** Filter by a spec (`etl.q`). */
+    def q(spec: QSpec): DataFrame = Q.q(df, spec)
+
+    /** Filter by the dict form (parsed), e.g. from config. */
+    def q(spec: Map[String, Any]): DataFrame = Q.q(df, Q.parse(spec))
+
+    /** Exactly-one-row fetch (`etl.one`): throws unless a single row
+      * matches (reference use: extract/windows.py:277-287).
+      */
+    def one(spec: QSpec = QTrue): DataFrame = {
+      val out = Q.q(df, spec)
+      val rows = out.limit(2).collect()
+      require(rows.length == 1, s"expected exactly 1 row, got ${rows.length}")
+      out
+    }
+
+    def oneRow(spec: QSpec = QTrue): Row = one(spec).collect()(0)
+
+    /** First-row fetch after optional filter (`etl.first`). Order must be
+      * established by the caller — Spark frames are unordered.
+      */
+    def firstRow(spec: QSpec = QTrue, orderBy: Seq[String] = Nil): Row = {
+      val filtered = Q.q(df, spec)
+      val ordered =
+        if (orderBy.nonEmpty) filtered.orderBy(orderBy.map(col): _*) else filtered
+      ordered.head()
+    }
+
+    /** Prepend constant key columns (`etl.add_conditions` /
+      * `insert_columns` — reference: features.py:434-439).
+      */
+    def addConditions(conditions: Seq[(String, Any)]): DataFrame = {
+      val keyCols = conditions.map { case (k, v) => lit(v).as(k) }
+      df.select(keyCols ++ df.columns.map(col): _*)
+    }
+
+    /** Drop key columns (`etl.remove_conditions`). */
+    def removeConditions(names: Seq[String]): DataFrame = df.drop(names: _*)
+
+    /** Keep only these key columns + data columns
+      * (`etl.keep_conditions`).
+      */
+    def keepConditions(keys: Seq[String], dataCols: Seq[String]): DataFrame =
+      df.select((keys ++ dataCols).map(col): _*)
+
+    /** Distinct values of one key column (`etl.labels`). */
+    def labels(name: String): Seq[Any] =
+      df.select(name).distinct().orderBy(col(name)).collect().map(_.get(0)).toSeq
+
+    /** Distinct key tuples over several columns (`etl.groups`). */
+    def groups(names: Seq[String]): DataFrame =
+      df.select(names.map(col): _*).distinct().orderBy(names.map(col): _*)
+
+    /** Pandas-style conditional selection helper: filter by a plain
+      * Column predicate but keep the etl chaining style.
+      */
+    def where(cond: Column): DataFrame = df.filter(cond)
+  }
+}

@@ -144,15 +144,21 @@ object ConfigIO {
               nodeId = c.get("node_id").map(_.asInstanceOf[Seq[Any]].map(num(_).toLong)),
               limit = c.get("limit").filter(_ != null).map(num(_).toInt))
           }
-        val feats = a.getOrElse("features", Seq.empty[Any]).asInstanceOf[Seq[Any]].map { fraw =>
+        val feats = a.getOrElse("features", Seq.empty[Any]).asInstanceOf[Seq[Any]].flatMap { fraw =>
           val f = fraw.asInstanceOf[Map[String, Any]]
-          FeaturesSpec(
+          val base = FeaturesSpec(
             groupby = f.getOrElse("groupby", Seq.empty[Any]).asInstanceOf[Seq[Any]].map(_.toString),
             function = str(f("function")),
             params = f.getOrElse("params", Map.empty[String, Any]).asInstanceOf[Map[String, Any]],
             windows = f.getOrElse("windows", Seq.empty[Any]).asInstanceOf[Seq[Any]].map(_.toString),
             neuronClasses = f.getOrElse("neuron_classes", Seq.empty[Any])
               .asInstanceOf[Seq[Any]].map(_.toString))
+          // params_product / params_zip expansion into suffixed combos
+          // (reference: config/analysis.py:132-170)
+          def lists(key: String): Map[String, Seq[Any]] =
+            f.getOrElse(key, Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+              .map { case (k, v) => k -> v.asInstanceOf[Seq[Any]] }
+          FeatureExpansion.expand(base, lists("params_product"), lists("params_zip"))
         }
         SingleAnalysisConfig(
           name = name,

@@ -1,0 +1,64 @@
+package graft.dsl
+
+import graft.SparkSuite
+import graft.engine.{FeaturesSpec, FeatureExpansion}
+import org.apache.spark.sql.functions._
+
+class EtlOpsSpec extends SparkSuite {
+
+  import EtlOps._
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "B")
+  ).toDF("id", "v", "cls")
+
+  test("q with parsed dict form") {
+    assert(df.etl.q(Map("cls" -> "A")).count() === 2)
+    assert(df.etl.q(Map("v" -> Map("ge" -> 20.0))).count() === 2)
+    assert(df.etl.q(Map("id" -> Seq(1, 3))).count() === 2)
+  }
+
+  test("one asserts single row; firstRow with explicit order") {
+    assert(df.etl.one(QAnd("id" -> QCond(QEq(2)))).collect()(0).getDouble(1) === 20.0)
+    assertThrows[IllegalArgumentException] { df.etl.one(QAnd("cls" -> QCond(QEq("A")))) }
+    assert(df.etl.firstRow(QTrue, orderBy = Seq("v")).getLong(0) === 1L)
+  }
+
+  test("addConditions prepends key columns; remove/keep/labels/groups") {
+    val withKeys = df.etl.addConditions(Seq("sim" -> 7, "win" -> "w1"))
+    assert(withKeys.columns.toSeq === Seq("sim", "win", "id", "v", "cls"))
+    assert(withKeys.select("sim").distinct().collect()(0).getInt(0) === 7)
+    assert(withKeys.etl.removeConditions(Seq("sim")).columns.toSeq ===
+      Seq("win", "id", "v", "cls"))
+    assert(df.etl.labels("cls") === Seq("A", "B"))
+    assert(df.etl.groups(Seq("cls")).count() === 2)
+  }
+
+  test("params_product expansion generates suffixed combos") {
+    val base = FeaturesSpec(groupby = Seq("g"), function = "f", params = Map("fixed" -> 1))
+    val combos = FeatureExpansion.expand(
+      base, product = Map("a" -> Seq(1, 2), "b" -> Seq("x", "y")), zip = Map.empty)
+    assert(combos.size === 4)
+    assert(combos.map(_.suffix) === Seq("_0", "_1", "_2", "_3"))
+    assert(combos.forall(_.params("fixed") == 1))
+    assert(combos.map(c => (c.params("a"), c.params("b"))).toSet ===
+      Set((1, "x"), (1, "y"), (2, "x"), (2, "y")))
+  }
+
+  test("params_zip pairs positionally") {
+    val base = FeaturesSpec(groupby = Seq("g"), function = "f")
+    val combos = FeatureExpansion.expand(
+      base, product = Map.empty, zip = Map("a" -> Seq(1, 2), "b" -> Seq("x", "y")))
+    assert(combos.map(c => (c.params("a"), c.params("b"))) === Seq((1, "x"), (2, "y")))
+  }
+
+  test("concatView unions combo outputs with param literal columns") {
+    val d0 = Seq((1L, 1.0)).toDF("id", "out")
+    val d1 = Seq((2L, 2.0)).toDF("id", "out")
+    val view = FeatureExpansion.concatView(Seq(
+      Map[String, Any]("bin" -> 10) -> d0, Map[String, Any]("bin" -> 20) -> d1))
+    assert(view.count() === 2)
+    assert(view.filter(col("bin") === 20).select("id").collect()(0).getLong(0) === 2L)
+  }
+}
