@@ -64,6 +64,23 @@ object Text {
         expr("array_join(transform(sort_array(pairs), x -> x.mh), '|')").as("bkey"))
   }
 
+  /** Candidate pairs from bucket co-membership: groupBy the bucket key and
+    * explode within-bucket pairs — the bucket subplan runs ONCE and
+    * shuffles once by (band, bkey), vs. a self-join that computes it twice
+    * (Catalyst does not dedupe the aliased subplans). Pair set is
+    * identical to the self-join form the oracle uses.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    lshBuckets(s, dir)
+      .groupBy("band", "bkey").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids)-1),
+          |  i -> transform(slice(ids, i+1, size(ids)-i),
+          |    b -> struct(element_at(ids, i) as doc1, b as doc2))))""".stripMargin)).as("p"))
+      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .distinct()
+
   private val lshSql =
     s"""${shinglesSql(3)},
        |mh AS (
@@ -197,13 +214,7 @@ object Text {
     GQuery(
       "t6_minhash_lsh_neardup",
       s"WITH $lshSql SELECT doc1, doc2 FROM cand") { (s, dir) =>
-      val b = lshBuckets(s, dir)
-      val b2 = b.select(
-        col("doc_id").as("doc2"), col("band").as("band2"), col("bkey").as("bkey2"))
-      b.join(b2, col("band") === col("band2") && col("bkey") === col("bkey2") &&
-          col("doc_id") < col("doc2"))
-        .select(col("doc_id").as("doc1"), col("doc2"))
-        .distinct()
+      lshCandidates(s, dir)
     },
 
     // ---- n-gram Jaccard re-rank of LSH candidates (exact similarity on
@@ -224,15 +235,7 @@ object Text {
          |JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
          |WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.5""".stripMargin) { (s, dir) =>
       val sh = shingles(s, dir, 3)
-      val cand = {
-        val b = lshBuckets(s, dir)
-        val b2 = b.select(
-          col("doc_id").as("doc2"), col("band").as("band2"), col("bkey").as("bkey2"))
-        b.join(b2, col("band") === col("band2") && col("bkey") === col("bkey2") &&
-            col("doc_id") < col("doc2"))
-          .select(col("doc_id").as("doc1"), col("doc2"))
-          .distinct()
-      }
+      val cand = lshCandidates(s, dir)
       val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc2"), col("shingle"))

@@ -108,12 +108,16 @@ object Vectors {
         .select(
           col("vec_id"), col("band"),
           expr("array_join(transform(sort_array(bits), b -> b.bit), '')").as("bkey"))
-      val sig2 = sig.select(
-        col("vec_id").as("v2"), col("band").as("band2"), col("bkey").as("bkey2"))
-      val cand = sig.join(sig2,
-          col("band") === col("band2") && col("bkey") === col("bkey2") &&
-            col("vec_id") < col("v2"))
-        .select(col("vec_id").as("v1"), col("v2"))
+      // within-bucket pair explode: signature subplan computed once, one
+      // shuffle by bucket key (see Text.lshCandidates for rationale)
+      val cand = sig
+        .groupBy("band", "bkey").agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids)-1),
+            |  i -> transform(slice(ids, i+1, size(ids)-i),
+            |    b -> struct(element_at(ids, i) as v1, b as v2))))""".stripMargin)).as("p"))
+        .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
         .distinct()
       val e = withNorm(Tables.embeddings(s, dir))
       val ea = e.select(col("vec_id").as("v1"), col("embedding").as("va"), col("nrm").as("na"))

@@ -21,7 +21,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     for (n <- names) {
       val fn = SparkEntry.queries(n)
-      if (sys.props.get("graft.explain").contains("true"))
+      if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
