@@ -120,7 +120,8 @@ final class MultiAnalyzer(
 
   val analyzers: Map[String, Analyzer] = {
     val campaign = ConfigIO.loadCampaign(config.campaignPath)
-    config.analyses.map { a =>
+    val resolved = MultiAnalyzer.resolveWindowRefs(config.analyses)
+    resolved.map { a =>
       val cm =
         if (useCache && config.output.nonEmpty)
           Some(new CacheManager(spark, s"${config.output}/${a.name}"))
@@ -140,4 +141,32 @@ object MultiAnalyzer {
   def fromFile(spark: SparkSession, path: String, adapter: DataAdapter = new ParquetAdapter,
       useCache: Boolean = true): MultiAnalyzer =
     new MultiAnalyzer(spark, ConfigIO.loadAnalysis(path), adapter, useCache)
+
+  /** Resolve cross-analysis window references (C7 — reference:
+    * src/blueetl/config/analysis.py:68-129): a window declared as the
+    * string `"<analysis>.extraction.windows.<window>"` becomes a copy of
+    * the referenced spec. The analyses must form a DAG (topological
+    * resolution; cycles rejected).
+    */
+  def resolveWindowRefs(analyses: Seq[SingleAnalysisConfig]): Seq[SingleAnalysisConfig] = {
+    val byName = analyses.map(a => a.name -> a).toMap
+    val resolving = scala.collection.mutable.Set.empty[String]
+    val done = scala.collection.mutable.Map.empty[String, SingleAnalysisConfig]
+    def resolve(name: String): SingleAnalysisConfig = done.getOrElseUpdate(name, {
+      require(resolving.add(name), s"window reference cycle through '$name'")
+      val a = byName(name)
+      val extra = a.windowRefs.map { case (wn, ref) =>
+        val parts = ref.split('.')
+        require(parts.length >= 2, s"bad window reference '$ref'")
+        val (srcAnalysis, srcWindow) = (parts.head, parts.last)
+        val src = resolve(srcAnalysis)
+        wn -> src.windows.getOrElse(srcWindow,
+          throw new IllegalArgumentException(
+            s"window reference '$ref': no window '$srcWindow' in analysis '$srcAnalysis'"))
+      }
+      resolving.remove(name)
+      a.copy(windows = a.windows ++ extra, windowRefs = Map.empty)
+    })
+    analyses.map(a => resolve(a.name))
+  }
 }

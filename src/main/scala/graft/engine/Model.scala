@@ -55,7 +55,12 @@ final case class SingleAnalysisConfig(
     neuronClasses: Map[String, NeuronClassSpec],
     features: Seq[FeaturesSpec],
     limit: Option[Int] = None,
-    seed: Long = 0L)
+    seed: Long = 0L,
+    /** Cross-analysis window references `"<analysis>.extraction.windows.<name>"`
+      * resolved by MultiAnalyzer before extraction (reference:
+      * src/blueetl/extract/windows.py:147-163, resolver.py:13-72).
+      */
+    windowRefs: Map[String, String] = Map.empty)
 
 final case class MultiAnalysisConfig(
     campaignPath: String,
@@ -125,8 +130,10 @@ object ConfigIO {
       .asInstanceOf[Map[String, Any]].toSeq.map { case (name, raw) =>
         val a = raw.asInstanceOf[Map[String, Any]]
         val ex = a.getOrElse("extraction", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
-        val windows = ex.getOrElse("windows", Map.empty[String, Any])
-          .asInstanceOf[Map[String, Any]].map { case (wn, wraw) =>
+        val allWindows = ex.getOrElse("windows", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]]
+        val windowRefs = allWindows.collect { case (wn, ref: String) => wn -> ref }
+        val windows = allWindows.collect { case (wn, wraw: Map[_, _]) =>
             val w = wraw.asInstanceOf[Map[String, Any]]
             val bounds = w("bounds").asInstanceOf[Seq[Any]].map(num)
             wn -> WindowSpec(
@@ -168,7 +175,8 @@ object ConfigIO {
           neuronClasses = classes,
           features = feats,
           limit = ex.get("limit").filter(_ != null).map(num(_).toInt),
-          seed = m.get("seed").map(num(_).toLong).getOrElse(0L))
+          seed = m.get("seed").map(num(_).toLong).getOrElse(0L),
+          windowRefs = windowRefs)
       }
     MultiAnalysisConfig(
       campaignPath = str(m.getOrElse("simulation_campaign", "")),

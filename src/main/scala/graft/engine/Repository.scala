@@ -199,6 +199,27 @@ final class Repository(
           extra).map(col): _*)
   }
 
+  /** Windows invariant checks (A9 — reference: extract/windows.py:130-144):
+    * per window, t_start/t_stop/duration are unique across simulations and
+    * trials; per (simulation, window), trials are exactly 0..n-1. Throws on
+    * violation; one aggregation job.
+    */
+  def validateWindows(): Unit = {
+    val bad = windows.groupBy("window")
+      .agg(
+        countDistinct("t_start", "t_stop", "duration").as("n_bounds"))
+      .filter(col("n_bounds") > 1)
+      .collect()
+    require(bad.isEmpty, s"windows with inconsistent bounds: ${bad.mkString(",")}")
+    val badTrials = windows.groupBy("simulation_id", "window")
+      .agg(
+        count(lit(1)).as("n"), countDistinct("trial").as("nd"),
+        min("trial").as("mn"), max("trial").as("mx"))
+      .filter(col("nd") =!= col("n") || col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+      .collect()
+    require(badTrials.isEmpty, s"non-contiguous trials: ${badTrials.mkString(",")}")
+  }
+
   /** All five, in dependency order (reference: repository.py:334-338). */
   def names: Seq[String] = Repository.Names
   def df(name: String): DataFrame = name match {

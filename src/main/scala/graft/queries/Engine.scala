@@ -121,6 +121,54 @@ object Engine {
         """SELECT 0 AS simulation_id, 0 AS circuit_id, neuron_class, win AS window, trial, time, gid
           |FROM assigned""".stripMargin) { (s, dir) =>
       analyzer(s, dir).report
+    },
+
+    // Frame-report path (soma analog: events.value is the signal) through
+    // the facade: extraction keeps the value column, SomaStats aggregates
+    // per class/window (sample std — reference: soma/calculate_features.py:12)
+    GQuery(
+      "e4_engine_soma_stats",
+      s"""WITH frames AS (
+         |  SELECT CAST(epoch_us(ts) - $Origin AS DOUBLE) AS time, user_id AS gid,
+         |    value FROM events),
+         |classes AS (
+         |  SELECT gid, CASE WHEN gid % 2 = 0 THEN 'even' ELSE 'odd' END AS neuron_class
+         |  FROM (SELECT DISTINCT gid FROM frames)),
+         |wins AS (
+         |  SELECT * FROM (VALUES
+         |    ('w1', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('w1', 1, CAST($D AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('w1', 2, CAST(${2 * D} AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('w2', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${7 * D} AS DOUBLE))
+         |  ) AS w(win, trial, w_offset, t_start, t_stop))
+         |SELECT 0 AS simulation_id, 0 AS circuit_id, c.neuron_class, w.win AS window,
+         |  avg(f.value) AS mean, stddev_samp(f.value) AS std,
+         |  min(f.value) AS min, max(f.value) AS max
+         |FROM frames f
+         |JOIN wins w ON f.time >= w.w_offset + w.t_start AND f.time < w.w_offset + w.t_stop
+         |JOIN classes c ON c.gid = f.gid
+         |GROUP BY c.neuron_class, w.win""".stripMargin) { (s, dir) =>
+      val somaCfg = SingleAnalysisConfig(
+        name = "soma",
+        reportType = "soma",
+        windows = Map(
+          "w1" -> WindowSpec(
+            bounds = (0.0, 12.0 * H), nTrials = 3, trialStepsValue = D.toDouble),
+          "w2" -> WindowSpec(bounds = (0.0, 7.0 * D))),
+        neuronClasses = Map(
+          "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+          "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+        features = Seq(
+          FeaturesSpec(
+            groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+            function = "soma_stats")))
+      val campaign = Campaign(
+        name = "testdata", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(Map(
+          "simulation_path" -> "events.parquet",
+          "circuit_path" -> s"$dir/events.parquet")))
+      new Analyzer(s, somaCfg, campaign, new EventsAdapter, QTrue, None)
+        .calculateFeatures()("by_group")
     }
   )
 }

@@ -23,12 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product of two array<float> columns in double, sequential order. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  /** Dot product of two array<float> columns in double, sequential order —
+    * the fused codegen [[graft.functions.ArrayDot]] expression (bit-equal
+    * to the aggregate/zip_with composition, no intermediate array).
+    */
+  private def dotExpr(a: String, b: String): String = s"array_dot($a, $b)"
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+
+  private def registered(s: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.register(s); s
+  }
 
   /** ±1 hyperplane coefficient for (plane, dim), derived from md5 so both
     * engines generate the identical plane matrix with no stored state.
@@ -56,6 +62,7 @@ object Vectors {
         |                                c.vec_id) AS rk
         |  FROM e q JOIN e c ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id)
         |WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      registered(s)
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -95,6 +102,7 @@ object Vectors {
          |SELECT c.v1, c.v2, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
          |FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
+      registered(s)
       val x = Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .withColumn("x", col("x").cast("double"))
@@ -190,6 +198,7 @@ object Vectors {
         |  JOIN e q ON q.vec_id = qc.q_id
         |  JOIN e c ON c.label = qc.label AND c.vec_id <> qc.q_id)
         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      registered(s)
       val x = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
         .withColumn("x", col("x").cast("double"))

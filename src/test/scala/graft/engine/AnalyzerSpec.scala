@@ -170,6 +170,31 @@ class AnalyzerSpec extends SparkSuite {
     assert(!Q.isSubfilter(broad, narrow))
   }
 
+  test("windows invariants validate (A9)") {
+    an.repo.validateWindows()
+  }
+
+  test("cross-analysis window references resolve (C7)") {
+    val a1 = SingleAnalysisConfig(
+      name = "a1", reportType = "spikes",
+      windows = Map("w1" -> WindowSpec(bounds = (0.0, 10.0))),
+      neuronClasses = Map.empty, features = Nil)
+    val a2 = SingleAnalysisConfig(
+      name = "a2", reportType = "spikes",
+      windows = Map("own" -> WindowSpec(bounds = (5.0, 6.0))),
+      neuronClasses = Map.empty, features = Nil,
+      windowRefs = Map("borrowed" -> "a1.extraction.windows.w1"))
+    val resolved = MultiAnalyzer.resolveWindowRefs(Seq(a1, a2))
+    val r2 = resolved.find(_.name == "a2").get
+    assert(r2.windows("borrowed") === a1.windows("w1"))
+    assert(r2.windows.keySet === Set("own", "borrowed"))
+    // cycle detection
+    val c1 = a1.copy(windowRefs = Map("x" -> "a2.extraction.windows.own"))
+    assertThrows[IllegalArgumentException] {
+      MultiAnalyzer.resolveWindowRefs(Seq(c1, a2))
+    }
+  }
+
   test("udtf escape hatch: flatMapGroups per-group spike count") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
