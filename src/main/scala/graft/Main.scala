@@ -1,0 +1,72 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.SparkSession
+
+/** CLI (reference surface: `blueetl run | validate-config`,
+  * src/blueetl/apps/run.py, plus the convert-spikes tool):
+  *
+  *   runMain graft.Main run <analysis.yaml>        extract + features
+  *   runMain graft.Main validate-config <yaml>     parse + summarize
+  *   runMain graft.Main convert-spikes <csv> <out> CSV → sorted parquet
+  */
+object Main {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: cfgPath :: rest =>
+      val spark = session()
+      val adapter: DataAdapter =
+        if (rest.contains("--adapter=events")) new EventsAdapter else new ParquetAdapter
+      val ma = MultiAnalyzer.fromFile(spark, cfgPath, adapter)
+      try {
+        ma.extractRepo()
+        ma.analyzers.foreach { case (name, an) =>
+          an.repo.validateWindows()
+          println(s"[$name] extracted:")
+          Repository.Names.foreach(n => println(f"  $n%-15s ${an.df(n).count()}%10d rows"))
+          val feats = an.calculateFeatures()
+          feats.foreach { case (fn, df) =>
+            println(f"  feature $fn%-20s ${df.count()}%10d rows")
+          }
+        }
+      } finally { ma.close(); spark.stop() }
+
+    case "validate-config" :: cfgPath :: Nil =>
+      val cfg = ConfigIO.loadAnalysis(cfgPath)
+      println(s"campaign: ${cfg.campaignPath}")
+      println(s"output:   ${cfg.output}")
+      cfg.analyses.foreach { a =>
+        println(s"analysis ${a.name} (${a.reportType}): " +
+          s"${a.windows.size} windows, ${a.windowRefs.size} window refs, " +
+          s"${a.neuronClasses.size} classes, ${a.features.size} features")
+        a.features.foreach(f => FeatureFns.resolve(f.function)) // resolvable?
+      }
+      MultiAnalyzer.resolveWindowRefs(cfg.analyses) // refs + cycles check
+      println("config OK")
+
+    case "convert-spikes" :: csv :: out :: rest =>
+      val spark = session()
+      try {
+        val sep = rest.headOption.getOrElse(" ")
+        val stats = Convert.convert(spark, csv, out, sep).collect()(0)
+        println(s"wrote $out: rows=${stats.getLong(0)} ids=${stats.getLong(1)} " +
+          s"time=[${stats.getDouble(4)}, ${stats.getDouble(5)}]")
+      } finally spark.stop()
+
+    case other =>
+      System.err.println(s"usage: run <yaml> | validate-config <yaml> | convert-spikes <csv> <out> [sep]; got: $other")
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+}

@@ -412,6 +412,88 @@ object Spikes {
       dense.withColumn("norm", col("cnt").cast("double") / max("cnt").over(w))
     },
 
+    // ---- A3: per-trial mean of per-gid counts (silent gids = 0 —
+    // reference: external/bnac/calculate_features.py:38-44) ----
+    GQuery(
+      "a3_mean_count_per_trial",
+      cte +
+        """, g AS (SELECT DISTINCT gid FROM assigned WHERE win = 'early'),
+          |t AS (SELECT DISTINCT trial FROM wins WHERE win = 'early'),
+          |c AS (SELECT gid, trial, count(*) AS cnt FROM assigned WHERE win = 'early' GROUP BY 1, 2)
+          |SELECT t.trial, avg(COALESCE(c.cnt, 0)) AS mean_count
+          |FROM g CROSS JOIN t LEFT JOIN c ON c.gid = g.gid AND c.trial = t.trial
+          |GROUP BY t.trial""".stripMargin) { (s, dir) =>
+      val a = assigned(s, dir).filter(col("win") === "early")
+      val gids = a.select("gid").distinct()
+      val trials = windowsDf(s).filter(col("win") === "early").select("trial")
+      val counts = a.groupBy("gid", "trial").agg(count(lit(1)).as("cnt"))
+      gids.crossJoin(broadcast(trials))
+        .join(counts, Seq("gid", "trial"), "left")
+        .groupBy("trial")
+        .agg(avg(coalesce(col("cnt"), lit(0L))).as("mean_count"))
+    },
+
+    // ---- A13: periodogram (single-segment power spectrum) of the binned
+    // class activity, as a relational DFT — frequency table × bins, cos/sin
+    // projections (reference: external/bluecv/neuron_class.py:38-44
+    // welch_psd; Welch's segmented averaging reduces to this with one
+    // segment) ----
+    GQuery(
+      "a13_periodogram",
+      cte + "," + denseHistSql("day1", 24) +
+        """, freq AS (SELECT CAST(k AS INT) AS k FROM generate_series(0, 12) AS t(k))
+          |SELECT d.event_type, f.k,
+          |  power(sum(d.cnt * cos(2 * pi() * f.k * d.bin / 24.0)), 2)
+          |    + power(sum(d.cnt * sin(2 * pi() * f.k * d.bin / 24.0)), 2) AS power
+          |FROM dense d CROSS JOIN freq f
+          |GROUP BY d.event_type, f.k""".stripMargin) { (s, dir) =>
+      val dense = denseHist(s, dir, "day1", 24)
+      val freq = s.range(0, 13).select(col("id").cast("int").as("k"))
+      val phase = lit(2) * lit(math.Pi) * col("k") * col("bin") / lit(24.0)
+      dense.crossJoin(broadcast(freq))
+        .groupBy("event_type", "k")
+        .agg((pow(sum(col("cnt") * cos(phase)), 2) +
+          pow(sum(col("cnt") * sin(phase)), 2)).as("power"))
+    },
+
+    // ---- A16: Van Rossum spike-train distance for a bounded cohort —
+    // exponential-kernel inner products via pair joins, VR²(f,g) =
+    // <f,f> + <g,g> - 2<f,g> (reference: external/bluecv/comparison.py:11-21) ----
+    GQuery(
+      "a16_van_rossum", {
+        val tau = "3600000000.0"
+        cte +
+          s""", ev AS (SELECT gid, time FROM assigned WHERE win = 'full' AND gid <= 6),
+             |selfk AS (
+             |  SELECT a.gid, sum(exp(-abs(a.time - b.time) / $tau)) AS kk
+             |  FROM ev a JOIN ev b ON a.gid = b.gid GROUP BY a.gid),
+             |crossk AS (
+             |  SELECT a.gid AS gid1, b.gid AS gid2,
+             |    sum(exp(-abs(a.time - b.time) / $tau)) AS kk
+             |  FROM ev a JOIN ev b ON a.gid < b.gid GROUP BY a.gid, b.gid)
+             |SELECT c.gid1, c.gid2, s1.kk + s2.kk - 2 * c.kk AS vr2
+             |FROM crossk c
+             |JOIN selfk s1 ON s1.gid = c.gid1 JOIN selfk s2 ON s2.gid = c.gid2""".stripMargin
+      }) { (s, dir) =>
+      val tau = 3600000000.0
+      val ev = assigned(s, dir)
+        .filter(col("win") === "full" && col("gid") <= 6)
+        .select("gid", "time")
+      val evB = ev.select(col("gid").as("gid_b"), col("time").as("time_b"))
+      val kern = exp(-abs(col("time") - col("time_b")) / lit(tau))
+      val selfk = ev.join(evB, col("gid") === col("gid_b"))
+        .groupBy("gid").agg(sum(kern).as("kk"))
+      val crossk = ev.join(evB, col("gid") < col("gid_b"))
+        .groupBy(col("gid").as("gid1"), col("gid_b").as("gid2"))
+        .agg(sum(kern).as("kk"))
+      crossk
+        .join(selfk.select(col("gid").as("gid1"), col("kk").as("kk1")), "gid1")
+        .join(selfk.select(col("gid").as("gid2"), col("kk").as("kk2")), "gid2")
+        .select(
+          col("gid1"), col("gid2"),
+          (col("kk1") + col("kk2") - lit(2) * col("kk")).as("vr2"))
+    },
+
     // ---- Streaming extension, batch form: tumbling event-time window.
     // The same plan runs under readStream + watermark (see streaming spec). ----
     GQuery(
