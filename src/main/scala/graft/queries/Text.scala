@@ -52,16 +52,20 @@ object Text {
   }
 
   // 8 salted minhash slots, banded 4×2 for LSH (shared by t6/t7).
+  // All 8 minhashes are aggregate columns of ONE groupBy over the shingle
+  // rows (partial aggregation computes the mins map-side), and the 4 band
+  // rows explode map-side after — vs. an 8× crossJoin that would push 8×
+  // the rows through the shuffle. Hash salt format matches the oracle
+  // ("<j>|<shingle>").
   private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val mh = shingles(s, dir, 3)
-      .crossJoin(broadcast(s.range(0, 8).select(col("id").cast("int").as("j"))))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("shingle")))).as("mh"))
-    mh.groupBy(col("doc_id"), expr("j div 2").as("band"))
-      .agg(collect_list(struct(col("j"), col("mh"))).as("pairs"))
-      .select(
-        col("doc_id"), col("band"),
-        expr("array_join(transform(sort_array(pairs), x -> x.mh), '|')").as("bkey"))
+    val aggs = (0 until 8).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+    val bands = (0 until 4).map(b =>
+      s"struct($b as band, concat(mh${2 * b}, '|', mh${2 * b + 1}) as bkey)")
+    shingles(s, dir, 3)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
   /** Candidate pairs from bucket co-membership: groupBy the bucket key and

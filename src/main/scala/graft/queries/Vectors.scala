@@ -42,8 +42,6 @@ object Vectors {
     */
   private val coefSql =
     "CASE WHEN substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END"
-  private val coefSpark =
-    "CASE WHEN substr(md5(concat(CAST(plane AS STRING), ':', CAST(d AS STRING))), 1, 1) < '8' THEN 1 ELSE -1 END"
 
   val all: Seq[GQuery] = Seq(
 
@@ -106,16 +104,19 @@ object Vectors {
       val x = Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .withColumn("x", col("x").cast("double"))
-      val planes = broadcast(s.range(0, 16).select(col("id").cast("int").as("plane")))
-      val proj = x.crossJoin(planes)
-        .groupBy("vec_id", "plane")
-        .agg(sum(expr(coefSpark) * col("x")).as("s"))
-      val sig = proj
-        .groupBy(col("vec_id"), expr("plane div 4").as("band"))
-        .agg(collect_list(struct(col("plane"), when(col("s") >= 0, "1").otherwise("0").as("bit"))).as("bits"))
-        .select(
-          col("vec_id"), col("band"),
-          expr("array_join(transform(sort_array(bits), b -> b.bit), '')").as("bkey"))
+      // all 16 plane projections as aggregate columns of one groupBy over
+      // the (vec, dim) rows — no 16× plane crossJoin through the shuffle
+      val projAggs = (0 until 16).map { p =>
+        val coef = s"CASE WHEN substr(md5(concat('$p:', CAST(d AS STRING))), 1, 1) < '8' THEN 1 ELSE -1 END"
+        sum(expr(coef) * col("x")).as(s"s$p")
+      }
+      def bit(p: Int) = s"CASE WHEN s$p >= 0 THEN '1' ELSE '0' END"
+      val bands = (0 until 4).map { b =>
+        s"struct($b as band, concat(${(0 until 4).map(i => bit(4 * b + i)).mkString(", ")}) as bkey)"
+      }
+      val sig = x.groupBy("vec_id").agg(projAggs.head, projAggs.tail: _*)
+        .select(col("vec_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
+        .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
       // within-bucket pair explode: signature subplan computed once, one
       // shuffle by bucket key (see Text.lshCandidates for rationale)
       val cand = sig
