@@ -44,12 +44,14 @@ class ParquetAdapter extends DataAdapter {
 
   def frames(spark: SparkSession, simulationPath: String): DataFrame = {
     val df = spark.read.parquet(simulationPath)
-    val base = df.select(
+    val base = Seq(
       col("time").cast("double").as("time"),
       col("gid").cast("long").as("gid"),
       col("value").cast("double").as("value"))
-    if (df.columns.contains("section"))
-      base.withColumn("section", df("section").cast("long")) else base
+    val extra =
+      if (df.columns.contains("section")) Seq(col("section").cast("long").as("section"))
+      else Nil
+    df.select(base ++ extra: _*)
   }
 
   def nodes(spark: SparkSession, circuitPath: String): DataFrame =

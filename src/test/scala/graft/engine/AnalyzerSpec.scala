@@ -195,6 +195,55 @@ class AnalyzerSpec extends SparkSuite {
     }
   }
 
+  test("dynamic-onset windows: per-simulation offset detected from spikes") {
+    // synthetic: quiet baseline then a burst at t=5000 for sim0, t=7000 for sim1
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-onset").toString
+    def sim(burstAt: Double): Seq[(Double, Long)] =
+      (0 until 25).map(i => (i * 100.0 + 1.0, (i % 3).toLong)) ++ // 1 spike / 100-unit bin
+        (0 until 200).map(i => (burstAt + i * 0.4, (i % 3).toLong))
+    sim(5000.0).toDF("time", "gid").write.mode("overwrite").parquet(s"$dir/sim0")
+    sim(7000.0).toDF("time", "gid").write.mode("overwrite").parquet(s"$dir/sim1")
+    Seq(0L, 1L, 2L).toDF("gid").write.mode("overwrite").parquet(s"$dir/nodes")
+    val campaign = Campaign("onset", dir, Map.empty, Seq(
+      Map("simulation_path" -> "sim0", "circuit_path" -> s"$dir/nodes"),
+      Map("simulation_path" -> "sim1", "circuit_path" -> s"$dir/nodes")))
+    val cfg = SingleAnalysisConfig(
+      name = "s", reportType = "spikes",
+      windows = Map("w" -> WindowSpec(
+        bounds = (0.0, 10000.0), windowType = "dynamic_onset")),
+      neuronClasses = Map("all" -> NeuronClassSpec()),
+      features = Nil)
+    val repo = new Repository(spark, campaign, cfg, new ParquetAdapter)
+    val offs = repo.windows.select("simulation_id", "offset").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // bin width = 10000/100 = 100; baseline bins 0..24 have ~1 spike;
+    // burst bins exceed mean+2σ → onset = first burst bin * 100
+    assert(offs(0) === 5000.0)
+    assert(offs(1) === 7000.0)
+  }
+
+  test("compartment report: section column survives extraction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-comp").toString
+    Seq((10.0, 0L, 0.5, 1L), (20.0, 1L, 0.7, 2L), (30.0, 0L, 0.9, 1L))
+      .toDF("time", "gid", "value", "section")
+      .write.mode("overwrite").parquet(s"$dir/sim0")
+    Seq(0L, 1L).toDF("gid").write.mode("overwrite").parquet(s"$dir/nodes")
+    val campaign = Campaign("comp", dir, Map.empty, Seq(
+      Map("simulation_path" -> "sim0", "circuit_path" -> s"$dir/nodes")))
+    val cfg = SingleAnalysisConfig(
+      name = "c", reportType = "compartment",
+      windows = Map("w" -> WindowSpec(bounds = (0.0, 100.0))),
+      neuronClasses = Map("all" -> NeuronClassSpec()),
+      features = Nil)
+    val repo = new Repository(spark, campaign, cfg, new ParquetAdapter)
+    val r = repo.report
+    assert(r.columns.contains("section") && r.columns.contains("value"))
+    assert(r.count() === 3)
+    assert(r.filter(col("gid") === 0 && col("section") =!= 1).count() === 0)
+  }
+
   test("udtf escape hatch: flatMapGroups per-group spike count") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
