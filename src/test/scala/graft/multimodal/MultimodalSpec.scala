@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val bin = Multimodal.asBinaryTable(
+    graft.Tables.documents(spark, sf0001))
+
+  test("binary table: payload bytes + typed metadata struct") {
+    val r = bin.select(
+      col("doc_id"), length(col("payload")).as("n"), col("meta.n_bytes"), col("meta.mime"))
+      .filter(col("n") =!= col("n_bytes")).count()
+    assert(r === 0)
+    assert(bin.schema("payload").dataType.typeName === "binary")
+  }
+
+  test("decodeMeta: deterministic, one row per payload, bounded fields") {
+    val meta = Multimodal.decodeMeta(bin)
+    assert(meta.count() === bin.count())
+    val bad = meta.filter(
+      col("width") < 32 || col("width") > 152 ||
+        col("channels") < 1 || col("channels") > 3 ||
+        col("n_frames") < 2 || col("n_frames") > 5).count()
+    assert(bad === 0)
+    // deterministic across runs
+    val a = meta.orderBy("doc_id").collect()
+    val b = Multimodal.decodeMeta(bin).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("sampleFrames: row count per doc equals decoded n_frames") {
+    val meta = Multimodal.decodeMeta(bin)
+    val frames = Multimodal.sampleFrames(bin)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), countDistinct("frame_sig").as("nd"))
+    val joined = meta.join(frames, "doc_id")
+    assert(joined.filter(col("n") =!= col("n_frames")).count() === 0)
+    assert(joined.filter(col("nd") =!= col("n")).count() === 0) // sigs unique
+  }
+
+  test("decodeReal is a marked stub") {
+    assertThrows[NotImplementedError] {
+      Multimodal.decodeReal(Array[Byte](1, 2, 3), "image/png")
+    }
+  }
+}
