@@ -152,7 +152,7 @@ object Q {
   }
 
   /** Flatten QAllOf into QAnd where possible; normalize nested specs. */
-  private[dsl] def normalize(spec: QSpec): QSpec = spec match {
+  def normalize(spec: QSpec): QSpec = spec match {
     case QAllOf(specs) =>
       val normed = specs.map(normalize)
       if (normed.contains(QTrue)) normalize(QAllOf(normed.filterNot(_ == QTrue)))

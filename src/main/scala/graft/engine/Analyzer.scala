@@ -16,29 +16,81 @@ final class Analyzer(
     val simulationsFilter: QSpec = QTrue,
     val cache: Option[CacheManager] = None) {
 
-  val repo = new Repository(spark, campaign, cfg, adapter, simulationsFilter)
+  /** C3 decision (reference: cache.py:575-610): the cached frames may have
+    * been built with a *broader* simulations filter — reuse them and
+    * re-filter at load (P8) when the requested filter is a subfilter;
+    * equal filters load as-is; anything else rebuilds under the new
+    * filter's key. `baseFilter` is what the Repository computes with (the
+    * stored filter when reusing, so fresh computations stay consistent
+    * with the cache they're written to); `refilter` is applied to every
+    * frame handed out.
+    */
+  private val (baseFilter, filterKey, refilter): (QSpec, String, Option[QSpec]) = {
+    val dictOpt =
+      try Some(Describe.specDict(simulationsFilter))
+      catch { case _: IllegalArgumentException => None }
+    (cache, dictOpt) match {
+      case (Some(cm), Some(dict)) =>
+        val canon = ConfigIO.canonical(dict)
+        cm.loadStoredFilterDict() match {
+          case Some(stored) =>
+            val storedCanon = ConfigIO.canonical(stored)
+            val storedSpec = Q.parse(stored)
+            if (canon == storedCanon)
+              (simulationsFilter, canon, None)
+            else if (Q.isSubfilter(simulationsFilter, storedSpec))
+              (storedSpec, storedCanon, Some(simulationsFilter))
+            else {
+              cm.saveStoredFilterDict(dict)
+              (simulationsFilter, canon, None)
+            }
+          case None =>
+            cm.saveStoredFilterDict(dict)
+            (simulationsFilter, canon, None)
+        }
+      case _ =>
+        // unserializable filter or no cache: key by checksum, never reuse
+        (simulationsFilter, ConfigIO.checksum(Describe.spec(simulationsFilter)), None)
+    }
+  }
+
+  val repo = new Repository(spark, campaign, cfg, adapter, baseFilter)
 
   private val baseChain: String =
     ConfigIO.checksum(Describe.analysis(cfg, campaign))
-  private val filterSum: String =
-    ConfigIO.checksum(Describe.spec(simulationsFilter))
 
   /** Chained checksum per extraction name: base config + the dependency
-    * prefix, so upstream edits invalidate downstream (C2). The
-    * simulations filter participates so a *different* (non-narrower)
-    * filter rebuilds (C3 is handled by callers via
-    * [[CacheManager.filterReusable]]; here the conservative key).
+    * prefix, so upstream edits invalidate downstream (C2); the (possibly
+    * reused) filter key participates.
     */
   private def chain(name: String): String = {
     val idx = Repository.Names.indexOf(name)
-    ConfigIO.checksum(Seq(baseChain, filterSum) ++ Repository.Names.take(idx + 1))
+    ConfigIO.checksum(Seq(baseChain, filterKey) ++ Repository.Names.take(idx + 1))
   }
 
-  /** Extraction accessor, cached when a cache manager is attached. */
-  def df(name: String): DataFrame = cache match {
+  /** Cache-loaded frame WITHOUT the narrowing refilter — what feature
+    * computations consume (their outputs are cached under the stored
+    * filter's key, so they must cover its full row set).
+    */
+  private def rawDf(name: String): DataFrame = cache match {
     case Some(cm) => cm.loadOrCompute("repo", name, chain(name), repo.df(name))
     case None => repo.df(name)
   }
+
+  /** Simulation ids selected by the narrowing filter (None = no narrowing). */
+  private lazy val refilterIds: Option[Seq[Int]] = refilter.map { f =>
+    Q.q(rawDf("simulations"), f).select("simulation_id").collect().map(_.getInt(0)).toSeq
+  }
+
+  private def narrowed(name: String, df: DataFrame): DataFrame =
+    refilterIds match {
+      case Some(ids) if df.columns.contains("simulation_id") =>
+        df.filter(col("simulation_id").isin(ids: _*))
+      case _ => df
+    }
+
+  /** Extraction accessor, cached when a cache manager is attached. */
+  def df(name: String): DataFrame = narrowed(name, rawDf(name))
 
   def simulations: DataFrame = df("simulations")
   def neurons: DataFrame = df("neurons")
@@ -52,7 +104,7 @@ final class Analyzer(
     * reference: features.py:473-515 `_filter_by_value`).
     */
   private def scoped(spec: FeaturesSpec): DataFrame = {
-    var r = report
+    var r = rawDf("report")
     if (spec.windows.nonEmpty) r = r.filter(col("window").isin(spec.windows: _*))
     if (spec.neuronClasses.nonEmpty)
       r = r.filter(col("neuron_class").isin(spec.neuronClasses: _*))
@@ -66,8 +118,11 @@ final class Analyzer(
   def calculateFeatures(): Map[String, DataFrame] =
     cfg.features.flatMap { spec =>
       val fn = FeatureFns.resolve(spec.function)
+      // computed over the raw (stored-filter) frames so cached outputs
+      // cover the cache's full row set; narrowing applies on the way out
       val ctx = FeatureCtx(
-        spark, spec.groupby, spec.params, scoped(spec), windows, neurons, neuronClasses)
+        spark, spec.groupby, spec.params, scoped(spec),
+        rawDf("windows"), rawDf("neurons"), rawDf("neuron_classes"))
       val outs = fn.compute(ctx)
       val specSum = ConfigIO.checksum(Seq(chain("report"), Describe.features(spec)))
       outs.map { case (outName, outDf) =>
@@ -76,7 +131,7 @@ final class Analyzer(
           case Some(cm) => cm.loadOrCompute("features", name, specSum, outDf)
           case None => outDf
         }
-        name -> result
+        name -> narrowed(name, result)
       }
     }.toMap
 

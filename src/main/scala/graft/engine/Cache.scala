@@ -16,6 +16,34 @@ object Describe {
     case QOr(ss) => Map("or" -> ss.map(spec))
     case QAllOf(ss) => Map("all" -> ss.map(spec))
   }
+
+  /** Round-trippable dict form of a spec (the reference's native config
+    * shape): parseable back via [[Q.parse]], so a cache manifest can store
+    * the filter it was built with and later test subfilter-ness against a
+    * new one (C3). Values keep JSON types.
+    */
+  def specDict(q: QSpec): Any = Q.normalize(q) match {
+    case QTrue => null
+    case QAnd(m) => m.map { case (k, c) =>
+      val ops = c.ops.map {
+        case QEq(v) => "eq" -> v
+        case QNe(v) => "ne" -> v
+        case QLe(v) => "le" -> v
+        case QLt(v) => "lt" -> v
+        case QGe(v) => "ge" -> v
+        case QGt(v) => "gt" -> v
+        case QIsIn(vs) => "isin" -> vs
+        case QRegex(p) => "regex" -> p
+      }
+      // a repeated op on one column would collapse in map form and make the
+      // stored filter LOOK weaker than it was — refuse (caller falls back
+      // to no-reuse)
+      require(ops.map(_._1).distinct.size == ops.size, s"repeated op on '$k'")
+      k -> ops.toMap
+    }
+    case QOr(ss) => ss.map(specDict)
+    case other => throw new IllegalArgumentException(s"unserializable spec: $other")
+  }
   private def cond(c: QCond): Any = c.ops.map {
     case QEq(v) => s"eq:$v"
     case QNe(v) => s"ne:$v"
@@ -118,4 +146,20 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
     * loaded frames are just re-filtered (P8). Returns true when reusable.
     */
   def filterReusable(next: QSpec, old: QSpec): Boolean = Q.isSubfilter(next, old)
+
+  // The dict form of the simulations filter the cached frames were built
+  // with, stored beside the manifest (C3 state).
+  private val filterPath = Paths.get(dir, "filter.json")
+  private val yaml = new com.fasterxml.jackson.databind.ObjectMapper()
+    .registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+
+  def loadStoredFilterDict(): Option[Any] =
+    if (!Files.exists(filterPath)) None
+    else Some(yaml
+      .readValue(Files.readString(filterPath), classOf[Map[String, Any]])
+      .getOrElse("filter", null))
+
+  def saveStoredFilterDict(dict: Any): Unit =
+    if (!readonly)
+      Files.writeString(filterPath, ConfigIO.canonical(Map("filter" -> dict)))
 }
