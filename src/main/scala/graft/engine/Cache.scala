@@ -58,11 +58,12 @@ object Describe {
   def window(w: WindowSpec): Any = Map(
     "bounds" -> Seq(w.bounds._1, w.bounds._2), "initial_offset" -> w.initialOffset,
     "n_trials" -> w.nTrials, "trial_steps_value" -> w.trialStepsValue,
-    "window_type" -> w.windowType)
+    "window_type" -> w.windowType, "t_step" -> w.tStep)
 
   def neuronClass(c: NeuronClassSpec): Any = Map(
     "query" -> spec(c.query), "node_id" -> c.nodeId.map(_.mkString(",")).orNull,
-    "limit" -> c.limit.map(_.toString).orNull)
+    "limit" -> c.limit.map(_.toString).orNull,
+    "node_set" -> c.nodeSet.orNull)
 
   def features(f: FeaturesSpec): Any = Map(
     "groupby" -> f.groupby, "function" -> f.function,

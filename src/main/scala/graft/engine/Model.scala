@@ -21,7 +21,11 @@ final case class WindowSpec(
     initialOffset: Double = 0.0,
     nTrials: Int = 1,
     trialStepsValue: Double = 0.0,
-    windowType: String = "") {
+    windowType: String = "",
+    /** Frame-report subsampling step (S3 — reference:
+      * extract/soma_report.py:42-45 `t_step`); 0 = keep every sample.
+      */
+    tStep: Double = 0.0) {
   require(nTrials >= 1, "n_trials >= 1")
   def duration: Double = bounds._2 - bounds._1
 }
@@ -33,7 +37,9 @@ final case class WindowSpec(
 final case class NeuronClassSpec(
     query: QSpec = QTrue,
     nodeId: Option[Seq[Long]] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    /** Scope the class to a named node set (S6). */
+    nodeSet: Option[String] = None)
 
 /** One features computation: a registered function applied over groups of
   * the merged (neurons × windows × report) frame
@@ -60,7 +66,9 @@ final case class SingleAnalysisConfig(
       * resolved by MultiAnalyzer before extraction (reference:
       * src/blueetl/extract/windows.py:147-163, resolver.py:13-72).
       */
-    windowRefs: Map[String, String] = Map.empty)
+    windowRefs: Map[String, String] = Map.empty,
+    /** Extra node-sets JSON file merged over the circuit's own (S6). */
+    nodeSetsFile: Option[String] = None)
 
 final case class MultiAnalysisConfig(
     campaignPath: String,
@@ -141,7 +149,8 @@ object ConfigIO {
               initialOffset = w.get("initial_offset").map(num).getOrElse(0.0),
               nTrials = w.get("n_trials").map(num(_).toInt).getOrElse(1),
               trialStepsValue = w.get("trial_steps_value").map(num).getOrElse(0.0),
-              windowType = str(w.getOrElse("window_type", "")))
+              windowType = str(w.getOrElse("window_type", "")),
+              tStep = w.get("t_step").map(num).getOrElse(0.0))
           }
         val classes = ex.getOrElse("neuron_classes", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]].map { case (cn, craw) =>
@@ -149,7 +158,8 @@ object ConfigIO {
             cn -> NeuronClassSpec(
               query = Q.parse(c.getOrElse("query", null)),
               nodeId = c.get("node_id").map(_.asInstanceOf[Seq[Any]].map(num(_).toLong)),
-              limit = c.get("limit").filter(_ != null).map(num(_).toInt))
+              limit = c.get("limit").filter(_ != null).map(num(_).toInt),
+              nodeSet = c.get("node_set").filter(_ != null).map(_.toString))
           }
         val feats = a.getOrElse("features", Seq.empty[Any]).asInstanceOf[Seq[Any]].flatMap { fraw =>
           val f = fraw.asInstanceOf[Map[String, Any]]
@@ -176,7 +186,8 @@ object ConfigIO {
           features = feats,
           limit = ex.get("limit").filter(_ != null).map(num(_).toInt),
           seed = m.get("seed").map(num(_).toLong).getOrElse(0L),
-          windowRefs = windowRefs)
+          windowRefs = windowRefs,
+          nodeSetsFile = ex.get("node_sets_file").filter(_ != null).map(_.toString))
       }
     MultiAnalysisConfig(
       campaignPath = str(m.getOrElse("simulation_campaign", "")),

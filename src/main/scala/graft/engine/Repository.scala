@@ -61,11 +61,19 @@ final class Repository(
     * (reference: extract/neurons.py:62-96,139-143). Sampling is md5-rank
     * (SURVEY §7.4: np.random.choice is not distributively reproducible).
     */
+  /** Node sets available to class scoping: the analysis-level extra file
+    * (S6 — the reference also merges the circuit's own node_sets file;
+    * adapters may expose one the same way).
+    */
+  private lazy val nodeSets: NodeSets =
+    cfg.nodeSetsFile.map(NodeSets.fromFile).getOrElse(NodeSets.empty)
+
   lazy val neurons: DataFrame = {
     val perCircuit = circuits.map { case (cid, cpath) =>
       val nodes = adapter.nodes(spark, cpath)
       val perClass = cfg.neuronClasses.toSeq.sortBy(_._1).map { case (cls, spec) =>
-        var df = Q.q(nodes, spec.query)
+        val scoped = spec.nodeSet.map(nodeSets.select(_, nodes)).getOrElse(nodes)
+        var df = Q.q(scoped, spec.query)
         spec.nodeId.foreach { ids => df = df.filter(col("gid").isin(ids: _*)) }
         val lim = spec.limit.orElse(cfg.limit)
         lim.foreach { n =>
@@ -110,11 +118,12 @@ final class Repository(
     val trialRows = cfg.windows.toSeq.sortBy(_._1).flatMap { case (wn, w) =>
       (0 until w.nTrials).map { k =>
         (wn, k, w.initialOffset + k * w.trialStepsValue,
-          w.bounds._1, w.bounds._2, w.duration, w.windowType)
+          w.bounds._1, w.bounds._2, w.duration, w.windowType, w.tStep)
       }
     }
     val wdf = trialRows
-      .toDF("window", "trial", "offset", "t_start", "t_stop", "duration", "window_type")
+      .toDF("window", "trial", "offset", "t_start", "t_stop", "duration", "window_type",
+        "t_step")
     val base = simulations.select("simulation_id", "circuit_id")
       .crossJoin(broadcast(wdf))
     val needsOnset = cfg.windows.values.exists(_.windowType == "dynamic_onset")
@@ -186,7 +195,11 @@ final class Repository(
         col("e.circuit_id") === col("w.circuit_id") &&
         col("e.time") >= col("w.offset") + col("w.t_start") &&
         col("e.time") < col("w.offset") + col("w.t_stop"))
-    joined.select(
+    // S3 t_step subsampling (frame reports): keep samples on the t_step
+    // grid relative to the window start; 0 = keep everything
+    val onGrid = col("w.t_step") === 0.0 ||
+      abs(pmod(col("e.time") - col("w.offset") - col("w.t_start"), col("w.t_step"))) < 1e-9
+    joined.filter(onGrid).select(
       Seq(
         col("e.simulation_id").as("simulation_id"), col("e.circuit_id").as("circuit_id"),
         col("w.window").as("window"), col("w.trial").as("trial"),
