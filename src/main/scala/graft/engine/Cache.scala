@@ -121,21 +121,42 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
 
   private def path(kind: String, name: String) = s"$dir/$kind/$name.parquet"
 
-  /** Load `name` if its checksum (and all upstream checksums, via the
-    * caller passing a chained checksum) matches; else compute and
-    * write through. `chain` must already fold in upstream checksums so a
-    * config change upstream invalidates everything downstream (C2).
+  /** Digest of the stored parquet files (C4 — reference checksums each
+    * stored file, cache.py:412-476): md5 over sorted (name, size, md5)
+    * triples so on-disk tampering/corruption forces a rebuild.
+    */
+  private def filesDigest(p: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dir = Paths.get(p)
+    if (!Files.isDirectory(dir)) return ""
+    val files = Files.list(dir).toArray.map(_.toString).sorted
+      .filterNot(f => f.endsWith(".crc") || f.endsWith("_SUCCESS"))
+    for (f <- files) {
+      md.update(f.getBytes("UTF-8"))
+      md.update(java.security.MessageDigest.getInstance("MD5")
+        .digest(Files.readAllBytes(Paths.get(f))))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Load `name` if its config checksum AND stored-file digest match;
+    * else compute and write through. `chain` must already fold in upstream
+    * checksums so a config change upstream invalidates everything
+    * downstream (C2); the file digest catches on-disk corruption (C4).
     */
   def loadOrCompute(kind: String, name: String, chain: String, compute: => DataFrame): DataFrame = {
     val key = s"$kind/$name"
     val p = path(kind, name)
-    if (manifest.get(key).contains(chain) && Files.exists(Paths.get(p)))
+    val fresh = manifest.get(key).contains(chain) && Files.exists(Paths.get(p)) &&
+      manifest.get(s"$key#files").forall(_ == filesDigest(p))
+    if (fresh)
       spark.read.parquet(p)
     else {
       val df = compute
       if (!readonly) {
         df.write.mode("overwrite").parquet(p)
         manifest += key -> chain
+        manifest += s"$key#files" -> filesDigest(p)
         saveManifest()
         spark.read.parquet(p)
       } else df

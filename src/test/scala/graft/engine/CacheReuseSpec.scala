@@ -80,6 +80,23 @@ class CacheReuseSpec extends SparkSuite {
     a3.cache.get.close()
   }
 
+  test("corrupted cache file forces a rebuild (C4)") {
+    val (dir, campaign, cfg) = fixture
+    val out = s"$dir/out_c4"
+    val a1 = new Analyzer(spark, cfg, campaign, new ParquetAdapter, QTrue,
+      Some(new CacheManager(spark, out)))
+    val n1 = a1.simulations.count()
+    a1.cache.get.close()
+    // corrupt one stored parquet part
+    val part = Files.list(Paths.get(s"$out/repo/simulations.parquet")).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    Files.writeString(Paths.get(part), "garbage")
+    val a2 = new Analyzer(spark, cfg, campaign, new ParquetAdapter, QTrue,
+      Some(new CacheManager(spark, out)))
+    assert(a2.simulations.count() === n1) // digest mismatch → recompute, not crash
+    a2.cache.get.close()
+  }
+
   test("specDict round-trips through JSON for the supported forms") {
     val specs = Seq(
       QTrue,
