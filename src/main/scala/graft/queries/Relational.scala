@@ -172,6 +172,48 @@ object Relational {
         .select("event_type", "user_id", "total_value")
     },
 
+    // ---- Skew pattern: two-stage salted aggregation. event_type has only
+    // 5 values — at 100 TB a plain groupBy funnels everything through 5
+    // reducers. Stage 1 aggregates on (key, salt) [32-way fan-out,
+    // map-side partials], stage 2 merges the tiny salted partials. Result
+    // identical to the plain GROUP BY, which is the oracle. ----
+    GQuery(
+      "k1_salted_agg",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val salted = Tables.events(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(32)))
+        .groupBy("event_type", "salt")
+        .agg(
+          count(lit(1)).as("n0"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6))).as("s0"),
+          max("value").as("m0"))
+      salted.groupBy("event_type")
+        .agg(
+          sum("n0").as("n"),
+          sum("s0").cast("double").as("sum_value"),
+          max("m0").as("max_value"))
+    },
+
+    // ---- Exact interpolated percentiles (distribution stats an ingest
+    // pipeline needs; Spark percentile == DuckDB quantile_cont) ----
+    GQuery(
+      "k2_percentiles",
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+    },
+
     // ---- §2.5: lag over event-time partitions (ISI pattern —
     // reference: external/bluecv/gid.py:38-51) ----
     GQuery(
