@@ -254,6 +254,45 @@ object Text {
         .filter(col("jaccard") >= 0.5)
     },
 
+    // ---- Near-dup corpus filtering: drop the higher-id member of every
+    // confirmed pair (jaccard ≥ 0.8 on LSH candidates) — the actionable
+    // output of the dedup pipeline: the corpus a training run keeps.
+    // (Lowest-id survivor per pair ≈ one union-find hop; exact clusters
+    // would iterate the same join.) ----
+    GQuery(
+      "t9_neardup_survivors",
+      s"""WITH $lshSql,
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS ic
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc1
+         |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+         |  GROUP BY c.doc1, c.doc2),
+         |losers AS (
+         |  SELECT DISTINCT i.doc2 AS doc_id FROM inter i
+         |  JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
+         |  WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.8)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)""".stripMargin) {
+      (s, dir) =>
+        val sh = shingles(s, dir, 3)
+        val cand = lshCandidates(s, dir)
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+        val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+        val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+        val losers = inter
+          .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+          .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+          .filter(col("ic").cast("double") / (col("na") + col("nb") - col("ic")) >= 0.8)
+          .select(col("doc2").as("doc_id")).distinct()
+        Tables.documents(s, dir)
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+    },
+
     // ---- SimHash: 64-bit signature from token md5 bits, majority vote per
     // bit position, emitted as a 64-char bit string ----
     GQuery(
