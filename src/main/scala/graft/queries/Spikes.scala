@@ -456,6 +456,37 @@ object Spikes {
           pow(sum(col("cnt") * sin(phase)), 2)).as("power"))
     },
 
+    // ---- A13 (full): Welch PSD — average the periodogram over two
+    // half-day segments (segmented averaging is what distinguishes Welch
+    // from the plain DFT; reference: elephant welch_psd n_segments) ----
+    GQuery(
+      "a13b_welch_psd",
+      cte + "," + denseHistSql("day1", 24) +
+        """, seg AS (
+          |  SELECT event_type, bin // 12 AS segment, bin % 12 AS sbin, cnt FROM dense),
+          |freq AS (SELECT CAST(k AS INT) AS k FROM generate_series(0, 6) AS t(k)),
+          |per AS (
+          |  SELECT s.event_type, s.segment, f.k,
+          |    power(sum(s.cnt * cos(2 * pi() * f.k * s.sbin / 12.0)), 2)
+          |      + power(sum(s.cnt * sin(2 * pi() * f.k * s.sbin / 12.0)), 2) AS p
+          |  FROM seg s CROSS JOIN freq f
+          |  GROUP BY s.event_type, s.segment, f.k)
+          |SELECT event_type, k, avg(p) AS psd FROM per GROUP BY event_type, k""".stripMargin) {
+      (s, dir) =>
+        val seg = denseHist(s, dir, "day1", 24)
+          .select(
+            col("event_type"), expr("bin div 12").as("segment"),
+            (col("bin") % 12).as("sbin"), col("cnt"))
+        val freq = s.range(0, 7).select(col("id").cast("int").as("k"))
+        val phase = lit(2) * lit(math.Pi) * col("k") * col("sbin") / lit(12.0)
+        seg.crossJoin(broadcast(freq))
+          .groupBy("event_type", "segment", "k")
+          .agg((pow(sum(col("cnt") * cos(phase)), 2) +
+            pow(sum(col("cnt") * sin(phase)), 2)).as("p"))
+          .groupBy("event_type", "k")
+          .agg(avg("p").as("psd"))
+    },
+
     // ---- A16: Van Rossum spike-train distance for a bounded cohort —
     // exponential-kernel inner products via pair joins, VR²(f,g) =
     // <f,f> + <g,g> - 2<f,g> (reference: external/bluecv/comparison.py:11-21) ----
@@ -492,6 +523,25 @@ object Spikes {
         .select(
           col("gid1"), col("gid2"),
           (col("kk1") + col("kk2") - lit(2) * col("kk")).as("vr2"))
+    },
+
+    // ---- A16 (other half): Victor-Purpura distance — imperative DP kernel
+    // as a UDF over collected per-gid trains (no SQL oracle: the driver
+    // records a rows-only check; the kernel is unit-tested against brute
+    // force in VictorPurpuraSpec). q = 1/(1h). ----
+    GQuery.noOracle("a16b_victor_purpura") { (s, dir) =>
+      val vpUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+        graft.functions.VictorPurpura.distance(a.toArray, b.toArray, 1.0 / 3600000000.0)
+      }
+      val trains = assigned(s, dir)
+        .filter(col("win") === "full" && col("gid") <= 6)
+        .groupBy("gid")
+        .agg(sort_array(collect_list(col("time").cast("double"))).as("train"))
+      val t2 = trains.select(col("gid").as("gid2"), col("train").as("train2"))
+      trains.join(t2, col("gid") < col("gid2"))
+        .select(
+          col("gid").as("gid1"), col("gid2"),
+          vpUdf(col("train"), col("train2")).as("vp"))
     },
 
     // ---- Streaming extension, batch form: tumbling event-time window.
