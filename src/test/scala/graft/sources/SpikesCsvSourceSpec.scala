@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class SpikesCsvSourceSpec extends SparkSuite {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dsv2").toString
+    Files.writeString(Paths.get(d, "a.csv"),
+      """timestamps node_ids
+        |1.0 1
+        |2.5 2
+        |3.0 1
+        |9.0 3
+        |""".stripMargin)
+    Files.writeString(Paths.get(d, "b.csv"),
+      """timestamps node_ids
+        |4.0 2
+        |5.5 1
+        |""".stripMargin)
+    d
+  }
+
+  private def src = spark.read.format(classOf[SpikesCsvSource].getName).load(dir)
+
+  test("reads a directory of spike files with the canonical schema") {
+    assert(src.schema.fieldNames.toSeq === Seq("time", "gid"))
+    assert(src.count() === 6)
+    assert(src.agg(sum("gid")).collect()(0).getLong(0) === 10)
+  }
+
+  test("filters push into the scan and results are correct") {
+    val q = src.filter(col("gid") === 1 && col("time") < 5.0)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("EqualTo(gid,1)") && scan.contains("LessThan(time,5.0)"), scan)
+    // filters are fully absorbed: no residual Filter node above the scan
+    assert(!scan.contains("+- Filter"), scan)
+    val times = q.select("time").collect().map(_.getDouble(0)).sorted
+    assert(times.toSeq === Seq(1.0, 3.0))
+  }
+
+  test("column pruning reaches the reader") {
+    val q = src.filter(col("time") >= 4.0).select("gid")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("cols=[gid]") || scan.contains("ReadSchema: struct<gid:bigint>"), scan)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("one partition per file (parallel scan)") {
+    assert(src.rdd.getNumPartitions === 2)
+  }
+}
