@@ -58,6 +58,16 @@ class ParquetAdapter extends DataAdapter {
     spark.read.parquet(circuitPath).withColumn("gid", col("gid").cast("long"))
 }
 
+/** Adapter whose simulations are directories of text spike files, read
+  * through the DSv2 `spikes-csv` source — filters and column pruning push
+  * into the line parser (S2's native-format reader tier). Node tables
+  * stay parquet.
+  */
+class CsvSpikesAdapter extends ParquetAdapter {
+  override def spikes(spark: SparkSession, simulationPath: String): DataFrame =
+    spark.read.format("spikes-csv").load(simulationPath)
+}
+
 /** Adapter over the synthetic `events` table (TESTDATA.md): each
   * "simulation" is an events parquet; time = µs since the stream origin as
   * double, gid = user_id. The node table is derived from the distinct gids

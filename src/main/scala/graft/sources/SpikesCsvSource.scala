@@ -28,7 +28,9 @@ import scala.jdk.CollectionConverters._
   *
   * Usage: `spark.read.format("graft.sources.SpikesCsvSource").load(path)`.
   */
-class SpikesCsvSource extends TableProvider {
+class SpikesCsvSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "spikes-csv"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SpikesCsvSource.schema
   override def getTable(

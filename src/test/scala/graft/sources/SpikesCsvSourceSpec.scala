@@ -51,4 +51,23 @@ class SpikesCsvSourceSpec extends SparkSuite {
   test("one partition per file (parallel scan)") {
     assert(src.rdd.getNumPartitions === 2)
   }
+
+  test("short name resolves and the adapter extracts through the engine") {
+    import graft.engine._
+    import graft.dsl.QTrue
+    val byName = spark.read.format("spikes-csv").load(dir)
+    assert(byName.count() === 6)
+    import spark.implicits._
+    val nodesDir = Files.createTempDirectory("graft-dsv2-nodes").toString
+    Seq(1L, 2L, 3L).toDF("gid").write.mode("overwrite").parquet(nodesDir)
+    val campaign = Campaign("csv", "", Map.empty, Seq(
+      Map("simulation_path" -> dir, "circuit_path" -> nodesDir)))
+    val cfg = SingleAnalysisConfig(
+      name = "s", reportType = "spikes",
+      windows = Map("w" -> WindowSpec(bounds = (0.0, 100.0))),
+      neuronClasses = Map("all" -> NeuronClassSpec()),
+      features = Nil)
+    val repo = new Repository(spark, campaign, cfg, new CsvSpikesAdapter, QTrue)
+    assert(repo.report.count() === 6)
+  }
 }
