@@ -46,6 +46,7 @@ object FeatureFns {
     "mean_firing_rates" -> MeanFiringRates,
     "spike_stats" -> SpikeStats,
     "histograms" -> Histograms,
+    "smoothed_histograms" -> SmoothedHistograms,
     "soma_stats" -> SomaStats)
 
   /** Escape hatch for opaque per-group logic: groupByKey on the configured
@@ -162,6 +163,49 @@ object Histograms extends FeatureFn {
       .join(binned, keys :+ "bin", "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     Map("histograms" -> dense)
+  }
+}
+
+/** Dense PSTH + gaussian smoothing with scipy reflect boundary —
+  * the A5→A6 composition as one feature (reference:
+  * external/bnac/calculate_features.py:67-93, sigma via params.sigma,
+  * radius = int(4σ+0.5), relational kernel join, no UDF).
+  * params: bin_size, sigma (in bins).
+  */
+object SmoothedHistograms extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val sigma = ctx.params.get("sigma").map {
+      case n: Number => n.doubleValue()
+    }.getOrElse(4.0)
+    val radius = (4 * sigma + 0.5).toInt
+    val dense = Histograms.compute(ctx)("histograms")
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    val spark = ctx.spark
+    val kernel = spark.range(-radius, radius + 1)
+      .select(col("id").cast("int").as("k"))
+      .withColumn("w0", exp(-(col("k") * col("k")) / lit(2.0 * sigma * sigma)))
+      .withColumn("w", col("w0") / sum("w0").over(Window.partitionBy(lit(1))))
+      .select("k", "w")
+    // per-group bin extent for the reflect boundary
+    val extent = dense.groupBy(keys.map(col): _*)
+      .agg(min("bin").as("lo"), max("bin").as("hi"))
+    val idx = col("bin") + col("k")
+    val reflect =
+      when(idx < col("lo"), lit(2) * col("lo") - idx - 1)
+        .when(idx > col("hi"), lit(2) * col("hi") - idx + 1)
+        .otherwise(idx)
+    val src = dense.select(
+      (keys.map(n => col(n).as(s"s_$n")) :+ col("bin").as("s_bin")) :+ col("cnt").as("s_cnt"): _*)
+    val joinCond = keys.map(n => col(n) === col(s"s_$n")).reduce(_ && _) &&
+      col("s_bin") === col("src_bin")
+    val smoothed = dense.join(extent, keys)
+      .crossJoin(broadcast(kernel))
+      .withColumn("src_bin", reflect)
+      .join(src, joinCond)
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(sum(col("s_cnt") * col("w")).cast("double").as("smoothed"))
+    Map("smoothed_histograms" -> smoothed)
   }
 }
 

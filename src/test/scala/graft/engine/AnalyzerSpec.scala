@@ -160,6 +160,25 @@ class AnalyzerSpec extends SparkSuite {
     val filtered = an.applyFilter(QAnd("ca" -> QCond(QEq(1.1))))
     assert(filtered.simulations.count() === 1)
     assert(filtered.report.select("simulation_id").distinct().count() === 1)
+    // features rescope too
+    val f = filtered.calculateFeatures()
+    assert(f("by_gid").select("simulation_id").distinct().count() === 1)
+  }
+
+  test("smoothed_histograms feature: mass preserved, deterministic") {
+    val ctx = FeatureCtx(
+      spark, Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+      Map("bin_size" -> 100000.0, "sigma" -> 2.0),
+      an.report.filter(col("window") === "w2"),
+      an.windows, an.neurons, an.neuronClasses)
+    val sm = SmoothedHistograms.compute(ctx)("smoothed_histograms")
+    val raw = Histograms.compute(ctx)("histograms")
+    // gaussian kernel with reflect boundary preserves total mass per group
+    val a = sm.groupBy("neuron_class").agg(sum("smoothed").as("m"))
+    val b = raw.groupBy("neuron_class").agg(sum("cnt").as("m2"))
+    val joined = a.join(b, "neuron_class")
+      .filter(abs(col("m") - col("m2")) > 1e-6)
+    assert(joined.count() === 0)
   }
 
   test("subfilter algebra gates cache filter reuse") {
