@@ -172,6 +172,24 @@ object Relational {
         .select("event_type", "user_id", "total_value")
     },
 
+    // ---- Multi-granularity in one pass: ROLLUP (the reference computes
+    // by_gid/by_class/by_trial grains as separate passes — SURVEY §2.4
+    // notes grouping sets are the one-pass form) ----
+    GQuery(
+      "g1_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+    },
+
     // ---- Skew pattern: two-stage salted aggregation. event_type has only
     // 5 values — at 100 TB a plain groupBy funnels everything through 5
     // reducers. Stage 1 aggregates on (key, salt) [32-way fan-out,
