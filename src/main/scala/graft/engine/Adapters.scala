@@ -30,6 +30,15 @@ trait DataAdapter extends Serializable {
     */
   def isComplete(simulationPath: String): Boolean =
     new java.io.File(simulationPath).exists()
+
+  /** Optional bulk form: all simulations' spikes in ONE scan, returning
+    * (simulation_id, circuit_id, time, gid). A per-simulation union builds
+    * an N-branch plan — fine for hundreds of sims, heavy for thousands;
+    * a multi-path scan + file→simulation mapping keeps the plan one scan
+    * regardless of campaign size. None = caller falls back to the union.
+    */
+  def spikesBulk(
+      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] = None
 }
 
 /** Plain-parquet adapter: a simulation is a parquet file/dir holding a long
@@ -56,6 +65,35 @@ class ParquetAdapter extends DataAdapter {
 
   def nodes(spark: SparkSession, circuitPath: String): DataFrame =
     spark.read.parquet(circuitPath).withColumn("gid", col("gid").cast("long"))
+
+  /** One multi-path scan over every simulation's parquet; rows map back to
+    * their simulation by `input_file_name` prefix against the (tiny,
+    * broadcast) campaign mapping. The plan stays a single FileScan no
+    * matter how many simulations the campaign has.
+    */
+  override def spikesBulk(
+      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] = {
+    if (sims.isEmpty) return None
+    import spark.implicits._
+    val canon = sims.map { case (sid, cid, p) =>
+      val f = new java.io.File(p)
+      // directory prefixes need the trailing slash so ".../sim1" cannot
+      // swallow ".../sim10"'s files; plain files match exactly
+      val prefix = f.getAbsolutePath.stripSuffix("/") +
+        (if (f.isDirectory) "/" else "")
+      (sid, cid, prefix)
+    }
+    val mapping = broadcast(canon.toDF("simulation_id", "circuit_id", "prefix"))
+    // input_file_name yields a URI (file:/ or file:///) — strip the scheme
+    // so prefixes compare as plain absolute paths
+    val scanned = spark.read.parquet(sims.map(_._3): _*)
+      .select(
+        col("time").cast("double").as("time"), col("gid").cast("long").as("gid"),
+        regexp_replace(input_file_name(), "^[a-z]+:/+", "/").as("_file"))
+    Some(
+      scanned.join(mapping, col("_file").startsWith(col("prefix")))
+        .select("simulation_id", "circuit_id", "time", "gid"))
+  }
 }
 
 /** Adapter whose simulations are directories of text spike files, read
@@ -66,6 +104,9 @@ class ParquetAdapter extends DataAdapter {
 class CsvSpikesAdapter extends ParquetAdapter {
   override def spikes(spark: SparkSession, simulationPath: String): DataFrame =
     spark.read.format("spikes-csv").load(simulationPath)
+  // spikes are NOT parquet here — fall back to the per-simulation union
+  override def spikesBulk(
+      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] = None
 }
 
 /** Adapter over the synthetic `events` table (TESTDATA.md): each

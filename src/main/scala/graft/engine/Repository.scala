@@ -152,19 +152,25 @@ final class Repository(
     }
   }
 
-  /** All simulations' spike events tagged with ids — the union the
-    * reference materializes per-subprocess (extract/report.py:126-158).
+  /** All simulations' spike events tagged with ids — the per-subprocess
+    * materialization of the reference (extract/report.py:126-158). Bulk
+    * path (one multi-path scan + file→sim mapping) when the adapter
+    * supports it — keeps the plan a single FileScan for 1000+-simulation
+    * campaigns; otherwise a per-simulation scan union.
     */
-  private lazy val allSpikes: DataFrame =
-    simulations.select("simulation_id", "circuit_id", "simulation_path")
+  private lazy val allSpikes: DataFrame = {
+    val sims = simulations.select("simulation_id", "circuit_id", "simulation_path")
       .collect().toSeq
-      .map { r =>
-        adapter.spikes(spark, r.getString(2))
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    adapter.spikesBulk(spark, sims).getOrElse {
+      sims.map { case (sid, cid, path) =>
+        adapter.spikes(spark, path)
           .select(
-            lit(r.getInt(0)).as("simulation_id"), lit(r.getInt(1)).as("circuit_id"),
+            lit(sid).as("simulation_id"), lit(cid).as("circuit_id"),
             col("time"), col("gid"))
-      }
-      .reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+    }
+  }
 
   private lazy val allFrames: DataFrame =
     simulations.select("simulation_id", "circuit_id", "simulation_path")
