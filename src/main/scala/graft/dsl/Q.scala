@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** The `etl.q` dict-filter DSL (reference: blueetl-core, documented in
   * doc/source/notebooks/01_core_transformations.ipynb, used throughout e.g.
   * src/blueetl/extract/base.py:90, src/blueetl/extract/neurons.py:78),
-  * compiled to a Catalyst [[Column]] predicate so filters participate in
+  * compiled to a Catalyst `Column` predicate so filters participate in
   * predicate pushdown / partition pruning instead of materializing masks.
   *
   * Spec shape (mirrors the reference semantics):

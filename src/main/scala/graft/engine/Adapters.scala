@@ -39,6 +39,12 @@ trait DataAdapter extends Serializable {
     */
   def spikesBulk(
       spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] = None
+
+  /** Bulk form for frame reports: (simulation_id, circuit_id, time, gid,
+    * value[, section]). Same contract as [[spikesBulk]].
+    */
+  def framesBulk(
+      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] = None
 }
 
 /** Plain-parquet adapter: a simulation is a parquet file/dir holding a long
@@ -72,7 +78,20 @@ class ParquetAdapter extends DataAdapter {
     * matter how many simulations the campaign has.
     */
   override def spikesBulk(
-      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] = {
+      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] =
+    bulk(spark, sims, Nil)
+
+  override def framesBulk(
+      spark: SparkSession, sims: Seq[(Int, Int, String)]): Option[DataFrame] =
+    bulk(spark, sims, Seq("value", "section"))
+
+  /** One multi-path scan + file→simulation mapping (see spikesBulk doc).
+    * `extras` are optional columns included when the merged schema has
+    * them (value/section for frame reports).
+    */
+  private def bulk(
+      spark: SparkSession, sims: Seq[(Int, Int, String)],
+      extras: Seq[String]): Option[DataFrame] = {
     if (sims.isEmpty) return None
     import spark.implicits._
     val canon = sims.map { case (sid, cid, p) =>
@@ -84,15 +103,19 @@ class ParquetAdapter extends DataAdapter {
       (sid, cid, prefix)
     }
     val mapping = broadcast(canon.toDF("simulation_id", "circuit_id", "prefix"))
+    val raw = spark.read.option("mergeSchema", "true").parquet(sims.map(_._3): _*)
+    val present = extras.filter(raw.columns.contains)
+    val castType = Map("value" -> "double", "section" -> "long")
     // input_file_name yields a URI (file:/ or file:///) — strip the scheme
     // so prefixes compare as plain absolute paths
-    val scanned = spark.read.parquet(sims.map(_._3): _*)
-      .select(
-        col("time").cast("double").as("time"), col("gid").cast("long").as("gid"),
-        regexp_replace(input_file_name(), "^[a-z]+:/+", "/").as("_file"))
+    val scanned = raw.select(
+      Seq(
+        col("time").cast("double").as("time"), col("gid").cast("long").as("gid")) ++
+        present.map(n => col(n).cast(castType(n)).as(n)) :+
+        regexp_replace(input_file_name(), "^[a-z]+:/+", "/").as("_file"): _*)
     Some(
       scanned.join(mapping, col("_file").startsWith(col("prefix")))
-        .select("simulation_id", "circuit_id", "time", "gid"))
+        .select((Seq("simulation_id", "circuit_id", "time", "gid") ++ present).map(col): _*))
   }
 }
 

@@ -18,7 +18,7 @@ object Describe {
   }
 
   /** Round-trippable dict form of a spec (the reference's native config
-    * shape): parseable back via [[Q.parse]], so a cache manifest can store
+    * shape): parseable back via `Q.parse`, so a cache manifest can store
     * the filter it was built with and later test subfilter-ness against a
     * new one (C3). Values keep JSON types.
     */

@@ -172,18 +172,21 @@ final class Repository(
     }
   }
 
-  private lazy val allFrames: DataFrame =
-    simulations.select("simulation_id", "circuit_id", "simulation_path")
+  private lazy val allFrames: DataFrame = {
+    val sims = simulations.select("simulation_id", "circuit_id", "simulation_path")
       .collect().toSeq
-      .map { r =>
-        val f = adapter.frames(spark, r.getString(2))
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    adapter.framesBulk(spark, sims).getOrElse {
+      sims.map { case (sid, cid, path) =>
+        val f = adapter.frames(spark, path)
         val extra = if (f.columns.contains("section")) Seq(col("section")) else Nil
         f.select(
           Seq(
-            lit(r.getInt(0)).as("simulation_id"), lit(r.getInt(1)).as("circuit_id"),
+            lit(sid).as("simulation_id"), lit(cid).as("circuit_id"),
             col("time"), col("gid"), col("value")) ++ extra: _*)
-      }
-      .reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+    }
+  }
 
   /** The report extraction: events range-joined into window/trials (J4),
     * time rebased, classes attached via the neurons join
