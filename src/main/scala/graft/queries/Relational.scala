@@ -232,6 +232,21 @@ object Relational {
           expr("percentile(value, 0.99)").as("p99"))
     },
 
+    // ---- Approximate sketches: HLL++ distinct + approx quantiles — the
+    // 100 TB replacements for their exact forms (a19's countDistinct and
+    // k2's exact percentile both buffer full value sets per group; these
+    // are constant-memory mergeable sketches). No SQL oracle — DuckDB's
+    // sketches differ — so the gate is rows-only; the spec bounds the
+    // error against the exact answers. ----
+    GQuery.noOracle("x1_approx_stats") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(5000)).as("approx_p50"),
+          percentile_approx(col("value"), lit(0.99), lit(5000)).as("approx_p99"))
+    },
+
     // ---- §2.5: lag over event-time partitions (ISI pattern —
     // reference: external/bluecv/gid.py:38-51) ----
     GQuery(
