@@ -172,6 +172,26 @@ object Relational {
         .select("event_type", "user_id", "total_value")
     },
 
+    // ---- As-of join: attribute every event to the same user's most
+    // recent preceding 'signup' event. Composed from a running last_value
+    // window (SURVEY custom-op tier (a): built-ins express the semantics —
+    // no custom operator needed; one shuffle by user). ----
+    GQuery(
+      "j8_asof_join",
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_us
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        last(when(col("event_type") === "signup", col("t")), ignoreNulls = true)
+          .over(w).as("asof_signup_us"))
+    },
+
     // ---- Multi-granularity in one pass: ROLLUP (the reference computes
     // by_gid/by_class/by_trial grains as separate passes — SURVEY §2.4
     // notes grouping sets are the one-pass form) ----
