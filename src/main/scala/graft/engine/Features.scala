@@ -96,11 +96,18 @@ object MeanFiringRates extends FeatureFn {
         avg("first_spike").as("mean_first_spike"))
       .withColumn("mean_firing_rate", col("mean_count") * lit(1000.0) / col("duration"))
       .drop("duration")
+    // Class-level reduction uses order-independent decimal sums (E[x²]−E[x]²
+    // population σ): double avg/stddev_pop accumulate in partial-aggregation
+    // order, which is nondeterministic across partitionings and differs from
+    // any single-threaded reference computation.
+    val r = col("mean_firing_rate")
+    val m = graft.queries.davg(r)
+    val m2 = graft.queries.davg(r * r)
     val byClass = byGid.groupBy(keys.map(col): _*)
       .agg(
-        avg("mean_firing_rate").as("mean_of_mean_firing_rates"),
-        stddev_pop("mean_firing_rate").as("std_of_mean_firing_rates"),
-        avg("mean_first_spike").as("mean_of_mean_first_spikes"))
+        m.as("mean_of_mean_firing_rates"),
+        sqrt(greatest(m2 - m * m, lit(0.0))).as("std_of_mean_firing_rates"),
+        graft.queries.davg(col("mean_first_spike")).as("mean_of_mean_first_spikes"))
     Map("by_gid" -> byGid, "by_neuron_class" -> byClass)
   }
 }

@@ -105,12 +105,18 @@ object Engine {
           |  CROSS JOIN wins w
           |  LEFT JOIN counts k ON k.neuron_class = c.neuron_class AND k.win = w.win
           |    AND k.trial = w.trial AND k.gid = c.gid
-          |  GROUP BY c.neuron_class, w.win, c.gid, w.duration)
+          |  GROUP BY c.neuron_class, w.win, c.gid, w.duration),
+          |agg AS (
+          |  SELECT neuron_class, win,
+          |    CAST(SUM(CAST(rate AS DECIMAL(20,6))) AS DOUBLE) / COUNT(rate) AS m,
+          |    CAST(SUM(CAST(rate * rate AS DECIMAL(20,6))) AS DOUBLE) / COUNT(rate) AS m2,
+          |    CAST(SUM(CAST(mfs AS DECIMAL(20,6))) AS DOUBLE) / COUNT(mfs) AS mmfs
+          |  FROM by_gid GROUP BY 1, 2)
           |SELECT 0 AS simulation_id, 0 AS circuit_id, neuron_class, win AS window,
-          |  avg(rate) AS mean_of_mean_firing_rates,
-          |  stddev_pop(rate) AS std_of_mean_firing_rates,
-          |  avg(mfs) AS mean_of_mean_first_spikes
-          |FROM by_gid GROUP BY neuron_class, win""".stripMargin) { (s, dir) =>
+          |  m AS mean_of_mean_firing_rates,
+          |  SQRT(GREATEST(m2 - m * m, 0)) AS std_of_mean_firing_rates,
+          |  mmfs AS mean_of_mean_first_spikes
+          |FROM agg""".stripMargin) { (s, dir) =>
       analyzer(s, dir).calculateFeatures()("by_neuron_class")
     },
 

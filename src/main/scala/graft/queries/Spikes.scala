@@ -123,14 +123,18 @@ object Spikes {
       "a1_spikes_by_trial",
       cte +
         """SELECT win, trial, gid, count(*) AS cnt, min(time) AS first_time,
-          |  list(time ORDER BY time) AS times
+          |  array_to_string(list(time ORDER BY time), ',') AS times
           |FROM assigned WHERE win = 'early' GROUP BY win, trial, gid""".stripMargin) { (s, dir) =>
+      // times emitted as a comma-joined string: the harness cannot lexsort
+      // array cells, and long→string formatting is identical in both engines.
       assigned(s, dir).filter(col("win") === "early")
         .groupBy("win", "trial", "gid")
         .agg(
           count(lit(1)).as("cnt"),
           min("time").as("first_time"),
-          sort_array(collect_list("time")).as("times"))
+          array_join(
+            transform(sort_array(collect_list("time")), _.cast("string")),
+            ",").as("times"))
     },
 
     // ---- A2: per-gid mean counts across trials (absent trials count 0,
