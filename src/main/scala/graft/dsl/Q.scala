@@ -191,8 +191,11 @@ object Q {
       }
     case QNe(v) => aops.exists {
       case QNe(w)    => veq(w, v)
-      case QEq(w)    => !veq(w, v)
-      case QIsIn(ws) => !ws.exists(veq(_, v))
+      // != implication needs comparable-and-unequal, not merely not-equal:
+      // for incomparable types (Int 5 vs String "5") Spark's coercing
+      // comparison may match rows veq(w,v)=false would wrongly exclude.
+      case QEq(w)    => cmp(w, v).exists(_ != 0)
+      case QIsIn(ws) => ws.forall(w => cmp(w, v).exists(_ != 0))
       case QLt(w)    => cmp(w, v).exists(_ <= 0)   // x < w <= v  => x != v
       case QGt(w)    => cmp(w, v).exists(_ >= 0)
       case QLe(w)    => cmp(w, v).exists(_ < 0)

@@ -86,6 +86,14 @@ final class Analyzer(
     refilterIds match {
       case Some(ids) if df.columns.contains("simulation_id") =>
         df.filter(col("simulation_id").isin(ids: _*))
+      case Some(_) =>
+        // A narrowing refilter is active but this output has no
+        // simulation_id column — silently serving the broader stored-filter
+        // aggregate would be wrong. Surface it loudly.
+        Analyzer.log.warn(
+          s"narrowing filter cannot be applied to '$name' (no simulation_id " +
+            "column): result covers the broader stored-filter simulation set")
+        df
       case _ => df
     }
 
@@ -159,8 +167,16 @@ final class FilteredAnalyzer(base: Analyzer, simIds: Seq[Int]) {
   def report: DataFrame = f(base.report)
   def calculateFeatures(): Map[String, DataFrame] =
     base.calculateFeatures().map { case (k, v) =>
+      if (!v.columns.contains("simulation_id"))
+        Analyzer.log.warn(
+          s"applyFilter cannot narrow feature output '$k' (no simulation_id " +
+            "column): it covers the unfiltered simulation set")
       k -> (if (v.columns.contains("simulation_id")) f(v) else v)
     }
+}
+
+object Analyzer {
+  private[engine] val log = org.slf4j.LoggerFactory.getLogger(classOf[Analyzer])
 }
 
 /** Multi-analysis facade (reference: analysis.py MultiAnalyzer +

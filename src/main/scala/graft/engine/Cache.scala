@@ -132,12 +132,17 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
     val md = java.security.MessageDigest.getInstance("MD5")
     val dir = Paths.get(p)
     if (!Files.isDirectory(dir)) return ""
-    val files = Files.list(dir).toArray.map(_.toString).sorted
-      .filterNot(f => f.endsWith(".crc") || f.endsWith("_SUCCESS"))
-    for (f <- files) {
+    // names are hashed relative to the parquet dir so moving/renaming a
+    // cache directory keeps entries valid as long as contents are intact
+    val stream = Files.list(dir)
+    val files =
+      try stream.toArray
+        .map(f => dir.relativize(f.asInstanceOf[java.nio.file.Path]).toString).sorted
+      finally stream.close()
+    for (f <- files.filterNot(n => n.endsWith(".crc") || n.endsWith("_SUCCESS"))) {
       md.update(f.getBytes("UTF-8"))
       md.update(java.security.MessageDigest.getInstance("MD5")
-        .digest(Files.readAllBytes(Paths.get(f))))
+        .digest(Files.readAllBytes(dir.resolve(f))))
     }
     md.digest().map("%02x".format(_)).mkString
   }

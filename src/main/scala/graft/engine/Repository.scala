@@ -29,8 +29,11 @@ final class Repository(
     val condKeys = campaign.rows.flatMap(_.keys).distinct
       .filterNot(Set("simulation_path", "circuit_path")).sorted
     val paths = campaign.resolvedPaths
-    val circuitOf = paths.map(p => campaign.rows(paths.indexOf(p))
-      .getOrElse("circuit_path", p).toString)
+    // indexed by row, not by path lookup: two rows sharing a simulation_path
+    // must each keep their own circuit_path
+    val circuitOf = campaign.rows.zipWithIndex.map { case (r, i) =>
+      r.getOrElse("circuit_path", paths(i)).toString
+    }
     val distinctCircuits = circuitOf.distinct
     val rows = campaign.rows.zipWithIndex.map { case (r, i) =>
       val status = if (adapter.isComplete(paths(i))) "COMPLETE" else "MISSING"

@@ -53,23 +53,34 @@ object SpikesCsvSource {
     else Seq(path)
   }
 
-  /** Evaluate a pushed filter against a parsed (time, gid) row. */
+  /** Evaluate a pushed filter against a parsed (time, gid) row. gid is
+    * compared in Long (a Double round-trip loses precision above 2^53);
+    * null values never reach here — `supported` rejects them.
+    */
   private[sources] def eval(f: Filter, time: Double, gid: Long): Boolean = {
-    def value(attr: String): Double = attr match {
-      case "time" => time
-      case "gid" => gid.toDouble
-    }
-    def num(v: Any): Double = v match {
-      case n: Number => n.doubleValue()
-      case other => other.toString.toDouble
+    def cmp(attr: String, v: Any): Option[Int] = (attr, v) match {
+      case (_, null) => None
+      case ("time", n: Number) => Some(java.lang.Double.compare(time, n.doubleValue()))
+      case ("time", other) =>
+        scala.util.Try(other.toString.toDouble).toOption
+          .map(java.lang.Double.compare(time, _))
+      case ("gid", n @ (_: java.lang.Long | _: java.lang.Integer |
+                        _: java.lang.Short | _: java.lang.Byte)) =>
+        Some(java.lang.Long.compare(gid, n.asInstanceOf[Number].longValue()))
+      case ("gid", n: Number) =>
+        scala.util.Try(BigDecimal(n.toString)).toOption.map(BigDecimal(gid).compare(_))
+      case ("gid", other) =>
+        scala.util.Try(other.toString.toLong).toOption
+          .map(java.lang.Long.compare(gid, _))
+      case _ => None
     }
     f match {
-      case EqualTo(a, v) => value(a) == num(v)
-      case GreaterThan(a, v) => value(a) > num(v)
-      case GreaterThanOrEqual(a, v) => value(a) >= num(v)
-      case LessThan(a, v) => value(a) < num(v)
-      case LessThanOrEqual(a, v) => value(a) <= num(v)
-      case In(a, vs) => vs.exists(v => value(a) == num(v))
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
       case IsNotNull(_) => true
       case And(l, r) => eval(l, time, gid) && eval(r, time, gid)
       case Or(l, r) => eval(l, time, gid) || eval(r, time, gid)
@@ -78,18 +89,23 @@ object SpikesCsvSource {
     }
   }
 
-  private[sources] def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => a == "time" || a == "gid"
-    case GreaterThan(a, _) => a == "time" || a == "gid"
-    case GreaterThanOrEqual(a, _) => a == "time" || a == "gid"
-    case LessThan(a, _) => a == "time" || a == "gid"
-    case LessThanOrEqual(a, _) => a == "time" || a == "gid"
-    case In(a, _) => a == "time" || a == "gid"
-    case IsNotNull(a) => a == "time" || a == "gid"
-    case And(l, r) => supported(l) && supported(r)
-    case Or(l, r) => supported(l) && supported(r)
-    case Not(c) => supported(c)
-    case _ => false
+  private[sources] def supported(f: Filter): Boolean = {
+    def isCol(a: String) = a == "time" || a == "gid"
+    f match {
+      // null comparison values stay residual: Spark's three-valued NULL
+      // semantics don't survive the boolean eval above (esp. under Not)
+      case EqualTo(a, v) => isCol(a) && v != null
+      case GreaterThan(a, v) => isCol(a) && v != null
+      case GreaterThanOrEqual(a, v) => isCol(a) && v != null
+      case LessThan(a, v) => isCol(a) && v != null
+      case LessThanOrEqual(a, v) => isCol(a) && v != null
+      case In(a, vs) => isCol(a) && vs != null && !vs.contains(null)
+      case IsNotNull(a) => isCol(a)
+      case And(l, r) => supported(l) && supported(r)
+      case Or(l, r) => supported(l) && supported(r)
+      case Not(c) => supported(c)
+      case _ => false
+    }
   }
 }
 
@@ -164,11 +180,20 @@ class SpikesFileReader(file: String, filters: Array[Filter], required: StructTyp
   private val emitGid = required.fieldNames.contains("gid")
   private var current: InternalRow = _
 
+  // Malformed / comment data lines are skipped, not fatal: one bad line in
+  // a multi-GB report must not kill the whole scan.
+  private def parseable(parts: Array[String]): Boolean =
+    try { parts(timeIdx).toDouble; parts(gidIdx).toLong; true }
+    catch { case _: NumberFormatException => false }
+
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
-      val parts = line.trim.split(sep)
-      if (parts.length > math.max(timeIdx, gidIdx) && parts.exists(_.nonEmpty)) {
+      val trimmed = line.trim
+      val parts = trimmed.split(sep)
+      if (!trimmed.startsWith("#") && !trimmed.startsWith("//") &&
+          parts.length > math.max(timeIdx, gidIdx) && parts.exists(_.nonEmpty) &&
+          parseable(parts)) {
         val time = parts(timeIdx).toDouble
         val gid = parts(gidIdx).toLong
         if (filters.forall(SpikesCsvSource.eval(_, time, gid))) {

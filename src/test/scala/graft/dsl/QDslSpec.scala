@@ -142,4 +142,24 @@ class QDslSpec extends SparkSuite {
       QAnd("k" -> QCond(QEq(1)), "j" -> QCond(QEq(2))),
       QAnd("k" -> QCond(QEq(1)))))
   }
+
+  test("isSubfilter: ne implication requires comparable values") {
+    // comparable and unequal: eq 5 does imply ne 7
+    assert(Q.isSubfilter(
+      QAnd("k" -> QCond(QEq(5))),
+      QAnd("k" -> QCond(QNe(7)))))
+    // incomparable types (Int vs non-numeric String) must NOT imply ne:
+    // Spark's coercing comparison could match rows veq would miss
+    assert(!Q.isSubfilter(
+      QAnd("k" -> QCond(QEq(5))),
+      QAnd("k" -> QCond(QNe("abc")))))
+    // isin with any incomparable member: not implied either
+    assert(!Q.isSubfilter(
+      QAnd("k" -> QCond(QIsIn(Seq(5, "abc")))),
+      QAnd("k" -> QCond(QNe("xyz")))))
+    // strings are comparable to strings: eq "a" implies ne "b"
+    assert(Q.isSubfilter(
+      QAnd("k" -> QCond(QEq("a"))),
+      QAnd("k" -> QCond(QNe("b")))))
+  }
 }

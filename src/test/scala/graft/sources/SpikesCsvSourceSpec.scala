@@ -52,6 +52,43 @@ class SpikesCsvSourceSpec extends SparkSuite {
     assert(src.rdd.getNumPartitions === 2)
   }
 
+  test("malformed and comment lines are skipped, not fatal") {
+    val d = Files.createTempDirectory("graft-dsv2-bad").toString
+    Files.writeString(Paths.get(d, "bad.csv"),
+      """times ids
+        |1.0 1
+        |# a comment line
+        |not a number
+        |2.0 oops
+        |3.0 2
+        |""".stripMargin)
+    val df = spark.read.format("spikes-csv").load(d)
+    assert(df.count() === 2)
+    assert(df.agg(sum("gid")).collect()(0).getLong(0) === 3)
+  }
+
+  test("gid predicates evaluate in Long beyond 2^53") {
+    val big = (1L << 53) + 1 // not representable as Double
+    val d = Files.createTempDirectory("graft-dsv2-big").toString
+    Files.writeString(Paths.get(d, "big.csv"),
+      s"""times ids
+         |1.0 ${big}
+         |2.0 ${big - 1}
+         |""".stripMargin)
+    val df = spark.read.format("spikes-csv").load(d)
+    val got = df.filter(col("gid") === big).collect()
+    assert(got.length === 1 && got(0).getLong(1) === big)
+  }
+
+  test("null-bearing In filters stay residual (no NPE), results correct") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    assert(!SpikesCsvSource.supported(In("gid", Array[Any](1L, null))))
+    assert(!SpikesCsvSource.supported(EqualTo("gid", null)))
+    assert(SpikesCsvSource.supported(In("gid", Array[Any](1L, 2L))))
+    val q = src.filter(col("gid").isin(1L, 2L) || col("gid").isNull)
+    assert(q.count() === 5)
+  }
+
   test("short name resolves and the adapter extracts through the engine") {
     import graft.engine._
     import graft.dsl.QTrue
