@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Action-time logging for `observe` metrics.
+  *
+  * Operators that silently bound their output (e.g. the LSH bucket cap in
+  * [[graft.queries.Lsh]]) attach a named `graft_*` observation to the plan;
+  * this listener surfaces those counts in the logs after every action, so a
+  * capped run is never mistaken for a complete one.
+  */
+object Metrics {
+  private val sessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Idempotently install a listener on `spark` that logs every observed
+    * metric whose name starts with `graft_`.
+    */
+  def logObserved(spark: SparkSession): Unit = if (sessions.add(spark)) {
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_")) log.info(s"observed $name: $row")
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    })
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared LSH bucket → candidate-pair expansion with bounded bucket
+  * occupancy (used by [[Text]] t6/t7/t9 and [[Vectors]] v2).
+  *
+  * Within-bucket pair generation is quadratic in bucket size; a degenerate
+  * corpus (millions of empty/boilerplate documents sharing one signature)
+  * would otherwise materialize one O(n) id array and O(n²) pairs inside a
+  * single task. Buckets are therefore capped BEFORE any array is built: a
+  * row_number window (spillable sort + streamed filter, never an unbounded
+  * collect_list) keeps the `cap` smallest ids per bucket; everything beyond
+  * the cap is counted and surfaced through a named `observe` metric that
+  * [[graft.Metrics]] logs at action time, so a capped run is visible.
+  *
+  * The kept set is deterministic (lowest ids per bucket), so results are
+  * stable across runs and partitionings. Plan shape: ONE shuffle by
+  * (band, bkey) — the window's hash partitioning is reused by the
+  * downstream groupBy, so capping adds no exchange.
+  */
+object Lsh {
+
+  /** Default per-bucket occupancy cap: generous for genuine near-dup
+    * clusters while bounding the within-bucket explode to cap²/2 pairs and
+    * the per-bucket array to `cap` ids regardless of corpus skew.
+    */
+  val DefaultBucketCap = 128
+
+  /** Distinct within-bucket candidate pairs (`out1` < `out2`) from a
+    * (band, bkey, `idCol`) bucket assignment, with per-bucket occupancy
+    * bounded by `cap`. `metricName` names the observe row carrying
+    * (dropped_ids, max_bucket).
+    */
+  private[queries] def cappedPairs(
+      buckets: DataFrame, idCol: String, out1: String, out2: String,
+      metricName: String, cap: Int = DefaultBucketCap): DataFrame = {
+    graft.Metrics.logObserved(buckets.sparkSession)
+    val byBucket = Window.partitionBy("band", "bkey")
+    val kept = buckets
+      .withColumn("rn", row_number().over(byBucket.orderBy(col(idCol))))
+      .withColumn("bn", count(lit(1)).over(byBucket))
+      .filter(col("rn") <= cap)
+      .observe(
+        metricName,
+        sum(when(col("rn") === 1, greatest(col("bn") - cap, lit(0)))
+          .otherwise(lit(0))).as("dropped_ids"),
+        max(col("bn")).as("max_bucket"))
+    kept
+      .groupBy("band", "bkey").agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(ids)-1),
+           |  i -> transform(slice(ids, i+1, size(ids)-i),
+           |    b -> struct(element_at(ids, i) as $out1, b as $out2))))""".stripMargin)).as("p"))
+      .select(col(s"p.$out1").as(out1), col(s"p.$out2").as(out2))
+      .distinct()
+  }
+}

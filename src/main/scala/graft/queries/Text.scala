@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * from LSH band buckets (equi-join on the bucket key, shuffle partitioned
   * by bucket), and the exact Jaccard re-rank runs only on candidates. At
   * 100 TB the band join is the scale path: bucket keys distribute, skewed
-  * mega-buckets can be salted, and the shingle explosion is map-side only.
+  * mega-buckets are occupancy-capped with an observed drop count
+  * ([[Lsh.cappedPairs]]), and the shingle explosion is map-side only.
   */
 object Text {
 
@@ -57,33 +58,37 @@ object Text {
   // rows explode map-side after — vs. an 8× crossJoin that would push 8×
   // the rows through the shuffle. Hash salt format matches the oracle
   // ("<j>|<shingle>").
-  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+  private def lshBuckets(sh: DataFrame): DataFrame = {
     val aggs = (0 until 8).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
     val bands = (0 until 4).map(b =>
       s"struct($b as band, concat(mh${2 * b}, '|', mh${2 * b + 1}) as bkey)")
-    shingles(s, dir, 3)
+    sh
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
-  /** Candidate pairs from bucket co-membership: groupBy the bucket key and
-    * explode within-bucket pairs — the bucket subplan runs ONCE and
-    * shuffles once by (band, bkey), vs. a self-join that computes it twice
-    * (Catalyst does not dedupe the aliased subplans). Pair set is
-    * identical to the self-join form the oracle uses.
+  /** Candidate pairs from bucket co-membership: one shuffle by (band, bkey)
+    * then within-bucket pairing — the bucket subplan runs ONCE, vs. a
+    * self-join that computes it twice (Catalyst does not dedupe the aliased
+    * subplans). Pair set is identical to the self-join form the oracle uses
+    * as long as no bucket exceeds [[Lsh.DefaultBucketCap]]; beyond that the
+    * cap bounds the quadratic explode and the drop count is observed
+    * (see [[Lsh.cappedPairs]]).
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    lshBuckets(s, dir)
-      .groupBy("band", "bkey").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids)-1),
-          |  i -> transform(slice(ids, i+1, size(ids)-i),
-          |    b -> struct(element_at(ids, i) as doc1, b as doc2))))""".stripMargin)).as("p"))
-      .select(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
-      .distinct()
+  private def lshCandidates(sh: DataFrame): DataFrame =
+    Lsh.cappedPairs(lshBuckets(sh), "doc_id", "doc1", "doc2", "graft_lsh_text")
+
+  /** The 3-gram shingle frame persisted for multi-use plans (t7/t9 scan it
+    * four times: candidates, both sides of the intersection join, and the
+    * per-doc counts). MEMORY_AND_DISK: at 100 TB the executors keep what
+    * fits and spill the rest — still strictly cheaper than four full
+    * scan+explode+distinct passes over the corpus; recomputation (the frame
+    * is map-side-derivable) remains the fallback if an executor is lost.
+    */
+  private def persistedShingles(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val lshSql =
     s"""${shinglesSql(3)},
@@ -218,7 +223,7 @@ object Text {
     GQuery(
       "t6_minhash_lsh_neardup",
       s"WITH $lshSql SELECT doc1, doc2 FROM cand") { (s, dir) =>
-      lshCandidates(s, dir)
+      lshCandidates(shingles(s, dir, 3))
     },
 
     // ---- n-gram Jaccard re-rank of LSH candidates (exact similarity on
@@ -238,8 +243,8 @@ object Text {
          |FROM inter i
          |JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
          |WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.5""".stripMargin) { (s, dir) =>
-      val sh = shingles(s, dir, 3)
-      val cand = lshCandidates(s, dir)
+      val sh = persistedShingles(s, dir)
+      val cand = lshCandidates(sh)
       val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
@@ -276,8 +281,8 @@ object Text {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)""".stripMargin) {
       (s, dir) =>
-        val sh = shingles(s, dir, 3)
-        val cand = lshCandidates(s, dir)
+        val sh = persistedShingles(s, dir)
+        val cand = lshCandidates(sh)
         val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
         val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
         val b = sh.select(col("doc_id").as("doc2"), col("shingle"))

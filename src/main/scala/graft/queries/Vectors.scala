@@ -117,17 +117,9 @@ object Vectors {
       val sig = x.groupBy("vec_id").agg(projAggs.head, projAggs.tail: _*)
         .select(col("vec_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
         .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-      // within-bucket pair explode: signature subplan computed once, one
-      // shuffle by bucket key (see Text.lshCandidates for rationale)
-      val cand = sig
-        .groupBy("band", "bkey").agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids)-1),
-            |  i -> transform(slice(ids, i+1, size(ids)-i),
-            |    b -> struct(element_at(ids, i) as v1, b as v2))))""".stripMargin)).as("p"))
-        .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
-        .distinct()
+      // within-bucket pairing: signature subplan computed once, one shuffle
+      // by bucket key, occupancy-capped (see Lsh.cappedPairs for rationale)
+      val cand = Lsh.cappedPairs(sig, "vec_id", "v1", "v2", "graft_lsh_vec")
       val e = withNorm(Tables.embeddings(s, dir))
       val ea = e.select(col("vec_id").as("v1"), col("embedding").as("va"), col("nrm").as("na"))
       val eb = e.select(col("vec_id").as("v2"), col("embedding").as("vb"), col("nrm").as("nb"))
