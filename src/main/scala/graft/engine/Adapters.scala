@@ -88,34 +88,64 @@ class ParquetAdapter extends DataAdapter {
   /** One multi-path scan + file→simulation mapping (see spikesBulk doc).
     * `extras` are optional columns included when the merged schema has
     * them (value/section for frame reports).
+    *
+    * The mapping is an EQUI-join (hashable, one probe per row) — a
+    * `startsWith` theta-join would plan as a broadcast nested loop doing
+    * O(#sims) prefix tests per event, exactly on the 1000+-sim campaigns
+    * this path exists for. Plain-file sims key by exact file path;
+    * directory sims key by the directory, which is the parent of every
+    * leaf file in the flat layouts this scan supports. Sims with NESTED
+    * directories (hive-partitioned) return None — Spark's multi-path read
+    * rejects mixed directory structures outright, so those campaigns take
+    * the per-simulation union path instead.
     */
   private def bulk(
       spark: SparkSession, sims: Seq[(Int, Int, String)],
       extras: Seq[String]): Option[DataFrame] = {
     if (sims.isEmpty) return None
     import spark.implicits._
-    val canon = sims.map { case (sid, cid, p) =>
-      val f = new java.io.File(p)
-      // directory prefixes need the trailing slash so ".../sim1" cannot
-      // swallow ".../sim10"'s files; plain files match exactly
-      val prefix = f.getAbsolutePath.stripSuffix("/") +
-        (if (f.isDirectory) "/" else "")
-      (sid, cid, prefix)
+    def hasSubdirs(f: java.io.File): Boolean =
+      Option(f.listFiles()).getOrElse(Array.empty).exists(_.isDirectory)
+    val (dirSims, fileSims) =
+      sims.partition { case (_, _, p) => new java.io.File(p).isDirectory }
+    if (dirSims.exists { case (_, _, p) => hasSubdirs(new java.io.File(p)) })
+      return None
+    val fileKeys = fileSims.map { case (sid, cid, p) =>
+      (sid, cid, new java.io.File(p).getAbsolutePath)
     }
-    val mapping = broadcast(canon.toDF("simulation_id", "circuit_id", "prefix"))
+    val dirKeys = dirSims.map { case (sid, cid, p) =>
+      (sid, cid, new java.io.File(p).getAbsolutePath.stripSuffix("/"))
+    }
     val raw = spark.read.option("mergeSchema", "true").parquet(sims.map(_._3): _*)
     val present = extras.filter(raw.columns.contains)
     val castType = Map("value" -> "double", "section" -> "long")
     // input_file_name yields a URI (file:/ or file:///) — strip the scheme
-    // so prefixes compare as plain absolute paths
+    // so keys compare as plain absolute paths
     val scanned = raw.select(
       Seq(
         col("time").cast("double").as("time"), col("gid").cast("long").as("gid")) ++
         present.map(n => col(n).cast(castType(n)).as(n)) :+
         regexp_replace(input_file_name(), "^[a-z]+:/+", "/").as("_file"): _*)
-    Some(
-      scanned.join(mapping, col("_file").startsWith(col("prefix")))
-        .select((Seq("simulation_id", "circuit_id", "time", "gid") ++ present).map(col): _*))
+      .withColumn("_dir", regexp_replace(col("_file"), "/[^/]*$", ""))
+    val fm = broadcast(fileKeys.toDF("f_sid", "f_cid", "fkey"))
+    val dm = broadcast(dirKeys.toDF("d_sid", "d_cid", "dkey"))
+    val out = Seq("simulation_id", "circuit_id", "time", "gid") ++ present
+    val joined =
+      if (fileKeys.isEmpty)
+        scanned.join(dm, col("_dir") === col("dkey"))
+          .withColumnsRenamed(Map("d_sid" -> "simulation_id", "d_cid" -> "circuit_id"))
+      else if (dirKeys.isEmpty)
+        scanned.join(fm, col("_file") === col("fkey"))
+          .withColumnsRenamed(Map("f_sid" -> "simulation_id", "f_cid" -> "circuit_id"))
+      else
+        // mixed campaign: match exact file first, then containing dir
+        scanned
+          .join(fm, col("_file") === col("fkey"), "left")
+          .join(dm, col("_dir") === col("dkey"), "left")
+          .filter(col("f_sid").isNotNull || col("d_sid").isNotNull)
+          .withColumn("simulation_id", coalesce(col("f_sid"), col("d_sid")))
+          .withColumn("circuit_id", coalesce(col("f_cid"), col("d_cid")))
+    Some(joined.select(out.map(col): _*))
   }
 }
 

@@ -194,8 +194,10 @@ final class Repository(
   /** The report extraction: events range-joined into window/trials (J4),
     * time rebased, classes attached via the neurons join
     * (reference: extract/spikes.py:19-56, soma_report.py:42-53).
-    * Windows and neurons-per-class are small → broadcast; the event table
-    * is the only big side and shuffles once for the terminal consumer.
+    * Windows are genuinely tiny (sims × windows × trials) → broadcast
+    * hint. Neurons are NOT hinted: usually thousands of rows, but a
+    * no-limit class over a 100× campaign can be millions — AQE broadcasts
+    * at runtime when the measured size is small and shuffles otherwise.
     */
   lazy val report: DataFrame = {
     val events = if (cfg.reportType == "spikes") allSpikes else allFrames
@@ -217,7 +219,7 @@ final class Repository(
         col("w.window").as("window"), col("w.trial").as("trial"),
         (col("e.time") - col("w.offset")).as("time"), col("e.gid").as("gid")) ++
         extra.map(n => col(s"e.$n").as(n)): _*)
-      .join(broadcast(neurons.select("circuit_id", "neuron_class", "gid")),
+      .join(neurons.select("circuit_id", "neuron_class", "gid"),
         Seq("circuit_id", "gid"))
       .select(
         (Seq("simulation_id", "circuit_id", "neuron_class", "window", "trial", "time", "gid") ++

@@ -34,9 +34,70 @@ class BulkScanSpec extends SparkSuite {
       .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(bySim(0) === ((1.0, 20.0)))
     assert(bySim(1) === ((101.0, 120.0)))
-    // (b) single scan in the plan
-    val scans = "FileScan|BatchScan".r.findAllIn(
-      bulk.queryExecution.executedPlan.toString).size
-    assert(scans === 1, bulk.queryExecution.executedPlan.toString)
+    // (b) single scan in the plan, and the file→sim mapping is an
+    // equi-join (a startsWith theta-join would plan a nested loop doing
+    // O(#sims) prefix tests per event)
+    val plan = bulk.queryExecution.executedPlan.toString
+    val scans = "FileScan|BatchScan".r.findAllIn(plan).size
+    assert(scans === 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("mixed campaign: flat-dir sim and plain-file sim both map") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bulk-mixed").toString
+    // sim A: flat parquet directory
+    (1 to 20).map(k => (k * 1.0, k.toLong)).toDF("time", "gid")
+      .write.mode("overwrite").parquet(s"$dir/simA")
+    // sim B: one plain parquet FILE (not a directory)
+    (1 to 10).map(k => (1000.0 + k, k.toLong)).toDF("time", "gid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/simB_dir")
+    val bFile = new java.io.File(s"$dir/simB_dir").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val sims = Seq((0, 0, s"$dir/simA"), (1, 0, bFile))
+    val bulk = new ParquetAdapter().spikesBulk(spark, sims).get
+    val bySim = bulk.groupBy("simulation_id")
+      .agg(count(lit(1)).as("n"), min("time"), max("time")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(bySim(0) === ((20L, 1.0, 20.0)))
+    assert(bySim(1) === ((10L, 1001.0, 1010.0)))
+    assert(!bulk.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hive-partitioned sim falls back to the union path (bulk = None)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bulk-part").toString
+    (1 to 20).map(k => (k * 1.0, k.toLong, k % 2)).toDF("time", "gid", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(s"$dir/simA")
+    // Spark's multi-path read rejects mixed directory structures, so the
+    // adapter must decline the bulk scan rather than fail at read time
+    assert(new ParquetAdapter().spikesBulk(spark, Seq((0, 0, s"$dir/simA"))).isEmpty)
+  }
+
+  test("report neurons join is not force-broadcast (AQE decides)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bulk-hint").toString
+    Seq((10.0, 0L), (20.0, 1L), (30.0, 0L)).toDF("time", "gid")
+      .write.mode("overwrite").parquet(s"$dir/sim0")
+    Seq(0L, 1L).toDF("gid").write.mode("overwrite").parquet(s"$dir/nodes")
+    val campaign = Campaign("hint", dir, Map.empty, Seq(
+      Map("simulation_path" -> "sim0", "circuit_path" -> s"$dir/nodes")))
+    val cfg = SingleAnalysisConfig(
+      name = "h", reportType = "spikes",
+      windows = Map("w" -> WindowSpec(bounds = (0.0, 100.0))),
+      neuronClasses = Map("all" -> NeuronClassSpec()),
+      features = Nil)
+    val repo = new Repository(spark, campaign, cfg, new ParquetAdapter)
+    // with auto-broadcast disabled, an unhinted neurons join must plan as
+    // a shuffle join (the old forced broadcast would ignore the threshold);
+    // the windows range join keeps its hint and stays broadcast
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = repo.report.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"neurons join still force-broadcast:\n$plan")
+    } finally spark.conf.set(key, saved)
   }
 }
