@@ -85,9 +85,14 @@ final case class Campaign(
     pathPrefix: String,
     attrs: Map[String, Any],
     rows: Seq[Map[String, Any]]) {
+  /** Absolute simulation paths. Excluded sims (empty path) and remote URLs
+    * are kept verbatim, never prefixed (reference:
+    * campaign/config.py:23-32 — "do not convert excluded simulations").
+    */
   def resolvedPaths: Seq[String] = rows.map { r =>
     val p = r.getOrElse("simulation_path", "").toString
-    if (p.startsWith("/") || pathPrefix.isEmpty) p else s"$pathPrefix/$p"
+    if (p.isEmpty || p.startsWith("https://") || p.startsWith("/") || pathPrefix.isEmpty) p
+    else s"$pathPrefix/$p"
   }
 }
 
@@ -114,15 +119,86 @@ object ConfigIO {
     md.digest(canonical(v).getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Load a campaign file in either supported format (reference:
+    * campaign/config.py:164-186): the native "blueetl" row format
+    * (`data:` = list of condition dicts), or the xarray-dict format
+    * exported by campaign-generation workflows — detected, as in the
+    * reference, by its exact key set {name, attrs, data, dims, coords}.
+    */
   def loadCampaign(path: String): Campaign = {
     val m = loadMap(path)
+    if (m.keySet == Set("name", "attrs", "data", "dims", "coords")) xarrayCampaign(m)
+    else {
+      val attrs = m.getOrElse("attrs", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+      Campaign(
+        name = m.getOrElse("name", "").toString,
+        pathPrefix = attrs.getOrElse("path_prefix", m.getOrElse("path_prefix", "")).toString,
+        attrs = attrs,
+        rows = m.getOrElse("data", Seq.empty[Any]).asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]))
+    }
+  }
+
+  /** The xarray-dict campaign (reference: campaign/config.py:208-267).
+    * Two coordinate layouts exist:
+    *
+    *  - PRODUCT (GenerateSimulationCampaign): every dim has its own
+    *    dimension coordinate; simulations are the row-major cartesian
+    *    product of the coordinate values and `data` is the equally-shaped
+    *    nested list of paths (missing/excluded cells are empty).
+    *  - COUPLED (GenerateCoupledCoordsSimulationCampaign): one synthetic
+    *    dim (e.g. "coupled"); the condition coordinates are NON-dimension
+    *    coords all varying along it, and `data` is the flat path list —
+    *    row i takes coord value i of every condition. Marked with
+    *    `__coupled__` in attrs, like the reference, for round-tripping.
+    *
+    * Unlike the reference we do not append a simulator config filename to
+    * each path: graft adapters take the simulation root path directly
+    * (the filename is simulator-format-specific, adapters/base.py).
+    */
+  private def xarrayCampaign(m: Map[String, Any]): Campaign = {
     val attrs = m.getOrElse("attrs", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+    val dims = m.getOrElse("dims", Seq.empty[Any]).asInstanceOf[Seq[Any]].map(_.toString)
+    val coords = m.getOrElse("coords", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+      .map { case (k, v) =>
+        val cm = v.asInstanceOf[Map[String, Any]]
+        k -> cm.getOrElse("data", Seq.empty[Any]).asInstanceOf[Seq[Any]]
+      }
+    def leafPath(v: Any): String = Option(v).map(_.toString).getOrElse("")
+    def flatten(v: Any): Seq[Any] = v match {
+      case s: Seq[_] => s.flatMap(flatten)
+      case other => Seq(other)
+    }
+    val nonDimCoords = coords.view.filterKeys(!dims.contains(_)).toSeq.sortBy(_._1)
+    val rows: Seq[Map[String, Any]] =
+      if (nonDimCoords.nonEmpty) {
+        // coupled: one row per entry of the single dim
+        val paths = flatten(m.getOrElse("data", Seq.empty[Any]))
+        paths.indices.map { i =>
+          nonDimCoords.map { case (k, vs) => k -> vs(i) }.toMap +
+            ("simulation_path" -> leafPath(paths(i)))
+        }
+      } else {
+        // product: row-major cartesian of the dimension coordinates (last
+        // dim varies fastest), matching the C-order flatten of `data`
+        val axes = dims.map(d => coords.getOrElse(d, Seq.empty))
+        val combos = axes.foldLeft(Seq(Seq.empty[Any]))((acc, ax) =>
+          acc.flatMap(c => ax.map(c :+ _)))
+        val paths = flatten(m.getOrElse("data", Seq.empty[Any]))
+        require(paths.length == combos.length,
+          s"xarray campaign: data has ${paths.length} cells but coords imply ${combos.length}")
+        combos.zip(paths).map { case (cond, p) =>
+          dims.zip(cond).toMap + ("simulation_path" -> leafPath(p))
+        }
+      }
+    val outAttrs =
+      if (nonDimCoords.nonEmpty) attrs + ("__coupled__" -> dims.headOption.getOrElse("coupled"))
+      else attrs
     Campaign(
       name = m.getOrElse("name", "").toString,
-      pathPrefix = attrs.getOrElse("path_prefix", m.getOrElse("path_prefix", "")).toString,
-      attrs = attrs,
-      rows = m.getOrElse("data", Seq.empty[Any]).asInstanceOf[Seq[Any]]
-        .map(_.asInstanceOf[Map[String, Any]]))
+      pathPrefix = attrs.getOrElse("path_prefix", "").toString,
+      attrs = outAttrs,
+      rows = rows)
   }
 
   def loadAnalysis(path: String): MultiAnalysisConfig = fromMap(loadMap(path))
