@@ -14,7 +14,11 @@ import java.nio.file.{Files, Paths}
 
 /** One analysis window family: bounds relative to an offset, with optional
   * repeated trials (reference: src/blueetl/extract/windows.py:166-217 —
-  * trial k starts at initial_offset + k*trial_steps_value).
+  * trial k starts at initial_offset + k*trial_steps_value, or at
+  * initial_offset + trial_steps_list(k) when the explicit list is given).
+  * `trialStepsLabel` references a named [[TrialStepsSpec]] whose function
+  * adds a per-simulation dynamic offset to every trial
+  * (reference: config/analysis_model.py:82-100, extract/windows.py:168-187).
   */
 final case class WindowSpec(
     bounds: (Double, Double),
@@ -25,10 +29,38 @@ final case class WindowSpec(
     /** Frame-report subsampling step (S3 — reference:
       * extract/soma_report.py:42-45 `t_step`); 0 = keep every sample.
       */
-    tStep: Double = 0.0) {
+    tStep: Double = 0.0,
+    trialStepsList: Seq[Double] = Nil,
+    trialStepsLabel: String = "") {
   require(nTrials >= 1, "n_trials >= 1")
+  // reference validation rules (analysis_model.py:92-99)
+  require(
+    trialStepsList.isEmpty || (nTrials == 1 && trialStepsValue == 0.0),
+    "trial_steps_list cannot be set with n_trials or trial_steps_value")
+  require(
+    nTrials <= 1 || trialStepsValue != 0.0,
+    "trial_steps_value cannot be 0 when n_trials > 1")
   def duration: Double = bounds._2 - bounds._1
+  /** Per-trial offsets relative to initial_offset, list taking precedence
+    * (reference: extract/windows.py:176-179).
+    */
+  def stepOffsets: Seq[Double] =
+    if (trialStepsList.nonEmpty) trialStepsList
+    else (0 until nTrials).map(_ * trialStepsValue)
 }
+
+/** A named trial-steps computation (reference: analysis_model.py:102-127
+  * TrialStepsConfig): `function` resolves to a [[TrialStepsFn]] computing a
+  * per-simulation dynamic offset from the spikes inside `bounds`, optionally
+  * scoped to a node set / deterministic limit. Extra keys land in `params`
+  * for the function (`initial_offset` is forbidden, as in the reference).
+  */
+final case class TrialStepsSpec(
+    function: String,
+    bounds: (Double, Double),
+    nodeSet: Option[String] = None,
+    limit: Option[Int] = None,
+    params: Map[String, Any] = Map.empty)
 
 /** A neuron class: a P1 filter over node properties, optional explicit id
   * intersection, optional deterministic sample limit
@@ -68,7 +100,9 @@ final case class SingleAnalysisConfig(
       */
     windowRefs: Map[String, String] = Map.empty,
     /** Extra node-sets JSON file merged over the circuit's own (S6). */
-    nodeSetsFile: Option[String] = None)
+    nodeSetsFile: Option[String] = None,
+    /** Named trial-steps configs referenced by window trial_steps_label. */
+    trialSteps: Map[String, TrialStepsSpec] = Map.empty)
 
 final case class MultiAnalysisConfig(
     campaignPath: String,
@@ -220,14 +254,45 @@ object ConfigIO {
         val windows = allWindows.collect { case (wn, wraw: Map[_, _]) =>
             val w = wraw.asInstanceOf[Map[String, Any]]
             val bounds = w("bounds").asInstanceOf[Seq[Any]].map(num)
+            val stepsList = w.get("trial_steps_list")
+              .map(_.asInstanceOf[Seq[Any]].map(num)).getOrElse(Nil)
+            // reference mutual-exclusion rule, checked on the RAW keys so an
+            // explicit n_trials/trial_steps_value is rejected even at its
+            // default value (analysis_model.py:92-96)
+            if (stepsList.nonEmpty &&
+              (w.contains("n_trials") || w.contains("trial_steps_value")))
+              throw new IllegalArgumentException(
+                s"window '$wn': trial_steps_list cannot be set with n_trials or trial_steps_value")
             wn -> WindowSpec(
               bounds = (bounds(0), bounds(1)),
               initialOffset = w.get("initial_offset").map(num).getOrElse(0.0),
               nTrials = w.get("n_trials").map(num(_).toInt).getOrElse(1),
               trialStepsValue = w.get("trial_steps_value").map(num).getOrElse(0.0),
               windowType = str(w.getOrElse("window_type", "")),
-              tStep = w.get("t_step").map(num).getOrElse(0.0))
+              tStep = w.get("t_step").map(num).getOrElse(0.0),
+              trialStepsList = stepsList,
+              trialStepsLabel = str(w.getOrElse("trial_steps_label", "")))
           }
+        val trialSteps = ex.getOrElse("trial_steps", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].map { case (tn, traw) =>
+            val t = traw.asInstanceOf[Map[String, Any]]
+            if (t.contains("initial_offset")) // analysis_model.py:108-127
+              throw new IllegalArgumentException(
+                s"trial_steps '$tn': forbidden extra fields: initial_offset")
+            val b = t("bounds").asInstanceOf[Seq[Any]].map(num)
+            val known = Set("function", "bounds", "population", "node_set",
+              "node_sets_file", "node_sets_checksum", "limit", "base_path")
+            tn -> TrialStepsSpec(
+              function = str(t("function")),
+              bounds = (b(0), b(1)),
+              nodeSet = t.get("node_set").filter(_ != null).map(_.toString),
+              limit = t.get("limit").filter(_ != null).map(num(_).toInt),
+              params = t.view.filterKeys(!known.contains(_)).toMap)
+          }
+        for ((wn, w) <- windows if w.trialStepsLabel.nonEmpty)
+          if (!trialSteps.contains(w.trialStepsLabel))
+            throw new IllegalArgumentException(
+              s"window '$wn' references unknown trial_steps '${w.trialStepsLabel}'")
         val classes = ex.getOrElse("neuron_classes", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]].map { case (cn, craw) =>
             val c = craw.asInstanceOf[Map[String, Any]]
@@ -263,7 +328,8 @@ object ConfigIO {
           limit = ex.get("limit").filter(_ != null).map(num(_).toInt),
           seed = m.get("seed").map(num(_).toLong).getOrElse(0L),
           windowRefs = windowRefs,
-          nodeSetsFile = ex.get("node_sets_file").filter(_ != null).map(_.toString))
+          nodeSetsFile = ex.get("node_sets_file").filter(_ != null).map(_.toString),
+          trialSteps = trialSteps)
       }
     MultiAnalysisConfig(
       campaignPath = str(m.getOrElse("simulation_campaign", "")),

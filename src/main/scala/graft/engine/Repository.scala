@@ -111,16 +111,19 @@ final class Repository(
   }
 
   /** Per-simulation window/trial rows. Static trials shift by
-    * trial_steps_value; `window_type = "dynamic_onset"` adds a per-
-    * simulation onset offset detected from the spikes themselves (the
-    * data-dependent two-phase plan of SURVEY §7.4; reference:
-    * extract/windows.py:78-111 + external/bnac/calculate_trial_step.py).
+    * trial_steps_value or take explicit `trial_steps_list` offsets;
+    * `window_type = "dynamic_onset"` adds a per-simulation onset offset
+    * detected from the spikes themselves (the data-dependent two-phase plan
+    * of SURVEY §7.4; reference: extract/windows.py:78-111 +
+    * external/bnac/calculate_trial_step.py); windows with a
+    * `trial_steps_label` add the per-simulation offset computed by the
+    * named [[TrialStepsFn]].
     */
   lazy val windows: DataFrame = {
     import spark.implicits._
     val trialRows = cfg.windows.toSeq.sortBy(_._1).flatMap { case (wn, w) =>
-      (0 until w.nTrials).map { k =>
-        (wn, k, w.initialOffset + k * w.trialStepsValue,
+      w.stepOffsets.zipWithIndex.map { case (off, k) =>
+        (wn, k, w.initialOffset + off,
           w.bounds._1, w.bounds._2, w.duration, w.windowType, w.tStep)
       }
     }
@@ -129,9 +132,36 @@ final class Repository(
         "t_step")
     val base = simulations.select("simulation_id", "circuit_id")
       .crossJoin(broadcast(wdf))
+    val labeled = cfg.windows.toSeq.sortBy(_._1).filter(_._2.trialStepsLabel.nonEmpty)
+    val withDynamic = labeled.foldLeft(base) { case (df, (wn, w)) =>
+      val ts = cfg.trialSteps.getOrElse(w.trialStepsLabel,
+        throw new IllegalArgumentException(
+          s"window '$wn' references unknown trial_steps '${w.trialStepsLabel}'"))
+      val fn = TrialStepsFns.resolve(ts.function)
+      val stepsDf = broadcast(
+        w.stepOffsets.zipWithIndex
+          .map { case (off, k) => (k, w.initialOffset + off) }
+          .toDF("step", "step_base"))
+      // spikes inside the trial-steps bounds for each step, rebased to the
+      // step's own offset (reference: extract/windows.py:58-75)
+      val spk = trialStepsSpikes(ts).join(stepsDf,
+        col("time") >= col("step_base") + ts.bounds._1 &&
+          col("time") < col("step_base") + ts.bounds._2)
+        .select(col("simulation_id"), col("step"),
+          (col("time") - col("step_base")).as("time"))
+      val dyn = fn.compute(spark, spk, ts)
+        .select(col("simulation_id"),
+          col("dynamic_offset").cast("double").as("_dyn"))
+      df.join(broadcast(dyn), Seq("simulation_id"), "left")
+        .withColumn("offset",
+          when(col("window") === wn, col("offset") + coalesce(col("_dyn"), lit(0.0)))
+            .otherwise(col("offset")))
+        .drop("_dyn")
+    }
     val needsOnset = cfg.windows.values.exists(_.windowType == "dynamic_onset")
-    if (!needsOnset) base
+    if (!needsOnset) withDynamic
     else {
+      val base = withDynamic
       // Phase 1: per-simulation onset scalar = first time-bin (width = the
       // window's duration/100) whose spike count exceeds mean+2σ of the
       // first 25 bins. Collected driver-side, then joined back (tiny).
@@ -154,6 +184,27 @@ final class Repository(
         .drop("onset")
     }
   }
+
+  /** Spikes visible to a trial-steps function: all spikes, or the
+    * node-set/limit-scoped subset (reference: extract/windows.py:24-55
+    * `_load_dynamic_gids` — same node_set + deterministic limit semantics
+    * as neuron classes, semi-joined against the events).
+    */
+  private def trialStepsSpikes(ts: TrialStepsSpec): DataFrame =
+    if (ts.nodeSet.isEmpty && ts.limit.isEmpty) allSpikes
+    else {
+      val gids = circuits.map { case (cid, cpath) =>
+        val nodes = adapter.nodes(spark, cpath)
+        val scoped = ts.nodeSet.map(nodeSets.select(_, nodes)).getOrElse(nodes)
+        val limited = ts.limit.map { n =>
+          scoped
+            .withColumn("_rk", md5(concat(col("gid").cast("string"), lit(":" + cfg.seed))))
+            .orderBy(col("_rk"), col("gid")).limit(n).drop("_rk")
+        }.getOrElse(scoped)
+        limited.select(lit(cid).as("circuit_id"), col("gid"))
+      }.reduce(_ unionByName _)
+      allSpikes.join(broadcast(gids), Seq("circuit_id", "gid"), "left_semi")
+    }
 
   /** All simulations' spike events tagged with ids — the per-subprocess
     * materialization of the reference (extract/report.py:126-158). Bulk

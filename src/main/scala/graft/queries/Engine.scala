@@ -175,6 +175,57 @@ object Engine {
           "circuit_path" -> s"$dir/events.parquet")))
       new Analyzer(s, somaCfg, campaign, new EventsAdapter, QTrue, None)
         .calculateFeatures()("by_group")
+    },
+
+    // trial_steps_list windows + a named trial-steps function
+    // (mean_first_spike): the full facade with explicit per-trial offsets
+    // and a per-simulation dynamic offset, both replicated by the oracle
+    GQuery(
+      "e5_engine_trial_steps",
+      s"""WITH spikes AS (
+         |  SELECT CAST(epoch_us(ts) - $Origin AS DOUBLE) AS time, user_id AS gid FROM events),
+         |nodes AS (SELECT DISTINCT gid FROM spikes),
+         |classes AS (
+         |  SELECT gid, CASE WHEN gid % 2 = 0 THEN 'even' ELSE 'odd' END AS neuron_class
+         |  FROM nodes),
+         |dyn AS (
+         |  SELECT min(time) AS d FROM spikes
+         |  WHERE time >= CAST(0 AS DOUBLE) AND time < CAST(${2 * H} AS DOUBLE)),
+         |wins AS (
+         |  SELECT * FROM (VALUES
+         |    ('wlist', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('wlist', 1, CAST(${D / 2} AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('wlist', 2, CAST(${3 * D} AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE))
+         |  ) AS w(win, trial, w_offset, t_start, t_stop)
+         |  UNION ALL
+         |  SELECT 'wdyn', 0, (SELECT d FROM dyn), CAST(0 AS DOUBLE), CAST(${6 * H} AS DOUBLE))
+         |SELECT 0 AS simulation_id, 0 AS circuit_id, c.neuron_class, w.win AS window,
+         |  w.trial, s.time - w.w_offset AS time, s.gid
+         |FROM spikes s
+         |JOIN wins w ON s.time >= w.w_offset + w.t_start AND s.time < w.w_offset + w.t_stop
+         |JOIN classes c ON c.gid = s.gid""".stripMargin) { (s, dir) =>
+      val cfg = SingleAnalysisConfig(
+        name = "trial-steps",
+        reportType = "spikes",
+        windows = Map(
+          "wlist" -> WindowSpec(
+            bounds = (0.0, 12.0 * H),
+            trialStepsList = Seq(0.0, D / 2.0, 3.0 * D)),
+          "wdyn" -> WindowSpec(
+            bounds = (0.0, 6.0 * H), trialStepsLabel = "align")),
+        neuronClasses = Map(
+          "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+          "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+        features = Nil,
+        trialSteps = Map(
+          "align" -> TrialStepsSpec(
+            function = "mean_first_spike", bounds = (0.0, 2.0 * H))))
+      val campaign = Campaign(
+        name = "testdata", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(Map(
+          "simulation_path" -> "events.parquet",
+          "circuit_path" -> s"$dir/events.parquet")))
+      new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None).report
     }
   )
 }
