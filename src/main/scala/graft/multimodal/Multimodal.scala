@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * of `mapInPandas` — one imperative loop per partition, vectorizable
   * batch shape, explicit output schema).
   *
-  * The actual codecs are NOT in this container, so the decode kernel is a
-  * clearly-marked STUB (`decodeReal`) plus a deterministic fake
-  * (`fakeDecode`) driven by the payload's md5 — which keeps the entire
-  * Spark-side plumbing (binary columns, schema, partition batching,
-  * explode of per-frame rows) real and testable, and lets the DuckDB
-  * oracle replicate the fake bit-for-bit.
+  * Decode tiers:
+  *  - IMAGES are decoded for real via `javax.imageio` (PNG/BMP/GIF/JPEG —
+  *    in the JDK, zero extra dependencies): [[decodeReal]],
+  *    [[decodeMetaReal]], exercised end-to-end by the m3 oracle query.
+  *  - AUDIO/VIDEO codecs are NOT in this container; those mimes throw from
+  *    [[decodeReal]], and the deterministic fake ([[fakeDecode]], driven by
+  *    the payload's md5) stands in so the frame-sampling plumbing stays
+  *    real and the DuckDB oracle can replicate it bit-for-bit.
   *
   * Scale notes: payload bytes never shuffle — metadata extraction is
   * map-side (mapPartitions), and downstream joins/aggs operate on the
@@ -24,11 +26,61 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** REAL decode entry point — requires an image/audio codec library.
-    * Deliberately unimplemented in this environment.
+  /** Real decode: image payloads through `javax.imageio`. Audio/video
+    * would plug in here (ffmpeg/soundfile bindings) — unsupported in this
+    * build and rejected loudly rather than faked.
     */
-  def decodeReal(payload: Array[Byte], mime: String): Map[String, Any] =
-    ??? // STUB: plug javax.imageio / ffmpeg / soundfile here
+  def decodeReal(payload: Array[Byte], mime: String): Map[String, Any] = {
+    require(mime.startsWith("image/"),
+      s"no codec for '$mime' in this build (javax.imageio images only)")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    Map(
+      "width" -> img.getWidth, "height" -> img.getHeight,
+      "channels" -> img.getColorModel.getNumComponents, "n_frames" -> 1)
+  }
+
+  /** Deterministic synthetic PNG: `width`×`height` RGB, pixels from a
+    * simple arithmetic hash of (seed, x, y). Real bytes through the real
+    * encoder — what the m3 oracle decodes back.
+    */
+  def pngPayload(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (seed * 31 + x * 7 + y * 131).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val realMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("channels", IntegerType)))
+
+  /** Per-partition REAL image decode → (doc_id, width, height, channels).
+    * In-memory decode only (ImageIO's disk cache off — no tmp-file churn
+    * inside executors).
+    */
+  def decodeMetaReal(bin: DataFrame, mime: String = "image/png"): DataFrame = {
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(realMetaSchema))
+    val idIdx = bin.schema.fieldIndex("doc_id")
+    val payIdx = bin.schema.fieldIndex("payload")
+    bin.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val m = decodeReal(r.getAs[Array[Byte]](payIdx), mime)
+        Row(r.getLong(idIdx), m("width"), m("height"), m("channels"))
+      }
+    }(enc).toDF()
+  }
 
   /** Deterministic fake decode: metadata derived from md5(payload).
     * width = 32 + 8*d0, height = 32 + 8*d1, channels = 1 + d2 % 3,
@@ -51,6 +103,29 @@ object Multimodal {
       struct(
         lit("image/fake").as("mime"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  private val binSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("payload", BinaryType)))
+
+  /** Real PNG payloads with dimensions derived from the doc row
+    * (width = 16 + n_chars % 32, height = 16 + doc_id % 24) — gives the
+    * decode path an oracle: DuckDB recomputes the dims arithmetically
+    * while Spark round-trips them through the actual PNG codec.
+    * Input must have (doc_id: long, n_chars: long).
+    */
+  def syntheticPngTable(docs: DataFrame): DataFrame = {
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(binSchema))
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val ncIdx = docs.schema.fieldIndex("n_chars")
+    docs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val nc = r.getLong(ncIdx)
+        Row(id, pngPayload((16 + nc % 32).toInt, (16 + id % 24).toInt, id))
+      }
+    }(enc).toDF()
+  }
 
   private val metaSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("width", IntegerType),

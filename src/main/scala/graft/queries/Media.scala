@@ -35,6 +35,24 @@ object Media {
          |    unnest(generate_series(0, 2 + (${hx(3)}) % 4 - 1)) AS i
          |  FROM documents)""".stripMargin) { (s, dir) =>
       Multimodal.sampleFrames(Multimodal.asBinaryTable(Tables.documents(s, dir)))
+    },
+
+    // REAL image decode: synthesize PNG bytes with dims derived from doc
+    // fields, decode them back through javax.imageio — the oracle
+    // recomputes the dims arithmetically, so the whole encode→decode
+    // round-trip is hash-gated
+    GQuery(
+      "m3_decode_png",
+      """SELECT doc_id,
+        |  CAST(16 + n_chars % 32 AS INT) AS width,
+        |  CAST(16 + doc_id % 24 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      Multimodal.decodeMetaReal(
+        Multimodal.syntheticPngTable(
+          Tables.documents(s, dir)
+            .select(col("doc_id").cast("long"), col("n_chars").cast("long"))))
     }
   )
 }
