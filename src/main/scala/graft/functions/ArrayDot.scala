@@ -89,7 +89,12 @@ object GraftFunctions {
     (
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1))),
+    (
+      FunctionIdentifier("vp_distance"),
+      new ExpressionInfo(classOf[VictorPurpuraDistance].getName, "vp_distance"),
+      (children: Seq[Expression]) =>
+        VictorPurpuraDistance(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>

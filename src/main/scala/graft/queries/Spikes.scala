@@ -530,13 +530,12 @@ object Spikes {
     },
 
     // ---- A16 (other half): Victor-Purpura distance — imperative DP kernel
-    // as a UDF over collected per-gid trains (no SQL oracle: the driver
-    // records a rows-only check; the kernel is unit-tested against brute
-    // force in VictorPurpuraSpec). q = 1/(1h). ----
+    // surfaced as the codegen vp_distance Expression over collected per-gid
+    // trains (no boxed UDF in the plan; no SQL oracle: the driver records a
+    // rows-only check; the kernel is unit-tested against brute force in
+    // VictorPurpuraSpec). q = 1/(1h). ----
     GQuery.noOracle("a16b_victor_purpura") { (s, dir) =>
-      val vpUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-        graft.functions.VictorPurpura.distance(a.toArray, b.toArray, 1.0 / 3600000000.0)
-      }
+      graft.functions.GraftFunctions.register(s)
       val trains = assigned(s, dir)
         .filter(col("win") === "full" && col("gid") <= 6)
         .groupBy("gid")
@@ -545,7 +544,7 @@ object Spikes {
       trains.join(t2, col("gid") < col("gid2"))
         .select(
           col("gid").as("gid1"), col("gid2"),
-          vpUdf(col("train"), col("train2")).as("vp"))
+          expr(s"vp_distance(train, train2, ${1.0 / 3600000000.0}d)").as("vp"))
     },
 
     // ---- Streaming extension, batch form: tumbling event-time window.
