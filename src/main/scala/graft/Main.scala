@@ -31,6 +31,16 @@ object Main {
       } finally { ma.close(); spark.stop() }
 
     case "validate-config" :: cfgPath :: Nil =>
+      // structural pass first: every unknown key / wrong type / missing
+      // required field reported at once (reference: validation.py:24-47)
+      val violations = Validation.validateAnalysis(ConfigIO.loadMap(cfgPath))
+      if (violations.nonEmpty) {
+        System.err.println("invalid configuration:")
+        violations.zipWithIndex.foreach { case (v, i) =>
+          System.err.println(s"  ${i + 1}: $v")
+        }
+        sys.exit(1)
+      }
       val cfg = ConfigIO.loadAnalysis(cfgPath)
       println(s"campaign: ${cfg.campaignPath}")
       println(s"output:   ${cfg.output}")

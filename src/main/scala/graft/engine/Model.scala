@@ -235,7 +235,16 @@ object ConfigIO {
       rows = rows)
   }
 
-  def loadAnalysis(path: String): MultiAnalysisConfig = fromMap(loadMap(path))
+  /** Load + structurally validate an analysis config (reference:
+    * apps/run.py validates against the jsonschema before building models;
+    * Validation.scala is the graft analog). All violations are reported at
+    * once; only a valid map reaches the model builder.
+    */
+  def loadAnalysis(path: String): MultiAnalysisConfig = {
+    val m = loadMap(path)
+    Validation.requireValid(m)
+    fromMap(m)
+  }
 
   def fromMap(m: Map[String, Any]): MultiAnalysisConfig = {
     def str(v: Any): String = Option(v).map(_.toString).getOrElse("")
