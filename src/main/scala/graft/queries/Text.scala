@@ -81,14 +81,20 @@ object Text {
     Lsh.cappedPairs(lshBuckets(sh), "doc_id", "doc1", "doc2", "graft_lsh_text")
 
   /** The 3-gram shingle frame persisted for multi-use plans (t7/t9 scan it
-    * four times: candidates, both sides of the intersection join, and the
-    * per-doc counts). MEMORY_AND_DISK: at 100 TB the executors keep what
-    * fits and spill the rest — still strictly cheaper than four full
+    * four times EACH: candidates, both sides of the intersection join, and
+    * the per-doc counts). MEMORY_AND_DISK: at 100 TB the executors keep
+    * what fits and spill the rest — still strictly cheaper than four full
     * scan+explode+distinct passes over the corpus; recomputation (the frame
     * is map-side-derivable) remains the fallback if an executor is lost.
+    * Memoized per (session, dir) so repeated builds (t7 then t9, or
+    * repeated runs in one session) share ONE persisted copy instead of
+    * stacking fresh InMemoryRelations in the block manager.
     */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def persistedShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleCache.getOrElseUpdate((s, dir),
+      shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val lshSql =
     s"""${shinglesSql(3)},
