@@ -304,6 +304,95 @@ object Text {
           .select("doc_id", "lang", "source")
     },
 
+    // ---- Passage-level exact dedup: fixed 20-word chunks hashed and
+    // deduplicated ACROSS documents (the sub-document granularity real
+    // pretraining dedup runs at — boilerplate repeats inside otherwise
+    // unique pages). Chunking is map-side; one groupBy on the passage hash. ----
+    GQuery(
+      "t10_passage_dedup",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(0, CAST(ceil(len(ts) / 20.0) AS INT) - 1)) AS i
+        |  FROM toks),
+        |p AS (SELECT doc_id, i,
+        |  array_to_string(ts[i*20+1 : i*20+20], ' ') AS passage FROM idx)
+        |SELECT md5(passage) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM p GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(ts) / 20.0) as int) - 1),
+            |  i -> concat_ws(' ', slice(ts, i*20+1, 20)))""".stripMargin))
+          .as(Seq("i", "passage")))
+        .groupBy(md5(col("passage")).as("h"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- Near-dup CLUSTERS: connected components over the confirmed-pair
+    // graph (jaccard ≥ 0.8 on LSH candidates), labeled by the component's
+    // minimum doc_id. Iterative min-label propagation — the Pregel pattern:
+    // each round is one join+groupBy, rounds = graph diameter (near-dup
+    // components are shallow), lineage cut per round via localCheckpoint.
+    // This is what turns t9's pairwise losers into proper dedup groups. ----
+    GQuery(
+      "t11_dedup_clusters",
+      s"""WITH RECURSIVE $lshSql,
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS ic
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc1
+         |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+         |  GROUP BY c.doc1, c.doc2),
+         |pairs AS (
+         |  SELECT i.doc1, i.doc2 FROM inter i
+         |  JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
+         |  WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.8),
+         |ed AS (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs
+         |  UNION SELECT doc2, doc1 FROM pairs
+         |  UNION SELECT doc_id, doc_id FROM documents),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM ed
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN ed e ON e.a = r.dst)
+         |SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        val sh = persistedShingles(s, dir)
+        val cand = lshCandidates(sh)
+        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+        val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+        val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+        val pairs = inter
+          .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+          .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+          .filter(col("ic").cast("double") / (col("na") + col("nb") - col("ic")) >= 0.8)
+          .select("doc1", "doc2")
+        val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+          .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+          .localCheckpoint()
+        var labels = Tables.documents(s, dir)
+          .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val neigh = edges
+            .join(labels.select(col("doc_id").as("b"), col("label")), "b")
+            .groupBy(col("a").as("doc_id")).agg(min("label").as("nl"))
+          val next = labels.join(neigh, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+            .localCheckpoint()
+          changed = next
+            .join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(col("label") =!= col("old")).count()
+          labels = next
+        }
+        labels
+    },
+
     // ---- SimHash: 64-bit signature from token md5 bits, majority vote per
     // bit position, emitted as a 64-char bit string ----
     GQuery(

@@ -159,6 +159,48 @@ object Vectors {
           min("x").as("mn"), max("x").as("mx"))
     },
 
+    // ---- int8 scalar quantization: per-dim [min, max] range → 256-level
+    // codes, with the per-dim reconstruction error (MSE in ppm) — the
+    // storage-reduction op an embedding corpus runs before ANN serving.
+    // Two aggregations: range scan, then error rollup on the codes; the
+    // error mean goes through decimal (order-independent) like every
+    // hash-compared double mean. ----
+    GQuery(
+      "v6_quantize_error",
+      """WITH x AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d
+        |  FROM embeddings),
+        |rng AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d
+        |  HAVING max(x) > min(x)),
+        |q AS (
+        |  SELECT x.d, x.x, rng.mn, rng.mx,
+        |    least(floor(((x.x - rng.mn) * 255.0) / (rng.mx - rng.mn)), 255) AS code
+        |  FROM x JOIN rng ON rng.d = x.d),
+        |r AS (
+        |  SELECT d, mn, mx,
+        |    (x - (mn + (code * (mx - mn)) / 255.0))
+        |      * (x - (mn + (code * (mx - mn)) / 255.0)) * 1000000.0 AS err6
+        |  FROM q)
+        |SELECT d, min(mn) AS mn, min(mx) AS mx,
+        |  CAST(SUM(CAST(err6 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(err6) AS mse_ppm
+        |FROM r GROUP BY d""".stripMargin) { (s, dir) =>
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val rng = x.groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+        .filter(col("mx") > col("mn"))
+      val code = least(
+        floor(((col("x") - col("mn")) * 255.0) / (col("mx") - col("mn"))), lit(255L))
+      val recon = col("mn") + (col("code") * (col("mx") - col("mn"))) / 255.0
+      x.join(broadcast(rng), "d")
+        .withColumn("code", code)
+        .withColumn("err6", (col("x") - recon) * (col("x") - recon) * 1000000.0)
+        .groupBy("d")
+        .agg(min("mn").as("mn"), min("mx").as("mx"), davg(col("err6")).as("mse_ppm"))
+    },
+
     // ---- IVF-style two-stage ANN: coarse-quantize queries to the nearest
     // label centroid, exact cosine only within that cell, top-3 ----
     GQuery(

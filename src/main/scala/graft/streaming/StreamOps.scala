@@ -54,6 +54,17 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("gid"), col("n"))
 
+  /** Streaming exact dedup: drop repeated keys across micro-batches with
+    * bounded state — dropDuplicatesWithinWatermark keeps each key only
+    * until the watermark passes it, so state is O(keys per watermark
+    * horizon), not O(all keys ever) (the streaming form of t1-style exact
+    * dedup; batch equivalent is dropDuplicates on the same keys).
+    */
+  def dedupeStream(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stateful sessionization via flatMapGroupsWithState-style API:
     * per-gid session = burst of events with gaps < `gapMicros`. Emits one
     * row per closed session (count, span). Demonstrates

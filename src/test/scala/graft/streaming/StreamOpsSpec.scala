@@ -44,6 +44,28 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicates across micro-batches are dropped") {
+    val src = Files.createTempDirectory("graft-dedup-src").toString
+    val ev = graft.Tables.spikes(spark, sf0001).limit(200)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    val stream = StreamOps.fileStream(spark, src)
+    val dedup = StreamOps.dedupeStream(stream, Seq("event_id"), "1 hour")
+      .select("event_id")
+    val q = dedup.writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // feed the SAME rows again as a second micro-batch: all duplicates,
+      // all inside the watermark horizon -> nothing new emitted
+      spark.read.parquet(src).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("dedup_test")
+      val batch = ev.dropDuplicates("event_id")
+      assert(got.count() === batch.count())
+      assert(got.select("event_id").except(batch.select("event_id")).count() === 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: streaming state matches batch plan for closed sessions") {
     val gap = 3600000000L // 1h in µs
     val ev = graft.Tables.spikes(spark, sf0001)
