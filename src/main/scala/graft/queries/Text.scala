@@ -96,6 +96,42 @@ object Text {
     shingleCache.getOrElseUpdate((s, dir),
       shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** LSH candidate pairs, persisted + memoized: t6 consumes them directly
+    * and [[scoredPairs]] builds on them (same cache policy as the shingle
+    * frame — one copy per (session, dir)).
+    */
+  private val candCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def persistedCandidates(s: SparkSession, dir: String): DataFrame =
+    candCache.getOrElseUpdate((s, dir),
+      lshCandidates(persistedShingles(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Jaccard-scored candidate pairs (doc1, doc2, jaccard) — the expensive
+    * shingle-intersection join computed ONCE and shared by t7 (≥0.5
+    * re-rank), t9 (≥0.8 survivors) and t11 (≥0.8 cluster edges). At 100 TB
+    * this is the dominant stage of the dedup pipeline; recomputing it per
+    * consumer would triple the corpus-scale join work.
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def scoredPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir), {
+      val sh = persistedShingles(s, dir)
+      val cand = persistedCandidates(s, dir)
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+      inter
+        .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+        .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+        .select(col("doc1"), col("doc2"),
+          (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private val lshSql =
     s"""${shinglesSql(3)},
        |mh AS (
@@ -229,7 +265,7 @@ object Text {
     GQuery(
       "t6_minhash_lsh_neardup",
       s"WITH $lshSql SELECT doc1, doc2 FROM cand") { (s, dir) =>
-      lshCandidates(shingles(s, dir, 3))
+      persistedCandidates(s, dir)
     },
 
     // ---- n-gram Jaccard re-rank of LSH candidates (exact similarity on
@@ -249,20 +285,7 @@ object Text {
          |FROM inter i
          |JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
          |WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.5""".stripMargin) { (s, dir) =>
-      val sh = persistedShingles(s, dir)
-      val cand = lshCandidates(sh)
-      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-      val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
-      val jac = col("ic").cast("double") /
-        (col("na") + col("nb") - col("ic"))
-      inter
-        .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
-        .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
-        .select(col("doc1"), col("doc2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+      scoredPairs(s, dir).filter(col("jaccard") >= 0.5)
     },
 
     // ---- Near-dup corpus filtering: drop the higher-id member of every
@@ -287,17 +310,7 @@ object Text {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)""".stripMargin) {
       (s, dir) =>
-        val sh = persistedShingles(s, dir)
-        val cand = lshCandidates(sh)
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
-        val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-        val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
-          .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
-        val losers = inter
-          .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
-          .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
-          .filter(col("ic").cast("double") / (col("na") + col("nb") - col("ic")) >= 0.8)
+        val losers = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
           .select(col("doc2").as("doc_id")).distinct()
         Tables.documents(s, dir)
           .join(losers, Seq("doc_id"), "left_anti")
@@ -359,17 +372,7 @@ object Text {
          |  SELECT r.src, e.b FROM reach r JOIN ed e ON e.a = r.dst)
          |SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY 1""".stripMargin) {
       (s, dir) =>
-        val sh = persistedShingles(s, dir)
-        val cand = lshCandidates(sh)
-        val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-        val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
-        val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-        val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
-          .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
-        val pairs = inter
-          .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
-          .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
-          .filter(col("ic").cast("double") / (col("na") + col("nb") - col("ic")) >= 0.8)
+        val pairs = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
           .select("doc1", "doc2")
         val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
           .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
