@@ -205,6 +205,16 @@ final class MultiAnalyzer(
   def extractRepo(): Unit = analyzers.values.foreach(_.extractRepo())
   def calculateFeatures(): Map[String, Map[String, DataFrame]] =
     analyzers.map { case (n, a) => n -> a.calculateFeatures() }
+
+  /** In-memory re-scope of every analysis (reference: analysis.py:126-145
+    * MultiAnalyzer.apply_filter): `extra` when given, else the config's
+    * `simulations_filter_in_memory`. Never written to cache.
+    */
+  def applyFilter(extra: QSpec = null): Map[String, FilteredAnalyzer] = {
+    val q = Option(extra).getOrElse(config.simulationsFilterInMemory)
+    analyzers.map { case (n, a) => n -> a.applyFilter(q) }
+  }
+
   def close(): Unit = analyzers.values.foreach(_.cache.foreach(_.close()))
 }
 

@@ -108,7 +108,13 @@ final case class MultiAnalysisConfig(
     campaignPath: String,
     output: String,
     simulationsFilter: QSpec,
-    analyses: Seq[SingleAnalysisConfig])
+    analyses: Seq[SingleAnalysisConfig],
+    /** The `simulations_filter_in_memory` key: applied by
+      * MultiAnalyzer.applyFilter() without touching the cache
+      * (reference: analysis.py:126-145, config key in
+      * schemas/analysis_config.yaml).
+      */
+    simulationsFilterInMemory: QSpec = QTrue)
 
 /** A simulation campaign: the flat table of conditions + simulation paths
   * (reference: src/blueetl/campaign/config.py:164-239 — both the native
@@ -344,6 +350,7 @@ object ConfigIO {
       campaignPath = str(m.getOrElse("simulation_campaign", "")),
       output = str(m.getOrElse("output", "")),
       simulationsFilter = Q.parse(m.getOrElse("simulations_filter", null)),
-      analyses = analyses)
+      analyses = analyses,
+      simulationsFilterInMemory = Q.parse(m.getOrElse("simulations_filter_in_memory", null)))
   }
 }

@@ -39,6 +39,7 @@ class AnalyzerSpec extends SparkSuite {
       s"""simulation_campaign: $dir/campaign.yaml
          |output: $dir/out
          |seed: 0
+         |simulations_filter_in_memory: {ca: 1.1}
          |analysis:
          |  spikes:
          |    extraction:
@@ -64,6 +65,15 @@ class AnalyzerSpec extends SparkSuite {
 
   private lazy val ma = MultiAnalyzer.fromFile(spark, s"$fixtureDir/analysis.yaml")
   private lazy val an = ma("spikes")
+
+  test("simulations_filter_in_memory: MultiAnalyzer.applyFilter() narrows by config") {
+    val filtered = ma.applyFilter()("spikes")
+    val sims = filtered.simulations.select("ca").collect().map(_.getDouble(0))
+    assert(sims.toSeq === Seq(1.1))
+    // explicit filter overrides the config key
+    val all = ma.applyFilter(graft.dsl.QTrue)("spikes")
+    assert(all.simulations.count() === 2)
+  }
 
   test("simulations: status filter drops the missing sim, conditions survive") {
     val sims = an.simulations.collect()
