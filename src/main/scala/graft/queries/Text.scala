@@ -396,6 +396,25 @@ object Text {
         labels
     },
 
+    // ---- Stratified deterministic sampling: the balanced per-language
+    // subsample a training-mix builder draws (seeded md5 rank per stratum,
+    // distributed top-k via one window over the stratum partition) ----
+    GQuery(
+      "t12_stratified_sample",
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":42"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+    },
+
     // ---- SimHash: 64-bit signature from token md5 bits, majority vote per
     // bit position, emitted as a 64-char bit string ----
     GQuery(

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits of representative queries: the properties that make
+  * the 100 TB path work must be visible in the plan, not assumed —
+  * predicate pushdown into the parquet scan, column pruning, broadcast of
+  * small dimensions, map-only shapes for per-row feature extraction, and
+  * whole-stage codegen coverage.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q1: filter pushed into the scan, columns pruned") {
+    // build a filtered variant the way q1's consumers do
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter(col("l_shipdate") <= "1998-09-02")
+      .select("l_returnflag", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate") ||
+      p.contains("l_shipdate"), p)
+    // pruned read schema: only the 3 referenced columns reach the scan
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 3, s"unpruned scan: $readSchema")
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("j1 join chain: small dimension tables broadcast") {
+    val p = plan("j1_join_chain")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("t2 token stats: map-only plan (no exchange at all)") {
+    val p = plan("t2_token_stats")
+    assert(!p.contains("Exchange"), s"per-row feature extraction must not shuffle:\n$p")
+  }
+
+  test("t1 exact dedup: exactly one exchange (the terminal groupBy)") {
+    val p = plan("t1_exact_dedup")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("a2 per-gid means: whole-stage codegen spans the aggregation") {
+    // AQE prints codegen spans only in the final (post-execution) plan
+    val df = SparkEntry.queries("a2_mean_rate_per_gid")(spark, sf0001)
+    df.collect() // count() would plan a separate query execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n) Operator" in the final adaptive plan
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("v1 brute-force knn: corpus side never shuffles (broadcast queries)") {
+    val p = plan("v1_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the only exchange is the top-k window by query id, not the corpus join
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+  }
+}
