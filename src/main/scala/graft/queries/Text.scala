@@ -415,6 +415,34 @@ object Text {
         .filter(col("rk") <= 20)
     },
 
+    // ---- Decontamination: flag corpus documents sharing word-3-gram
+    // shingles with a "benchmark" set (docs ≡ 0 mod 50 stand in for the
+    // eval set). The benchmark shingle set is bounded-small → broadcast
+    // hash join; the corpus side stays map-side with ONE groupBy by doc.
+    // This is the benchmark-overlap check every pretraining corpus runs. ----
+    GQuery(
+      "t13_decontamination",
+      s"""WITH ${shinglesSql(3)},
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh WHERE doc_id % 50 <> 0 GROUP BY 1),
+         |ov AS (
+         |  SELECT s.doc_id, count(*) AS n_overlap
+         |  FROM sh s JOIN bench b ON b.shingle = s.shingle
+         |  WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+         |SELECT n.doc_id, ov.n_overlap, n.ns,
+         |  CAST(ov.n_overlap AS DOUBLE) / n.ns AS contamination
+         |FROM n JOIN ov ON ov.doc_id = n.doc_id""".stripMargin) { (s, dir) =>
+      val sh = persistedShingles(s, dir)
+      val bench = sh.filter(col("doc_id") % 50 === 0).select("shingle").distinct()
+      val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      val n = corpus.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val ov = corpus.join(broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      n.join(ov, "doc_id")
+        .select(col("doc_id"), col("n_overlap"), col("ns"),
+          (col("n_overlap").cast("double") / col("ns")).as("contamination"))
+    },
+
     // ---- SimHash: 64-bit signature from token md5 bits, majority vote per
     // bit position, emitted as a 64-char bit string ----
     GQuery(
