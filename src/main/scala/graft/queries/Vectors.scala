@@ -43,6 +43,32 @@ object Vectors {
   private val coefSql =
     "CASE WHEN substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END"
 
+  /** Build (once per session+dir) the persisted IVF index: a small
+    * centroid table (cell → centroid array) plus the corpus vectors with
+    * precomputed norms, laid out in CELL-PARTITIONED parquet — so a probe
+    * that joins on `cell` touches only the probed cells' files (dynamic
+    * partition pruning). Cells are the label clusters, matching v5's
+    * coarse quantizer.
+    */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def ivfIndex(s: SparkSession, dir: String): String =
+    ivfCache.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      val cent = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+          .as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+      withNorm(Tables.embeddings(s, dir))
+        .withColumn("cell", col("label"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
+      out
+    })
+
   val all: Seq[GQuery] = Seq(
 
     // ---- Brute-force cosine top-k: every 25th vector queries the corpus ----
@@ -165,6 +191,67 @@ object Vectors {
         .agg(
           avg("x").as("mean"), stddev_pop("x").as("std"),
           min("x").as("mn"), max("x").as("mx"))
+    },
+
+    // ---- Persisted IVF index: build once (centroid table + vectors laid
+    // out in cell-partitioned parquet), search many — the probe reads ONLY
+    // the queried cells' files via partition pruning, which is the 100 TB
+    // serving story: search cost scales with probed cells, not corpus.
+    // Same result set as the inline v5 (one oracle covers both). ----
+    GQuery(
+      "v7_ivf_persisted",
+      """WITH x AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d
+        |  FROM embeddings),
+        |cent AS (SELECT label, d, avg(x) AS c FROM x GROUP BY label, d),
+        |qdot AS (
+        |  SELECT x.vec_id AS q_id, cent.label, sum(x.x * cent.c) AS dp
+        |  FROM x JOIN cent ON cent.d = x.d
+        |  WHERE x.vec_id % 25 = 0 GROUP BY x.vec_id, cent.label),
+        |qcell AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+        |    FROM qdot) WHERE rk = 1),
+        |e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT q_id, vec_id, rk, cos FROM (
+        |  SELECT qc.q_id, c.vec_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+        |    row_number() OVER (PARTITION BY qc.q_id
+        |                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+        |                                c.vec_id) AS rk
+        |  FROM qcell qc
+        |  JOIN e q ON q.vec_id = qc.q_id
+        |  JOIN e c ON c.label = qc.label AND c.vec_id <> qc.q_id)
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      registered(s)
+      val idx = ivfIndex(s, dir)
+      // stage 1: route each query to its best cell via the small persisted
+      // centroid table (broadcast dot products, no corpus touch)
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val cent = s.read.parquet(s"$idx/centroids")
+      val qdot = q.crossJoin(broadcast(cent))
+        .withColumn("dp", expr(dotExpr("q_emb", "centroid")))
+      val wq = Window.partitionBy("q_id").orderBy(col("dp").desc, col("cell"))
+      val qcell = qdot.withColumn("rk", row_number().over(wq))
+        .filter(col("rk") === 1).select("q_id", "q_emb", "q_nrm", "cell")
+      // stage 2: exact re-rank against ONLY the probed cells — the filter
+      // on the partition column prunes every other cell's files
+      val probed = s.read.parquet(s"$idx/vectors")
+        .join(broadcast(qcell), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      probed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "rk", "cos")
     },
 
     // ---- int8 scalar quantization: per-dim [min, max] range → 256-level

@@ -53,6 +53,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("v7 persisted IVF: probe scan is partition-pruned on the cell key") {
+    val df = SparkEntry.queries("v7_ivf_persisted")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the vectors scan must carry a partition filter on cell — static or
+    // dynamic (DPP) — so search cost scales with probed cells, not corpus
+    val scan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("vectors"))
+    assert(scan.exists(l =>
+      l.contains("dynamicpruning") || "PartitionFilters: \\[[^\\]]".r.findFirstIn(l).isDefined),
+      s"no partition pruning on the probe scan:\n$p")
+  }
+
   test("v1 brute-force knn: corpus side never shuffles (broadcast queries)") {
     val p = plan("v1_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
