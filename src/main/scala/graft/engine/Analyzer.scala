@@ -14,7 +14,11 @@ final class Analyzer(
     val campaign: Campaign,
     val adapter: DataAdapter,
     val simulationsFilter: QSpec = QTrue,
-    val cache: Option[CacheManager] = None) {
+    val cache: Option[CacheManager] = None,
+    /** cache.skip_features (reference CacheConfig): compute features but
+      * never write them to the cache folder.
+      */
+    val skipFeatures: Boolean = false) {
 
   /** C3 decision (reference: cache.py:575-610): the cached frames may have
     * been built with a *broader* simulations filter — reuse them and
@@ -136,8 +140,8 @@ final class Analyzer(
       outs.map { case (outName, outDf) =>
         val name = s"$outName${spec.suffix}"
         val result = cache match {
-          case Some(cm) => cm.loadOrCompute("features", name, specSum, outDf)
-          case None => outDf
+          case Some(cm) if !skipFeatures => cm.loadOrCompute("features", name, specSum, outDf)
+          case _ => outDf
         }
         name -> narrowed(name, result)
       }
@@ -192,12 +196,16 @@ final class MultiAnalyzer(
   val analyzers: Map[String, Analyzer] = {
     val campaign = ConfigIO.loadCampaign(config.campaignPath)
     val resolved = MultiAnalyzer.resolveWindowRefs(config.analyses)
+    val cs = config.cacheSettings
     resolved.map { a =>
       val cm =
-        if (useCache && config.output.nonEmpty)
-          Some(new CacheManager(spark, s"${config.output}/${a.name}"))
-        else None
-      a.name -> new Analyzer(spark, a, campaign, adapter, config.simulationsFilter, cm)
+        if (useCache && config.cacheRoot.nonEmpty) {
+          val d = s"${config.cacheRoot}/${a.name}"
+          if (cs.clear) MultiAnalyzer.deleteRecursively(new java.io.File(d))
+          Some(new CacheManager(spark, d, readonly = cs.readonly))
+        } else None
+      a.name -> new Analyzer(spark, a, campaign, adapter, config.simulationsFilter, cm,
+        skipFeatures = cs.skipFeatures)
     }.toMap
   }
 
@@ -222,6 +230,12 @@ object MultiAnalyzer {
   def fromFile(spark: SparkSession, path: String, adapter: DataAdapter = new ParquetAdapter,
       useCache: Boolean = true): MultiAnalyzer =
     new MultiAnalyzer(spark, ConfigIO.loadAnalysis(path), adapter, useCache)
+
+  /** cache.clear: wipe the analysis cache dir before attaching. */
+  private[engine] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Resolve cross-analysis window references (C7 — reference:
     * src/blueetl/config/analysis.py:68-129): a window declared as the

@@ -104,6 +104,17 @@ final case class SingleAnalysisConfig(
     /** Named trial-steps configs referenced by window trial_steps_label. */
     trialSteps: Map[String, TrialStepsSpec] = Map.empty)
 
+/** The `cache:` block (reference: analysis_model.py:57-71 CacheConfig —
+  * store_type feather is deliberately unsupported; parquet only).
+  */
+final case class CacheSettings(
+    path: String = "",
+    clear: Boolean = false,
+    readonly: Boolean = false,
+    skipFeatures: Boolean = false) {
+  require(!(clear && readonly), "clear and readonly cannot be both True at the same time")
+}
+
 final case class MultiAnalysisConfig(
     campaignPath: String,
     output: String,
@@ -114,7 +125,13 @@ final case class MultiAnalysisConfig(
       * (reference: analysis.py:126-145, config key in
       * schemas/analysis_config.yaml).
       */
-    simulationsFilterInMemory: QSpec = QTrue)
+    simulationsFilterInMemory: QSpec = QTrue,
+    cacheSettings: CacheSettings = CacheSettings()) {
+  /** Effective cache root: `cache.path` wins over the deprecated `output`
+    * (reference deprecates output in favor of cache.path).
+    */
+  def cacheRoot: String = if (cacheSettings.path.nonEmpty) cacheSettings.path else output
+}
 
 /** A simulation campaign: the flat table of conditions + simulation paths
   * (reference: src/blueetl/campaign/config.py:164-239 — both the native
@@ -351,6 +368,21 @@ object ConfigIO {
       output = str(m.getOrElse("output", "")),
       simulationsFilter = Q.parse(m.getOrElse("simulations_filter", null)),
       analyses = analyses,
-      simulationsFilterInMemory = Q.parse(m.getOrElse("simulations_filter_in_memory", null)))
+      simulationsFilterInMemory = Q.parse(m.getOrElse("simulations_filter_in_memory", null)),
+      cacheSettings = {
+        val c = m.getOrElse("cache", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+        def bool(k: String) = c.get(k).exists {
+          case b: Boolean => b
+          case other => other.toString.toBoolean
+        }
+        CacheSettings(
+          path = str(c.getOrElse("path", "")),
+          clear = bool("clear") || (m.get("clear_cache") match {
+            case Some(b: Boolean) => b
+            case _ => false
+          }),
+          readonly = bool("readonly"),
+          skipFeatures = bool("skip_features"))
+      })
   }
 }
