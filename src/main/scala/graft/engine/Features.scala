@@ -189,11 +189,14 @@ object SmoothedHistograms extends FeatureFn {
     val dense = Histograms.compute(ctx)("histograms")
     val keys = ctx.groupby.filterNot(_ == "gid")
     val spark = ctx.spark
-    val kernel = spark.range(-radius, radius + 1)
-      .select(col("id").cast("int").as("k"))
-      .withColumn("w0", exp(-(col("k") * col("k")) / lit(2.0 * sigma * sigma)))
-      .withColumn("w", col("w0") / sum("w0").over(Window.partitionBy(lit(1))))
-      .select("k", "w")
+    // kernel weights are constants — driver-computed, no global window
+    val kernel = {
+      import spark.implicits._
+      val ks = -radius to radius
+      val w0 = ks.map(k => math.exp(-(k * k) / (2.0 * sigma * sigma)))
+      val tot = w0.sum
+      ks.zip(w0.map(_ / tot)).toDF("k", "w")
+    }
     // per-group bin extent for the reflect boundary
     val extent = dense.groupBy(keys.map(col): _*)
       .agg(min("bin").as("lo"), max("bin").as("hi"))

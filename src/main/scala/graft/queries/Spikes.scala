@@ -196,10 +196,16 @@ object Spikes {
           |                      ELSE d.bin + kk.k END)
           |GROUP BY d.event_type, d.bin""".stripMargin) { (s, dir) =>
       val dense = denseHist(s, dir, "day1", 24)
-      val kernel = s.range(-8, 9).select(col("id").cast("int").as("k"))
-        .withColumn("w0", exp(-(col("k") * col("k")) / lit(8.0)))
-        .withColumn("w", col("w0") / sum("w0").over(Window.partitionBy()))
-        .select("k", "w")
+      // kernel weights are 17 CONSTANTS — computed on the driver (same JVM
+      // Math.exp and left-to-right sum the Spark plan used) instead of a
+      // move-everything-to-one-partition global window
+      val kernel = {
+        import s.implicits._
+        val ks = -8 to 8
+        val w0 = ks.map(k => math.exp(-(k * k) / 8.0))
+        val tot = w0.sum
+        ks.zip(w0.map(_ / tot)).toDF("k", "w")
+      }
       val idx = col("bin") + col("k")
       val reflect = when(idx < 0, -idx - 1).when(idx >= 24, lit(47) - idx).otherwise(idx)
       val src = dense.select(
