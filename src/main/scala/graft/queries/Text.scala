@@ -132,6 +132,18 @@ object Text {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Drop this session's persisted text-pipeline frames (shingles,
+    * candidates, scored pairs). For long-lived sessions that process many
+    * corpora: each (session, dir) pair holds one persisted copy until
+    * cleared — call between corpora to release block-manager memory.
+    */
+  def clearCaches(s: SparkSession): Unit =
+    Seq(shingleCache, candCache, pairCache).foreach { m =>
+      m.keys.filter(_._1 eq s).foreach { k =>
+        m.remove(k).foreach(_.unpersist())
+      }
+    }
+
   private val lshSql =
     s"""${shinglesSql(3)},
        |mh AS (

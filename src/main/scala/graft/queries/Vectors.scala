@@ -52,6 +52,13 @@ object Vectors {
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Forget this session's built IVF index paths (the next search
+    * rebuilds); index files on disk are left for the OS temp reaper.
+    */
+  def clearIndexCache(s: SparkSession): Unit =
+    ivfCache.keys.filter(_._1 eq s).foreach(ivfCache.remove(_): Unit)
+
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfCache.getOrElseUpdate((s, dir), {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString

@@ -54,6 +54,16 @@ class LshCapSpec extends SparkSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("clearCaches releases this session's persisted frames") {
+    // build the shared frames, then clear: re-building must register a
+    // fresh persisted copy (i.e. the old entries are gone, unpersisted)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Text.all.find(_.name == "t6_minhash_lsh_neardup").get.fn(spark, sf0001).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    Text.clearCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("capping adds no exchange: one shuffle feeds window and groupBy") {
     // non-literal key columns (literals would constant-fold the window
     // partitioning away and make the plan SinglePartition)
