@@ -158,6 +158,20 @@ object Text {
        |    ON b1.band = b2.band AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id)
        |""".stripMargin
 
+  /** Function-word evidence per language, in deterministic precedence
+    * order (argmax ties break toward the earlier profile). Overlapping
+    * words across languages are expected — the vote resolves them. The
+    * identical regexes drive both engines, so the t4 CASE chain is
+    * generated, never hand-mirrored.
+    */
+  private val LangProfiles = Seq(
+    "en" -> "\\b(the|and|of|is|to|in|that|it)\\b",
+    "de" -> "\\b(der|und|die|ist|das|nicht|ein|mit)\\b",
+    "fr" -> "\\b(le|et|les|est|la|des|une|dans)\\b",
+    "es" -> "\\b(el|y|los|es|que|una|para|las)\\b",
+    "it" -> "\\b(il|e|di|che|per|con|non|sono)\\b",
+    "pt" -> "\\b(o|e|de|que|a|do|da|em)\\b")
+
   private val StopRe = "\\b(the|a|of|and|to|in|is|it)\\b"
   private val PunctRe = "[.,!?;:]"
   private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -220,39 +234,34 @@ object Text {
     // (deterministic tie-break by profile order then name) ----
     GQuery(
       "t4_langid", {
-        val profs = Seq(
-          "en" -> "\\b(the|and|of|is)\\b",
-          "de" -> "\\b(der|und|die|ist)\\b",
-          "fr" -> "\\b(le|et|les|est)\\b",
-          "es" -> "\\b(el|y|los|es)\\b")
-        val scoreCols = profs.map { case (l, re) =>
+        val scoreCols = LangProfiles.map { case (l, re) =>
           s"len(regexp_extract_all(lower(text), '$re')) AS s_$l"
         }.mkString(", ")
-        s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
-           |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-           |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-           |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-           |       WHEN s_fr >= s_es THEN 'fr'
-           |       ELSE 'es' END AS predicted
+        val names = LangProfiles.map(_._1)
+        // first language (in profile order) whose score >= all later ones
+        val arms = names.init.zipWithIndex.map { case (l, i) =>
+          val rest = names.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+          s"WHEN $rest THEN '$l'"
+        }.mkString("\n       ")
+        s"""SELECT doc_id, ${names.map(l => s"s_$l").mkString(", ")},
+           |  CASE WHEN greatest(${names.map(l => s"s_$l").mkString(", ")}) = 0 THEN 'und'
+           |       $arms
+           |       ELSE '${names.last}' END AS predicted
            |FROM (SELECT doc_id, $scoreCols FROM documents)""".stripMargin
       }) { (s, dir) =>
-      val profs = Seq(
-        "en" -> "\\b(the|and|of|is)\\b",
-        "de" -> "\\b(der|und|die|ist)\\b",
-        "fr" -> "\\b(le|et|les|est)\\b",
-        "es" -> "\\b(el|y|los|es)\\b")
+      val names = LangProfiles.map(_._1)
       val scored = Tables.documents(s, dir).select(
-        col("doc_id") +: profs.map { case (l, re) =>
+        col("doc_id") +: LangProfiles.map { case (l, re) =>
           size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).as(s"s_$l")
         }: _*)
-      scored.withColumn(
-        "predicted",
-        when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
-          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
-            col("s_en") >= col("s_es"), "en")
-          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-          .when(col("s_fr") >= col("s_es"), "fr")
-          .otherwise("es"))
+      val argmax = names.init.zipWithIndex.foldLeft(
+        when(greatest(names.map(l => col(s"s_$l")): _*) === 0, "und")) {
+        case (acc, (l, i)) =>
+          val cond = names.drop(i + 1)
+            .map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+          acc.when(cond, l)
+      }.otherwise(names.last)
+      scored.withColumn("predicted", argmax)
     },
 
     // ---- Document fingerprinting: rolling word-5-gram hash, min + k-min
