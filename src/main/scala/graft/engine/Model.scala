@@ -102,7 +102,11 @@ final case class SingleAnalysisConfig(
     /** Extra node-sets JSON file merged over the circuit's own (S6). */
     nodeSetsFile: Option[String] = None,
     /** Named trial-steps configs referenced by window trial_steps_label. */
-    trialSteps: Map[String, TrialStepsSpec] = Map.empty)
+    trialSteps: Map[String, TrialStepsSpec] = Map.empty,
+    /** Free-form user parameters (reference: `custom` dict on
+      * SingleAnalysisConfig) — carried for user feature/trial-steps code.
+      */
+    custom: Map[String, Any] = Map.empty)
 
 /** The `cache:` block (reference: analysis_model.py:57-71 CacheConfig —
   * store_type feather is deliberately unsupported; parquet only).
@@ -361,7 +365,9 @@ object ConfigIO {
           seed = m.get("seed").map(num(_).toLong).getOrElse(0L),
           windowRefs = windowRefs,
           nodeSetsFile = ex.get("node_sets_file").filter(_ != null).map(_.toString),
-          trialSteps = trialSteps)
+          trialSteps = trialSteps,
+          custom = a.getOrElse("custom", Map.empty[String, Any])
+            .asInstanceOf[Map[String, Any]])
       }
     MultiAnalysisConfig(
       campaignPath = str(m.getOrElse("simulation_campaign", "")),

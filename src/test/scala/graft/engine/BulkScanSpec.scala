@@ -64,6 +64,25 @@ class BulkScanSpec extends SparkSuite {
     assert(!bulk.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("64-simulation campaign: still ONE scan, every sim maps correctly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bulk-many").toString
+    val nSims = 64
+    // one shared frame written per sim dir (driver loop, tiny files)
+    for (i <- 0 until nSims)
+      Seq((i * 1000.0, i.toLong)).toDF("time", "gid")
+        .coalesce(1).write.mode("overwrite").parquet(f"$dir/sim$i%03d")
+    val sims = (0 until nSims).map(i => (i, 0, f"$dir/sim$i%03d"))
+    val bulk = new ParquetAdapter().spikesBulk(spark, sims).get
+    val got = bulk.select("simulation_id", "time").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.size === nSims)
+    assert((0 until nSims).forall(i => got(i) === i * 1000.0))
+    val plan = bulk.queryExecution.executedPlan.toString
+    assert("FileScan|BatchScan".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("hive-partitioned sim falls back to the union path (bulk = None)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bulk-part").toString
