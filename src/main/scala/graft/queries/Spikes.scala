@@ -553,6 +553,31 @@ object Spikes {
           expr(s"vp_distance(train, train2, ${1.0 / 3600000000.0}d)").as("vp"))
     },
 
+    // ---- J4 at data scale: binned large-large range join — per-gid
+    // intervals (data-sized, NOT broadcastable in general) equi-joined on
+    // (gid, time bucket) with the exact range residual; both sides shuffle
+    // once by hash, no nested loop (graft.plans.RangeJoin) ----
+    GQuery(
+      "j9_range_join_binned",
+      s"""WITH ev AS (
+         |  SELECT CAST(epoch_us(ts) - $Origin AS DOUBLE) AS time, user_id AS gid
+         |  FROM events),
+         |iv AS (
+         |  SELECT gid, CAST((gid % 20) * ${6 * H} AS DOUBLE) AS lo,
+         |         CAST((gid % 20) * ${6 * H} + ${12 * H} AS DOUBLE) AS hi
+         |  FROM (SELECT DISTINCT gid FROM ev))
+         |SELECT e.gid, e.time, i.lo, i.hi
+         |FROM ev e JOIN iv i ON i.gid = e.gid AND e.time >= i.lo AND e.time < i.hi""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.spikes(s, dir)
+          .select(col("gid"), col("time").cast("double").as("time"))
+        val iv = ev.select("gid").distinct()
+          .withColumn("lo", (col("gid") % 20).cast("double") * lit(6.0 * H))
+          .withColumn("hi", col("lo") + lit(12.0 * H))
+        graft.plans.RangeJoin.binned(ev, "time", iv, "lo", "hi", keys = Seq("gid"))
+          .select("gid", "time", "lo", "hi")
+    },
+
     // ---- Streaming extension, batch form: tumbling event-time window.
     // The same plan runs under readStream + watermark (see streaming spec). ----
     GQuery(
