@@ -422,6 +422,21 @@ object Spikes {
       dense.withColumn("norm", col("cnt").cast("double") / max("cnt").over(w))
     },
 
+    // ---- §2.5: running cumulative total per group (event accumulation
+    // curve — cumulative frame ROWS UNBOUNDED PRECEDING..CURRENT) ----
+    GQuery(
+      "w4_running_total",
+      cte + "," + denseHistSql("day1", 24) +
+        """SELECT event_type, bin, cnt,
+          |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |FROM dense""".stripMargin) { (s, dir) =>
+      val dense = denseHist(s, dir, "day1", 24)
+      val w = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.withColumn("cum", sum("cnt").over(w))
+    },
+
     // ---- A3: per-trial mean of per-gid counts (silent gids = 0 —
     // reference: external/bnac/calculate_features.py:38-44) ----
     GQuery(

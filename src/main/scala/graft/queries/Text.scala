@@ -464,6 +464,31 @@ object Text {
           (col("n_overlap").cast("double") / col("ns")).as("contamination"))
     },
 
+    // ---- Within-document repetition (Gopher/C4-style quality signal):
+    // fraction of word-3-gram occurrences that are duplicates of an
+    // earlier occurrence in the same document. Pure map-side explode +
+    // one per-doc aggregation (count vs distinct count). ----
+    GQuery(
+      "t14_repetition",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |idx AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        |        FROM toks WHERE len(ts) >= 3),
+        |g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram FROM idx)
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+        |  1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) AS rep_ratio
+        |FROM g GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      toks(s, dir)
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ts)-2),
+            |  i -> concat_ws(' ', element_at(ts, i), element_at(ts, i+1), element_at(ts, i+2)))""".stripMargin))
+          .as("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), countDistinct("gram").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+    },
+
     // ---- SimHash: 64-bit signature from token md5 bits, majority vote per
     // bit position, emitted as a 64-char bit string ----
     GQuery(
