@@ -12,8 +12,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * capped run is never mistaken for a complete one.
   */
 object Metrics {
-  private val sessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // Weak keys: sessions must stay collectable after stop() — a static
+  // strong set would pin every session in a long-lived multi-session JVM.
+  private val sessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Idempotently install a listener on `spark` that logs every observed

@@ -25,11 +25,24 @@ trait DataAdapter extends Serializable {
   /** Node properties of one circuit: (gid: long) + property columns. */
   def nodes(spark: SparkSession, circuitPath: String): DataFrame
 
-  /** Does the simulation exist / is it complete? Drives the status filter
-    * (reference: src/blueetl/extract/simulations.py:41-86).
+  /** Does the simulation hold complete, readable data? Adapters refine this
+    * (e.g. nonempty parquet); with [[status]] it drives the three-valued
+    * status of reference extract/simulations.py:41-86.
     */
   def isComplete(simulationPath: String): Boolean =
     new java.io.File(simulationPath).exists()
+
+  /** Three-valued simulation status (reference
+    * extract/simulations.py:22-27,62-76): MISSING when the path is absent
+    * (manually deleted), INCOMPLETE when present but not yet fully written
+    * (still running / crashed), COMPLETE otherwise. Fresh extraction keeps
+    * only COMPLETE; cached loads keep every status
+    * (simulations.py:115-166).
+    */
+  def status(simulationPath: String): String =
+    if (!new java.io.File(simulationPath).exists()) "MISSING"
+    else if (isComplete(simulationPath)) "COMPLETE"
+    else "INCOMPLETE"
 
   /** Optional bulk form: all simulations' spikes in ONE scan, returning
     * (simulation_id, circuit_id, time, gid). A per-simulation union builds
@@ -53,6 +66,19 @@ trait DataAdapter extends Serializable {
   * Filters and column pruning push into the scan via Catalyst.
   */
 class ParquetAdapter extends DataAdapter {
+  /** Complete = the path holds actual data: a nonempty file, or a directory
+    * with at least one nonempty data file (ignoring _SUCCESS/.crc markers).
+    * An empty file or a bare directory is a sim still being written —
+    * INCOMPLETE, not MISSING (reference simulations.py:64-76 distinguishes
+    * "exists but not complete" from "manually deleted").
+    */
+  override def isComplete(simulationPath: String): Boolean = {
+    val f = new java.io.File(simulationPath)
+    if (f.isFile) f.length > 0
+    else Option(f.listFiles()).getOrElse(Array.empty).exists(c =>
+      c.isFile && c.length > 0 && !c.getName.startsWith("_") && !c.getName.startsWith("."))
+  }
+
   def spikes(spark: SparkSession, simulationPath: String): DataFrame =
     spark.read.parquet(simulationPath)
       .select(col("time").cast("double").as("time"), col("gid").cast("long").as("gid"))

@@ -105,6 +105,12 @@ final class Analyzer(
   def df(name: String): DataFrame = narrowed(name, rawDf(name))
 
   def simulations: DataFrame = df("simulations")
+
+  /** All campaign rows with their CURRENT three-valued `_status` (COMPLETE /
+    * INCOMPLETE / MISSING) — never cached: status is a live disk probe
+    * (reference extract/simulations.py re-evaluates it on every load).
+    */
+  def simulationsWithStatus: DataFrame = repo.simulationsWithStatus
   def neurons: DataFrame = df("neurons")
   def neuronClasses: DataFrame = df("neuron_classes")
   def windows: DataFrame = df("windows")
@@ -139,8 +145,11 @@ final class Analyzer(
       val specSum = ConfigIO.checksum(Seq(chain("report"), Describe.features(spec)))
       outs.map { case (outName, outDf) =>
         val name = s"$outName${spec.suffix}"
+        // skipFeatures only skips the dump; a warm cache is still loaded
+        // (reference cache.py:550-565 skip_features semantics)
         val result = cache match {
-          case Some(cm) if !skipFeatures => cm.loadOrCompute("features", name, specSum, outDf)
+          case Some(cm) =>
+            cm.loadOrCompute("features", name, specSum, outDf, store = !skipFeatures)
           case _ => outDf
         }
         name -> narrowed(name, result)

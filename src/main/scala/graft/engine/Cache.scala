@@ -151,8 +151,12 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
     * else compute and write through. `chain` must already fold in upstream
     * checksums so a config change upstream invalidates everything
     * downstream (C2); the file digest catches on-disk corruption (C4).
+    * `store=false` keeps the cache-read path but skips the dump — the
+    * reference's skip_features semantics (cache.py:550-565 only bypasses
+    * the write; a warm cache is still loaded).
     */
-  def loadOrCompute(kind: String, name: String, chain: String, compute: => DataFrame): DataFrame = {
+  def loadOrCompute(kind: String, name: String, chain: String, compute: => DataFrame,
+      store: Boolean = true): DataFrame = {
     val key = s"$kind/$name"
     val p = path(kind, name)
     val fresh = manifest.get(key).contains(chain) && Files.exists(Paths.get(p)) &&
@@ -161,7 +165,7 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
       spark.read.parquet(p)
     else {
       val df = compute
-      if (!readonly) {
+      if (!readonly && store) {
         df.write.mode("overwrite").parquet(p)
         manifest += key -> chain
         manifest += s"$key#files" -> filesDigest(p)

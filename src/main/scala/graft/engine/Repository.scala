@@ -21,11 +21,11 @@ final class Repository(
 
   import Repository._
 
-  /** Campaign rows × existence status, filtered to COMPLETE sims matching
-    * `simulations_filter` (reference: extract/simulations.py:115-166).
+  /** Campaign rows × three-valued status (`_status`: COMPLETE / INCOMPLETE
+    * / MISSING — reference: extract/simulations.py:22-27,41-86), unfiltered.
     * Condition columns stay open-schema (simulations.py:37-39).
     */
-  lazy val simulations: DataFrame = {
+  lazy val simulationsWithStatus: DataFrame = {
     val condKeys = campaign.rows.flatMap(_.keys).distinct
       .filterNot(Set("simulation_path", "circuit_path")).sorted
     val paths = campaign.resolvedPaths
@@ -36,9 +36,9 @@ final class Repository(
     }
     val distinctCircuits = circuitOf.distinct
     val rows = campaign.rows.zipWithIndex.map { case (r, i) =>
-      val status = if (adapter.isComplete(paths(i))) "COMPLETE" else "MISSING"
       org.apache.spark.sql.Row.fromSeq(
-        Seq(i, distinctCircuits.indexOf(circuitOf(i)), paths(i), circuitOf(i), status) ++
+        Seq(i, distinctCircuits.indexOf(circuitOf(i)), paths(i), circuitOf(i),
+          adapter.status(paths(i))) ++
           condKeys.map(k => coerce(r.get(k).orNull)))
     }
     val schema = org.apache.spark.sql.types.StructType(
@@ -47,9 +47,25 @@ final class Repository(
         field("simulation_path", "string"), field("circuit_path", "string"),
         field("_status", "string")) ++
         condKeys.map(k => fieldFor(k, campaign.rows.flatMap(_.get(k)).headOption.orNull)))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-    Q.q(df.filter(col("_status") === "COMPLETE").drop("_status"), simulationsFilter)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Fresh-extraction view: COMPLETE sims matching `simulations_filter`
+    * (reference: extract/simulations.py:115-166 with cached=False — missing
+    * AND incomplete sims are dropped, with the counts logged; a CACHED load
+    * never re-drops, which the engine honors by reading the dumped frame
+    * as-is, see Analyzer.rawDf).
+    */
+  lazy val simulations: DataFrame = {
+    // status is a driver-side path probe — count without a Spark job
+    val byStatus = campaign.resolvedPaths.groupBy(adapter.status)
+    byStatus.get("MISSING").foreach(p =>
+      Repository.log.info(s"Simulations ignored because missing: ${p.size}"))
+    byStatus.get("INCOMPLETE").foreach(p =>
+      Repository.log.info(s"Simulations ignored because incomplete: ${p.size}"))
+    Q.q(
+      simulationsWithStatus.filter(col("_status") === "COMPLETE").drop("_status"),
+      simulationsFilter)
   }
 
   /** Distinct (circuit_id, circuit_path) of the selected simulations —
@@ -310,6 +326,8 @@ final class Repository(
 }
 
 object Repository {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Repository])
+
   val Names: Seq[String] = Seq("simulations", "neurons", "neuron_classes", "windows", "report")
 
   private def coerce(v: Any): Any = v match {

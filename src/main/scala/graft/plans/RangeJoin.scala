@@ -35,7 +35,9 @@ object RangeJoin {
       keys: Seq[String] = Nil,
       binWidth: Option[Double] = None): DataFrame = {
     val width = binWidth.getOrElse {
-      val w = intervals.agg(max(col(hiCol) - col(loCol))).collect()(0).getDouble(0)
+      val row = intervals.agg(max(col(hiCol) - col(loCol))).collect()(0)
+      require(!row.isNullAt(0), "intervals is empty: cannot derive binWidth (pass binWidth explicitly or supply a non-empty intervals frame)")
+      val w = row.getDouble(0)
       require(w > 0, s"intervals must have positive extent, got max width $w")
       w
     }

@@ -428,8 +428,8 @@ object Spikes {
       "w4_running_total",
       cte + "," + denseHistSql("day1", 24) +
         """SELECT event_type, bin, cnt,
-          |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
-          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
           |FROM dense""".stripMargin) { (s, dir) =>
       val dense = denseHist(s, dir, "day1", 24)
       val w = Window.partitionBy("event_type").orderBy("bin")

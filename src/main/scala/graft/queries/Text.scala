@@ -365,10 +365,9 @@ object Text {
 
     // ---- Near-dup CLUSTERS: connected components over the confirmed-pair
     // graph (jaccard ≥ 0.8 on LSH candidates), labeled by the component's
-    // minimum doc_id. Iterative min-label propagation — the Pregel pattern:
-    // each round is one join+groupBy, rounds = graph diameter (near-dup
-    // components are shallow), lineage cut per round via localCheckpoint.
-    // This is what turns t9's pairwise losers into proper dedup groups. ----
+    // minimum doc_id via plans/ConnectedComponents (one action per round,
+    // observe-based convergence, checkpoint-dir aware). This is what turns
+    // t9's pairwise losers into proper dedup groups. ----
     GQuery(
       "t11_dedup_clusters",
       s"""WITH RECURSIVE $lshSql,
@@ -397,24 +396,8 @@ object Text {
           .select("doc1", "doc2")
         val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
           .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
-          .localCheckpoint()
-        var labels = Tables.documents(s, dir)
-          .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val neigh = edges
-            .join(labels.select(col("doc_id").as("b"), col("label")), "b")
-            .groupBy(col("a").as("doc_id")).agg(min("label").as("nl"))
-          val next = labels.join(neigh, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-            .localCheckpoint()
-          changed = next
-            .join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(col("label") =!= col("old")).count()
-          labels = next
-        }
-        labels
+        graft.plans.ConnectedComponents.minLabel(
+          Tables.documents(s, dir), "doc_id", edges)
     },
 
     // ---- Stratified deterministic sampling: the balanced per-language

@@ -145,7 +145,12 @@ object Vectors {
         val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
         if (hex.charAt(0) < '8') 1.0 else -1.0
       }
-      val dims = 64 // testdata embedding width (oracle derives it from len())
+      // embedding width from the data itself (one single-row job), matching
+      // the oracle's len(): a hard-coded width would silently truncate
+      // array_dot and corrupt every signature if the corpus changed
+      val dims = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).head.getInt(0)
+      require(dims > 0, "embeddings table has empty embedding arrays")
       val projCols = (0 until 16).map { p =>
         val arr = (0 until dims).map(coef(p, _)).mkString("array(", "D, ", "D)")
         expr(s"array_dot(embedding, $arr)").as(s"s$p")

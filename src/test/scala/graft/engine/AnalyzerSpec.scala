@@ -252,6 +252,60 @@ class AnalyzerSpec extends SparkSuite {
     assert(offs(1) === 7000.0)
   }
 
+  test("three-valued simulation status: COMPLETE / INCOMPLETE / MISSING (P3)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-status").toString
+    Seq((10.0, 0L), (20.0, 1L)).toDF("time", "gid")
+      .write.mode("overwrite").parquet(s"$dir/sim_ok")
+    // present but empty: a sim still being written (or crashed mid-write)
+    Files.createDirectories(Paths.get(s"$dir/sim_partial"))
+    Seq(0L, 1L).toDF("gid").write.mode("overwrite").parquet(s"$dir/nodes")
+    val campaign = Campaign("status", dir, Map.empty, Seq(
+      Map("simulation_path" -> "sim_ok", "circuit_path" -> s"$dir/nodes", "ca" -> 1.1),
+      Map("simulation_path" -> "sim_partial", "circuit_path" -> s"$dir/nodes", "ca" -> 1.2),
+      Map("simulation_path" -> "sim_gone", "circuit_path" -> s"$dir/nodes", "ca" -> 1.3)))
+    val cfg = SingleAnalysisConfig(
+      name = "s", reportType = "spikes",
+      windows = Map("w" -> WindowSpec(bounds = (0.0, 100.0))),
+      neuronClasses = Map("all" -> NeuronClassSpec()),
+      features = Nil)
+    val repo = new Repository(spark, campaign, cfg, new ParquetAdapter)
+    val statuses = repo.simulationsWithStatus.select("ca", "_status").collect()
+      .map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(statuses === Map(1.1 -> "COMPLETE", 1.2 -> "INCOMPLETE", 1.3 -> "MISSING"))
+    // fresh extraction keeps only COMPLETE (simulations.py:115-166, cached=False)
+    assert(repo.simulations.select("ca").collect().map(_.getDouble(0)).toSeq === Seq(1.1))
+  }
+
+  test("cached load keeps sims that degraded on disk (simulations.py:115-166)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-status-cache").toString
+    Seq((10.0, 0L), (20.0, 1L)).toDF("time", "gid")
+      .write.mode("overwrite").parquet(s"$dir/sim0")
+    Seq(0L, 1L).toDF("gid").write.mode("overwrite").parquet(s"$dir/nodes")
+    val campaign = Campaign("degrade", dir, Map.empty, Seq(
+      Map("simulation_path" -> "sim0", "circuit_path" -> s"$dir/nodes")))
+    val cfg = SingleAnalysisConfig(
+      name = "s", reportType = "spikes",
+      windows = Map("w" -> WindowSpec(bounds = (0.0, 100.0))),
+      neuronClasses = Map("all" -> NeuronClassSpec()),
+      features = Nil)
+    val cm1 = new CacheManager(spark, s"$dir/out")
+    val a1 = new Analyzer(spark, cfg, campaign, new ParquetAdapter, QTrue, Some(cm1))
+    assert(a1.simulations.count() === 1) // writes through to the cache
+    cm1.close() // release the cache dir lock (C5) before reopening
+    // the sim's data vanishes from disk after caching
+    val simDir = new java.io.File(s"$dir/sim0")
+    simDir.listFiles().foreach(_.delete())
+    val a2 = new Analyzer(spark, cfg, campaign, new ParquetAdapter, QTrue,
+      Some(new CacheManager(spark, s"$dir/out")))
+    // cached load does NOT re-drop: the row survives (reference cached=True)
+    assert(a2.simulations.count() === 1)
+    // while the LIVE status probe reports the degradation
+    val live = a2.simulationsWithStatus.select("_status").head.getString(0)
+    assert(live === "INCOMPLETE")
+  }
+
   test("compartment report: section column survives extraction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-comp").toString
