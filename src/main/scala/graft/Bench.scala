@@ -2,15 +2,37 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query wall seconds at
-  * SPARK_GRAFT_SF_DIR. Protocol: one un-timed warm-up pass (JVM/codegen/
-  * parquet-footer warm-up — otherwise whichever query runs first absorbs
-  * ~30 s of JIT noise), then two timed passes, reporting the min — the
-  * steady-state plan cost a long-running cluster job would see.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Protocol (documented in BASELINE.md):
+  *   - pass 0 is TIMED and reported as `cold`: first execution of each
+  *     query in this JVM — JIT/codegen warm-up, parquet footers, and (for
+  *     the memoized dedup/ANN pipelines) the persisted-frame/index BUILD
+  *     cost all land here. For t6/t7/t9/t11/t13/v7 `cold` is the honest
+  *     build-the-pipeline number.
+  *   - passes 1 and 2 are timed and the min is reported per query (the
+  *     `queries` map + `total`): steady-state plan cost, where memoized
+  *     frames are persisted-frame READS — the production shape for a
+  *     pipeline that shares those frames across consumers.
+  *   - between passes the session's persisted state is dropped and
+  *     rebuilt once (pass 1 rebuilds, pass 2 reuses) unless
+  *     GRAFT_BENCH_KEEP_STATE=1 keeps the round-2 behavior (state built
+  *     in pass 0 lives for the whole run).
+  *
+  * Emits `gc_sec` per pass (JVM-wide collection-time delta) so a
+  * regression can be attributed to GC pressure vs plan cost.
   */
 object Bench {
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val keepState = sys.env.get("GRAFT_BENCH_KEEP_STATE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,13 +47,24 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    names.foreach(time) // warm-up pass, un-timed
-    val r1 = names.map(n => n -> time(n)).toMap
-    val r2 = names.map(n => n -> time(n)).toMap
-    val best = names.map(n => n -> math.min(r1(n), r2(n))).toMap
-    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
-    val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def clearState(): Unit = if (!keepState) {
+      queries.Text.clearCaches(spark)
+      queries.Vectors.clearIndexCache(spark)
+    }
+    def pass(): (Map[String, Double], Double) = {
+      val g0 = gcMillis
+      val r = names.map(n => n -> time(n)).toMap
+      (r, (gcMillis - g0) / 1e3)
+    }
+    val (cold, gcCold) = pass() // cold: first execution + state builds
+    clearState()
+    val (r1, gc1) = pass() // rebuilds memoized state once
+    val (r2, gc2) = pass() // steady state: persisted-frame reads
+    val warm = names.map(n => n -> math.min(r1(n), r2(n))).toMap
+    def fmt(m: Map[String, Double]) =
+      names.map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+    val total = warm.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(warm)},"cold":${fmt(cold)},"cold_total":${cold.values.sum},"gc_sec":[$gcCold,$gc1,$gc2],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

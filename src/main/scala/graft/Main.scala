@@ -3,11 +3,12 @@ package graft
 import graft.engine._
 import org.apache.spark.sql.SparkSession
 
-/** CLI (reference surface: `blueetl run | validate-config`,
-  * src/blueetl/apps/run.py, plus the convert-spikes tool):
+/** CLI (reference surface: `blueetl run | validate-config | migrate`,
+  * src/blueetl/apps/{run,migrate}.py, plus the convert-spikes tool):
   *
   *   runMain graft.Main run <analysis.yaml>        extract + features
   *   runMain graft.Main validate-config <yaml>     parse + summarize
+  *   runMain graft.Main migrate <old> <new> [--no-sort]  v1-v3 → v4 config
   *   runMain graft.Main convert-spikes <csv> <out> CSV → sorted parquet
   */
 object Main {
@@ -53,6 +54,29 @@ object Main {
       MultiAnalyzer.resolveWindowRefs(cfg.analyses) // refs + cycles check
       println("config OK")
 
+    case "migrate" :: in :: out :: rest =>
+      // reference: blueetl migrate (apps/migrate.py) — rewrite a v1/v2/v3
+      // config to the current v4 format, validate, dump
+      val config = ConfigIO.loadMap(in)
+      val version = config.get("version") match {
+        case Some(n: Number) => n.intValue(); case _ => 1
+      }
+      val migrated = Migrate.migrate(config)
+      if (version == Migrate.ConfigVersion)
+        println(s"The config version $version doesn't need to be migrated.")
+      val sorted =
+        if (rest.contains("--no-sort")) migrated else Migrate.sortRootKeys(migrated)
+      val violations = Validation.validateAnalysis(sorted)
+      if (violations.nonEmpty) {
+        System.err.println("migrated configuration is invalid:")
+        violations.zipWithIndex.foreach { case (v, i) =>
+          System.err.println(s"  ${i + 1}: $v")
+        }
+        sys.exit(1)
+      }
+      ConfigIO.dumpYaml(out, sorted)
+      println(s"The converted configuration has been saved to $out.")
+
     case "convert-spikes" :: csv :: out :: rest =>
       val spark = session()
       try {
@@ -63,7 +87,7 @@ object Main {
       } finally spark.stop()
 
     case other =>
-      System.err.println(s"usage: run <yaml> | validate-config <yaml> | convert-spikes <csv> <out> [sep]; got: $other")
+      System.err.println(s"usage: run <yaml> | validate-config <yaml> | migrate <old> <new> [--no-sort] | convert-spikes <csv> <out> [sep]; got: $other")
       sys.exit(2)
   }
 

@@ -165,6 +165,9 @@ object ConfigIO {
     yaml.readValue(txt, classOf[Map[String, Any]])
   }
 
+  def dumpYaml(path: String, v: Any): Unit =
+    Files.writeString(Paths.get(path), yaml.writeValueAsString(v))
+
   /** Canonical JSON for checksums (sorted keys, stable scalars). */
   def canonical(v: Any): String = v match {
     case m: Map[_, _] =>

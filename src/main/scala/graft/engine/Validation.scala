@@ -81,7 +81,10 @@ object Validation {
       val bad = forbidden.intersect(mm.keySet).toSeq.sorted
         .map(k => Violation(s"$p.$k", "forbidden key"))
       val inner = mm.toSeq.sortBy(_._1).flatMap { case (k, x) =>
-        props.get(k).map(_(s"$p.$k", x)).getOrElse(Nil)
+        // optional keys are nullable (reference schema: every Optional
+        // field admits type [..., "null"]); required keys are not
+        if (x == null && !required.contains(k)) Nil
+        else props.get(k).map(_(s"$p.$k", x)).getOrElse(Nil)
       }
       unknown ++ missing ++ bad ++ inner
     case _ => Seq(Violation(p, s"expected object, got ${typeName(v)}"))

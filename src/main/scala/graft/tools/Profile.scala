@@ -23,7 +23,8 @@ object Profile {
       val fn = SparkEntry.queries(n)
       if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
         fn(spark, sfDir).explain("formatted")
-      for (i <- 1 to 2) {
+      val runs = sys.env.get("GRAFT_PROFILE_RUNS").map(_.toInt).getOrElse(2)
+      for (i <- 1 to runs) {
         val t0 = System.nanoTime()
         val cnt = fn(spark, sfDir).count()
         println(f"[profile] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")

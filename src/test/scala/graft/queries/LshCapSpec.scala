@@ -64,6 +64,55 @@ class LshCapSpec extends SparkSuite {
     assert(df.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("cap engagement at sf0.1 scale: drops observed, kept subset exact") {
+    // A skewed corpus the size of sf0.1 (5000 docs): 300 boilerplate
+    // duplicates share one signature in every band (bucket of 300 > cap
+    // 128), the rest are unique. Capped must NOT mean silently wrong:
+    // the returned pairs must be EXACTLY the all-pairs ground truth of
+    // the kept (lowest-id) subset, and the drop must be observable.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-skew").toString
+    val boiler = "terms of service apply to all users and content provided " +
+      "here without warranty of any kind whatsoever by the operator today"
+    val nBoiler = 300
+    val cap = Lsh.DefaultBucketCap // 128
+    val docs =
+      (0 until nBoiler).map(i => (i.toLong, boiler)) ++
+        (0 until 4700).map(i =>
+          (1000000L + i, (0 until 40).map(j => s"w${i}x$j").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    @volatile var observed: Option[(Long, Long)] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("graft_lsh_text").foreach { r =>
+          observed = Some((r.getLong(0), r.getLong(1)))
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Text.all.find(_.name == "t6_minhash_lsh_neardup").get
+        .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth on the kept subset: every pair of the cap lowest ids
+      val expected = (for {
+        a <- 0 until cap; b <- (a + 1) until cap
+      } yield (a.toLong, b.toLong)).toSet
+      assert(pairs === expected,
+        s"capped result must equal the uncapped ground truth of the kept " +
+          s"subset (got ${pairs.size} pairs, expected ${expected.size})")
+      val deadline = System.currentTimeMillis + 30000
+      while (observed.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
+      // 4 bands × (300 - 128) dropped ids; max bucket = the full pile-up
+      assert(observed.contains((4L * (nBoiler - cap), nBoiler.toLong)))
+    } finally {
+      Text.clearCaches(spark)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("capping adds no exchange: one shuffle feeds window and groupBy") {
     // non-literal key columns (literals would constant-fold the window
     // partitioning away and make the plan SinglePartition)
