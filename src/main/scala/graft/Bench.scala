@@ -1,15 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query wall seconds at
-  * SPARK_GRAFT_SF_DIR.
+/** Benchmark main: per-query wall seconds at SPARK_GRAFT_SF_DIR.
   *
   * Protocol (documented in BASELINE.md):
   *   - pass 0 is TIMED and reported as `cold`: first execution of each
   *     query in this JVM — JIT/codegen warm-up, parquet footers, and (for
   *     the memoized dedup/ANN pipelines) the persisted-frame/index BUILD
-  *     cost all land here. For t6/t7/t9/t11/t13/v7 `cold` is the honest
-  *     build-the-pipeline number.
+  *     cost all land here. `pipeline_build` attributes the dedup-pipeline
+  *     build stages (shingles/candidates/scored_pairs) separately so the
+  *     first-alphabetical consumer's cold number is interpretable.
   *   - passes 1 and 2 are timed and the min is reported per query (the
   *     `queries` map + `total`): steady-state plan cost, where memoized
   *     frames are persisted-frame READS — the production shape for a
@@ -19,8 +19,21 @@ import org.apache.spark.sql.SparkSession
   *     GRAFT_BENCH_KEEP_STATE=1 keeps the round-2 behavior (state built
   *     in pass 0 lives for the whole run).
   *
-  * Emits `gc_sec` per pass (JVM-wide collection-time delta) so a
-  * regression can be attributed to GC pressure vs plan cost.
+  * Output contract:
+  *   - stdout: ONE compact JSON line, printed LAST —
+  *     {"metric","value","unit","queries","sf"} (warm numbers only, so the
+  *     line survives log-tail capture);
+  *   - target/bench.json: the FULL record (warm + cold + gc_sec + load +
+  *     pipeline_build), written atomically before the stdout line. Stdout
+  *     tails get truncated; the file is the canonical artifact.
+  *   - `gc_sec` (per-pass JVM collection-time delta) and `load` (per-pass
+  *     1-min system load average at pass start, from the OS MXBean) make a
+  *     contended run self-identifying: identical code with gc_sec or load
+  *     far above the committed BASELINE.md values is a poisoned
+  *     measurement, not a regression.
+  *
+  * All number formatting is Locale.ROOT: a comma-decimal default locale
+  * must not emit invalid JSON.
   */
 object Bench {
   private def gcMillis: Long = {
@@ -28,6 +41,13 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
   }
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def obj(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,20 +71,33 @@ object Bench {
       queries.Text.clearCaches(spark)
       queries.Vectors.clearIndexCache(spark)
     }
-    def pass(): (Map[String, Double], Double) = {
+    def pass(): (Map[String, Double], Double, Double) = {
       val g0 = gcMillis
+      val l0 = loadAvg
       val r = names.map(n => n -> time(n)).toMap
-      (r, (gcMillis - g0) / 1e3)
+      (r, (gcMillis - g0) / 1e3, l0)
     }
-    val (cold, gcCold) = pass() // cold: first execution + state builds
+    val (cold, gcCold, loadCold) = pass() // cold: first execution + state builds
+    val build = queries.Text.buildTimings(spark).toSeq.sortBy(_._1)
     clearState()
-    val (r1, gc1) = pass() // rebuilds memoized state once
-    val (r2, gc2) = pass() // steady state: persisted-frame reads
+    val (r1, gc1, load1) = pass() // rebuilds memoized state once
+    val (r2, gc2, load2) = pass() // steady state: persisted-frame reads
     val warm = names.map(n => n -> math.min(r1(n), r2(n))).toMap
-    def fmt(m: Map[String, Double]) =
-      names.map(n => "\"" + n + "\":" + f"${m(n)}%.3f").mkString("{", ",", "}")
+    def fmt(m: Map[String, Double]) = obj(names.map(n => n -> m(n)))
     val total = warm.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(warm)},"cold":${fmt(cold)},"cold_total":${cold.values.sum},"gc_sec":[$gcCold,$gc1,$gc2],"sf":"$sfDir"}""")
+    val head =
+      s""""metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(warm)}"""
+    val full = "{" + head +
+      s""","cold":${fmt(cold)},"cold_total":${num(cold.values.sum)}""" +
+      s""","pipeline_build":${obj(build)}""" +
+      s""","gc_sec":[${num(gcCold)},${num(gc1)},${num(gc2)}]""" +
+      s""","load":[${num(loadCold)},${num(load1)},${num(load2)}]""" +
+      s""","sf":"$sfDir"}"""
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     spark.stop()
+    // the compact contract line goes LAST so a tail capture always has it
+    println("{" + head + s""","sf":"$sfDir"}""")
   }
 }

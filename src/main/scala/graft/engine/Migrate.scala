@@ -87,12 +87,15 @@ object Migrate {
   private def v3ToV4(in: Map[String, Any]): Map[String, Any] = {
     var out = in + ("version" -> 4)
     var cacheCfg = asMap(out.getOrElse("cache", Map.empty))
+    // the key is always popped, but an explicit `output: null` / `clear_cache:
+    // null` must NOT write a null into cache (migrate.py:89-92 pops with a
+    // None default and only sets when not None)
     out.get("output").foreach { v =>
-      cacheCfg = safeSet(cacheCfg, "path", v)
+      if (v != null) cacheCfg = safeSet(cacheCfg, "path", v)
       out -= "output"
     }
     out.get("clear_cache").foreach { v =>
-      cacheCfg = safeSet(cacheCfg, "clear", v)
+      if (v != null) cacheCfg = safeSet(cacheCfg, "clear", v)
       out -= "clear_cache"
     }
     out + ("cache" -> cacheCfg)

@@ -21,11 +21,24 @@ final class Repository(
 
   import Repository._
 
+  /** One status probe pass over the campaign's resolved paths. Driver-side
+    * filesystem reads, not a Spark job; callers take the result ONCE per
+    * decision so the statuses they filter on and the statuses they report
+    * are the same observation (no TOCTOU between probe passes).
+    */
+  private def probeStatuses(): Seq[String] =
+    campaign.resolvedPaths.map(adapter.status)
+
   /** Campaign rows × three-valued status (`_status`: COMPLETE / INCOMPLETE
     * / MISSING — reference: extract/simulations.py:22-27,41-86), unfiltered.
-    * Condition columns stay open-schema (simulations.py:37-39).
+    * Condition columns stay open-schema (simulations.py:37-39). A `def`, not
+    * a `lazy val`: each call is a LIVE probe — a simulation completing after
+    * the first call is visible on the next (the filtered `simulations` view
+    * below is pinned lazily, matching the reference's extract-once shape).
     */
-  lazy val simulationsWithStatus: DataFrame = {
+  def simulationsWithStatus: DataFrame = simulationsWithStatus(probeStatuses())
+
+  private def simulationsWithStatus(statuses: Seq[String]): DataFrame = {
     val condKeys = campaign.rows.flatMap(_.keys).distinct
       .filterNot(Set("simulation_path", "circuit_path")).sorted
     val paths = campaign.resolvedPaths
@@ -38,7 +51,7 @@ final class Repository(
     val rows = campaign.rows.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(
         Seq(i, distinctCircuits.indexOf(circuitOf(i)), paths(i), circuitOf(i),
-          adapter.status(paths(i))) ++
+          statuses(i)) ++
           condKeys.map(k => coerce(r.get(k).orNull)))
     }
     val schema = org.apache.spark.sql.types.StructType(
@@ -57,14 +70,18 @@ final class Repository(
     * as-is, see Analyzer.rawDf).
     */
   lazy val simulations: DataFrame = {
-    // status is a driver-side path probe — count without a Spark job
-    val byStatus = campaign.resolvedPaths.groupBy(adapter.status)
+    // ONE probe pass feeds both the filter and the ignored-counts log, so
+    // they can't disagree (a sim completing between two probes used to be
+    // logged as ignored yet extracted, or vice versa)
+    val statuses = probeStatuses()
+    val byStatus = statuses.groupBy(identity)
     byStatus.get("MISSING").foreach(p =>
       Repository.log.info(s"Simulations ignored because missing: ${p.size}"))
     byStatus.get("INCOMPLETE").foreach(p =>
       Repository.log.info(s"Simulations ignored because incomplete: ${p.size}"))
     Q.q(
-      simulationsWithStatus.filter(col("_status") === "COMPLETE").drop("_status"),
+      simulationsWithStatus(statuses)
+        .filter(col("_status") === "COMPLETE").drop("_status"),
       simulationsFilter)
   }
 

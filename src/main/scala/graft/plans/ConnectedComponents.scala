@@ -44,23 +44,26 @@ object ConnectedComponents {
       idCol: String,
       edges: DataFrame,
       labelCol: String = "label"): DataFrame = {
-    val ed = cut(edges.select(col("a"), col("b")))
-    var labels = cut(vertices.select(col(idCol), col(idCol).as(labelCol)))
+    // internals run on reserved names so an idCol/labelCol of "a"/"b" (the
+    // edge-frame contract names) can never be captured by the join below
+    val ed = cut(edges.select(col("a").as("_cc_src"), col("b").as("_cc_dst")))
+    var labels = cut(vertices.select(
+      col(idCol).as("_cc_id"), col(idCol).as("_cc_lbl")))
     var changed = 1L
     while (changed > 0) {
       val obs = Observation()
       val neigh = ed
-        .join(labels.select(col(idCol).as("b"), col(labelCol)), "b")
-        .groupBy(col("a").as(idCol)).agg(min(labelCol).as("_nl"))
-      val joined = labels.join(neigh, Seq(idCol), "left")
+        .join(labels.select(col("_cc_id").as("_cc_dst"), col("_cc_lbl")), "_cc_dst")
+        .groupBy(col("_cc_src").as("_cc_id")).agg(min("_cc_lbl").as("_nl"))
+      val joined = labels.join(neigh, Seq("_cc_id"), "left")
         .withColumn("_chg",
-          (coalesce(col("_nl"), col(labelCol)) < col(labelCol)).cast("long"))
+          (coalesce(col("_nl"), col("_cc_lbl")) < col("_cc_lbl")).cast("long"))
         .observe(obs, coalesce(sum(col("_chg")), lit(0L)).as("changed"))
-        .select(col(idCol),
-          least(col(labelCol), coalesce(col("_nl"), col(labelCol))).as(labelCol))
+        .select(col("_cc_id"),
+          least(col("_cc_lbl"), coalesce(col("_nl"), col("_cc_lbl"))).as("_cc_lbl"))
       labels = cut(joined) // eager checkpoint = the round's ONE action
       changed = obs.get("changed").asInstanceOf[Long]
     }
-    labels
+    labels.select(col("_cc_id").as(idCol), col("_cc_lbl").as(labelCol))
   }
 }

@@ -94,7 +94,27 @@ object Text {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def persistedShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s, dir),
-      shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      timedBuild(s, "shingles")(
+        shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
+  /** Per-stage build seconds for the dedup pipeline's persisted frames.
+    * The first consumer still pays the build inside its own wall time, but
+    * the cost is now ATTRIBUTED: Bench reports `pipeline_build` from this
+    * map so t11's cold number stops absorbing shingles+candidates+scoring,
+    * and a regression localizes to a stage. The timed `count()` also makes
+    * the build eager, so the persisted frame is complete before the first
+    * consumer's plan runs (same total work, one attribution boundary).
+    */
+  private val buildSecs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+  private def timedBuild(s: SparkSession, stage: String)(df: DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    df.count()
+    buildSecs.put((s, stage), (System.nanoTime() - t0) / 1e9)
+    df
+  }
+  def buildTimings(s: SparkSession): Map[String, Double] =
+    buildSecs.collect { case ((ss, stage), sec) if ss eq s => stage -> sec }.toMap
 
   /** LSH candidate pairs, persisted + memoized: t6 consumes them directly
     * and [[scoredPairs]] builds on them (same cache policy as the shingle
@@ -104,8 +124,9 @@ object Text {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def persistedCandidates(s: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate((s, dir),
-      lshCandidates(persistedShingles(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      timedBuild(s, "candidates")(
+        lshCandidates(persistedShingles(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** Jaccard-scored candidate pairs (doc1, doc2, jaccard) — the expensive
     * shingle-intersection join computed ONCE and shared by t7 (≥0.5
@@ -124,12 +145,12 @@ object Text {
       val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
       val inter = cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
         .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
-      inter
+      timedBuild(s, "scored_pairs")(inter
         .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
         .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
         .select(col("doc1"), col("doc2"),
           (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
   /** Drop this session's persisted text-pipeline frames (shingles,
@@ -137,12 +158,14 @@ object Text {
     * corpora: each (session, dir) pair holds one persisted copy until
     * cleared — call between corpora to release block-manager memory.
     */
-  def clearCaches(s: SparkSession): Unit =
+  def clearCaches(s: SparkSession): Unit = {
     Seq(shingleCache, candCache, pairCache).foreach { m =>
       m.keys.filter(_._1 eq s).foreach { k =>
         m.remove(k).foreach(_.unpersist())
       }
     }
+    buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
+  }
 
   private val lshSql =
     s"""${shinglesSql(3)},

@@ -275,6 +275,14 @@ class AnalyzerSpec extends SparkSuite {
     assert(statuses === Map(1.1 -> "COMPLETE", 1.2 -> "INCOMPLETE", 1.3 -> "MISSING"))
     // fresh extraction keeps only COMPLETE (simulations.py:115-166, cached=False)
     assert(repo.simulations.select("ca").collect().map(_.getDouble(0)).toSeq === Seq(1.1))
+    // the status view is a LIVE probe on the SAME repository: a sim that
+    // completes after the first call is visible on the next (was a lazy val
+    // returning the stale first observation)
+    Seq((10.0, 0L)).toDF("time", "gid")
+      .write.mode("overwrite").parquet(s"$dir/sim_partial")
+    val after = repo.simulationsWithStatus.select("ca", "_status").collect()
+      .map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(after(1.2) === "COMPLETE")
   }
 
   test("cached load keeps sims that degraded on disk (simulations.py:115-166)") {

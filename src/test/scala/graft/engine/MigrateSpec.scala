@@ -74,6 +74,20 @@ class MigrateSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 → v4: explicit null output/clear_cache is skipped, not folded") {
+    // migrate.py:89-92 pops with a None default and only sets when not None:
+    // `output: null` must neither write cache.path=null nor raise a
+    // collision against an existing cache.path
+    val v3 = Map(
+      "version" -> 3, "simulation_campaign" -> "c.json",
+      "output" -> null, "clear_cache" -> null,
+      "cache" -> Map("path" -> "keep"),
+      "analysis" -> Map.empty[String, Any])
+    val out = Migrate.migrate(v3)
+    assert(out("cache") === Map("path" -> "keep"))
+    assert(!out.contains("output") && !out.contains("clear_cache"))
+  }
+
   test("current-version config passes through unchanged") {
     val v4 = Map(
       "version" -> 4, "simulation_campaign" -> "c.json",

@@ -21,6 +21,16 @@ class ConnectedComponentsSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("idCol/labelCol named like the edge columns don't collide") {
+    // the edge-frame contract names are "a"/"b"; a caller whose vertex id
+    // column is itself "a" (or label target "b") must get the same answer
+    val vertices = (1L to 5L).toDF("a")
+    val edges = symmetric(Seq((1L, 2L), (4L, 5L)))
+    val got = ConnectedComponents.minLabel(vertices, "a", edges, labelCol = "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("one Spark action per propagation round (convergence via observe)") {
     // a path of length 8: label 1 must travel 7 hops, so the round count
     // is known (diameter) and the action budget per round is checkable.
