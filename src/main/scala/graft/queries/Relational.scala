@@ -255,16 +255,35 @@ object Relational {
     // ---- Approximate sketches: HLL++ distinct + approx quantiles — the
     // 100 TB replacements for their exact forms (a19's countDistinct and
     // k2's exact percentile both buffer full value sets per group; these
-    // are constant-memory mergeable sketches). No SQL oracle — DuckDB's
-    // sketches differ — so the gate is rows-only; the spec bounds the
-    // error against the exact answers. ----
-    GQuery.noOracle("x1_approx_stats") { (s, dir) =>
+    // are constant-memory mergeable sketches). Sketch outputs can't
+    // hash-match a non-sketch oracle, so the gate is made deterministic:
+    // the engine emits the EXACT value plus a boolean recording whether
+    // its own sketch landed inside the published error bound (HLL++
+    // rsd=0.02 → 4σ = 8%; percentile_approx accuracy=5000 → rank error
+    // ≤ 1/5000, checked against exact quantiles ±0.001 — 5× margin).
+    // The oracle emits the exact value and literal TRUE: the hash matches
+    // iff every bound held. ApproxStatsSpec additionally bounds the raw
+    // sketch error. ----
+    GQuery(
+      "x1_approx_stats",
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(5000)).as("approx_p50"),
-          percentile_approx(col("value"), lit(0.99), lit(5000)).as("approx_p99"))
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("_au"),
+          percentile_approx(col("value"), lit(0.5), lit(5000)).as("_p50"),
+          percentile_approx(col("value"), lit(0.99), lit(5000)).as("_p99"),
+          expr("percentile(value, array(0.499, 0.501, 0.989, 0.991))").as("_pb"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("_au") - col("exact_users")) <=
+            lit(0.08) * col("exact_users")).as("users_ok"),
+          col("_p50").between(col("_pb")(0), col("_pb")(1)).as("p50_ok"),
+          col("_p99").between(col("_pb")(2), col("_pb")(3)).as("p99_ok"))
     },
 
     // ---- §2.5: lag over event-time partitions (ISI pattern —

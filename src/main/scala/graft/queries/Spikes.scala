@@ -552,10 +552,44 @@ object Spikes {
 
     // ---- A16 (other half): Victor-Purpura distance — imperative DP kernel
     // surfaced as the codegen vp_distance Expression over collected per-gid
-    // trains (no boxed UDF in the plan; no SQL oracle: the driver records a
-    // rows-only check; the kernel is unit-tested against brute force in
-    // VictorPurpuraSpec). q = 1/(1h). ----
-    GQuery.noOracle("a16b_victor_purpura") { (s, dir) =>
+    // trains (no boxed UDF in the plan). q = 1/(1h). The oracle runs the
+    // SAME edit DP as a DuckDB recursive CTE: each recursion level is one
+    // DP row carried as a list; the within-row dependency
+    // cur[j] = min(A_j, cur[j-1]+1) is resolved by the min-plus prefix
+    // identity cur[j] = j + min_{k<=j}(A_k - k), so a level is pure
+    // list_transform with no sequential fold. Trains are the bounded a16
+    // cohort (57–78 spikes at sf0.01), so the O(n·m²) list DP stays tiny.
+    // The kernel is additionally unit-tested against brute force in
+    // VictorPurpuraSpec. ----
+    GQuery(
+      "a16b_victor_purpura", {
+        val q = s"${1.0 / 3600000000.0}"
+        // the shared prefix, made recursion-capable
+        cte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+          s""", ev AS (SELECT gid, time FROM assigned WHERE win = 'full' AND gid <= 6),
+             |trains AS (
+             |  SELECT gid, list_sort(list(CAST(time AS DOUBLE))) AS train
+             |  FROM ev GROUP BY gid),
+             |pairs AS (
+             |  SELECT a.gid AS gid1, b.gid AS gid2, a.train AS t1, b.train AS t2,
+             |         len(a.train) AS n1, len(b.train) AS n2
+             |  FROM trains a JOIN trains b ON a.gid < b.gid),
+             |dp AS (
+             |  SELECT gid1, gid2, t1, t2, n1, n2, 0 AS i,
+             |         list_transform(range(0, n2 + 1), j -> CAST(j AS DOUBLE)) AS row
+             |  FROM pairs
+             |  UNION ALL
+             |  SELECT gid1, gid2, t1, t2, n1, n2, i + 1,
+             |         list_transform(range(0, n2 + 1),
+             |           j -> CAST(j AS DOUBLE) + list_aggregate(list_slice(B, 1, j + 1), 'min')) AS row
+             |  FROM (
+             |    SELECT *, list_prepend(CAST(i + 1 AS DOUBLE),
+             |        list_transform(range(1, n2 + 1),
+             |          k -> least(row[k + 1] + 1, row[k] + $q * abs(t1[i + 1] - t2[k]))
+             |               - CAST(k AS DOUBLE))) AS B
+             |    FROM dp WHERE i < n1))
+             |SELECT gid1, gid2, row[n2 + 1] AS vp FROM dp WHERE i = n1""".stripMargin
+      }) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val trains = assigned(s, dir)
         .filter(col("win") === "full" && col("gid") <= 6)
