@@ -78,10 +78,15 @@ object Main {
       println(s"The converted configuration has been saved to $out.")
 
     case "convert-spikes" :: csv :: out :: rest =>
+      // reference: `blueetl convert-spikes` (convert_spikes.py:232-320)
+      // writes the WHOLE campaign scaffold; --bare keeps the parquet-only
+      // table conversion
       val spark = session()
       try {
-        val sep = rest.headOption.getOrElse(" ")
-        val stats = Convert.convert(spark, csv, out, sep).collect()(0)
+        val sep = rest.filterNot(_.startsWith("--")).headOption.getOrElse(" ")
+        val stats =
+          if (rest.contains("--bare")) Convert.convert(spark, csv, out, sep).collect()(0)
+          else Convert.convertCampaign(spark, csv, out, sep = sep).collect()(0)
         println(s"wrote $out: rows=${stats.getLong(0)} ids=${stats.getLong(1)} " +
           s"time=[${stats.getDouble(4)}, ${stats.getDouble(5)}]")
       } finally spark.stop()

@@ -45,4 +45,126 @@ object Convert {
     spikes.write.mode("overwrite").parquet(outPath)
     importStats(spark.read.parquet(outPath))
   }
+
+  /** CSV → a complete runnable synthetic campaign, the graft analog of the
+    * reference converter's whole-scaffold output (convert_spikes.py:232-320
+    * `main`): alongside the sorted spikes table it writes a synthetic
+    * circuit, node sets, simulation + campaign configs, and an analysis
+    * config — so a user holding only a spikes file gets a directory that
+    * `graft.Main run` analyzes end-to-end, exactly as `blueetl
+    * convert-spikes` output feeds `blueetl run`.
+    *
+    * Layout (reference layout in convert_spikes.py:288-301, with parquet
+    * where the reference writes SONATA HDF5 — see the SONATA interop
+    * contract in README.md):
+    *
+    * {{{
+    * <out>/
+    * ├── analysis_config.yaml              # version 4, cache → analysis/
+    * ├── circuit/
+    * │   ├── circuit_config.json           # partial SONATA-style config
+    * │   ├── node_sets.json                # {"empty": …} as the reference
+    * │   └── synthetic_nodes.parquet       # gid 0..max_id (size max_id+1)
+    * ├── simulation/
+    * │   ├── simulation_config.json        # run.tstop = max timestamp
+    * │   └── synthetic_spikes.parquet      # (time DOUBLE ms, gid BIGINT)
+    * └── simulation_campaign_config.json   # blueetl-format, 1 simulation
+    * }}}
+    *
+    * Contract guarantees (round-trip tested in ConvertCampaignSpec):
+    *  - spikes sorted by (time, gid) — reference `_load_csv` sort_values
+    *    on [timestamps, node_ids] (convert_spikes.py:94-107);
+    *  - time is float64 milliseconds, gid fits uint64→long — reference
+    *    DTYPES (convert_spikes.py:18-21) and the `units: ms` attr;
+    *  - the node table has `size = max_id + 1` rows (convert_spikes.py:265);
+    *  - the campaign config loads through [[ConfigIO.loadCampaign]] and the
+    *    analysis config through [[ConfigIO.loadAnalysis]] unmodified.
+    *
+    * Returns the import statistics frame (same shape as [[importStats]]).
+    */
+  def convertCampaign(
+      spark: SparkSession, csvPath: String, outDir: String,
+      nodePopulation: String = "synthetic", sep: String = " "): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(outDir).toAbsolutePath
+    Files.createDirectories(base.resolve("circuit"))
+    Files.createDirectories(base.resolve("simulation"))
+
+    val spikesPath = base.resolve("simulation/synthetic_spikes.parquet").toString
+    val spikes = readSpikesCsv(spark, csvPath, sep)
+    spikes.write.mode("overwrite").parquet(spikesPath)
+    val stats = importStats(spark.read.parquet(spikesPath))
+    val row = stats.collect()(0)
+    val maxId = row.getLong(3)
+    val maxTime = row.getDouble(5)
+
+    // synthetic circuit: one row per node id 0..max_id with a placeholder
+    // property (reference writes an empty CellCollection of the same size,
+    // convert_spikes.py:148-157; `_` is its literal placeholder column)
+    spark.range(maxId + 1)
+      .select(col("id").as("gid"), lit(0).cast("int").as("_"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(base.resolve("circuit/synthetic_nodes.parquet").toString)
+
+    def json(path: java.nio.file.Path, v: Any): Unit =
+      Files.writeString(path, ConfigIO.canonical(v))
+
+    // node_sets.json (reference convert_spikes.py:160-170)
+    json(base.resolve("circuit/node_sets.json"),
+      Map("empty" -> Map("population" -> nodePopulation, "node_id" -> Seq.empty[Long])))
+
+    // partial circuit config (reference convert_spikes.py:173-193)
+    json(base.resolve("circuit/circuit_config.json"), Map(
+      "version" -> "2.4",
+      "metadata" -> Map("status" -> "partial"),
+      "node_sets_file" -> "node_sets.json",
+      "networks" -> Map(
+        "nodes" -> Seq(Map(
+          "nodes_file" -> "synthetic_nodes.parquet",
+          "populations" -> Map(nodePopulation -> Map.empty[String, Any]))),
+        "edges" -> Seq.empty[Any])))
+
+    // simulation config (reference convert_spikes.py:196-220)
+    json(base.resolve("simulation/simulation_config.json"), Map(
+      "version" -> "2.4",
+      "network" -> "../circuit/circuit_config.json",
+      "run" -> Map("tstop" -> math.ceil(maxTime), "dt" -> 1.0, "random_seed" -> 0),
+      "output" -> Map("output_dir" -> ".", "spikes_file" -> "synthetic_spikes.parquet"),
+      "metadata" -> Map("note" -> "Synthetic simulation")))
+
+    // campaign config, native blueetl row format with a single simulation
+    // (reference convert_spikes.py:223-245). graft adapters take the data
+    // path directly (Model.scala xarrayCampaign note), so simulation_path
+    // points at the spikes table and circuit_path at the node table.
+    ConfigIO.dumpYaml(base.resolve("simulation_campaign_config.json").toString, Map(
+      "format" -> "blueetl",
+      "version" -> 1,
+      "name" -> "synthetic",
+      "attrs" -> Map(
+        "path_prefix" -> base.toString,
+        "circuit_config" -> base.resolve("circuit/circuit_config.json").toString),
+      "data" -> Seq(Map(
+        "simulation_path" -> "simulation/synthetic_spikes.parquet",
+        "circuit_path" -> base.resolve("circuit/synthetic_nodes.parquet").toString))))
+
+    // analysis config scaffold (reference convert_spikes.py:248-296): the
+    // reference's w1/w2 windows + all-class + per-class features, expressed
+    // in the graft v4 schema with the built-in feature registry
+    ConfigIO.dumpYaml(base.resolve("analysis_config.yaml").toString, Map(
+      "version" -> 4,
+      "simulation_campaign" -> base.resolve("simulation_campaign_config.json").toString,
+      "cache" -> Map("path" -> base.resolve("analysis").toString),
+      "analysis" -> Map(
+        "spikes" -> Map(
+          "extraction" -> Map(
+            "report" -> Map("type" -> "spikes"),
+            "neuron_classes" -> Map("all" -> Map.empty[String, Any]),
+            "windows" -> Map(
+              "w1" -> Map("bounds" -> Seq(0.0, 1000.0)),
+              "w2" -> Map("bounds" -> Seq(1000.0, 2000.0)))),
+          "features" -> Seq(Map(
+            "groupby" -> Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+            "function" -> "mean_firing_rates"))))))
+    stats
+  }
 }
