@@ -108,6 +108,74 @@ object Spikes {
        |  LEFT JOIN hist h ON h.event_type = t.event_type AND h.bin = b.bin)
        |""".stripMargin
 
+  /** Blocked all-pairs Pearson correlation of binned spike trains — the
+    * full-class scale path for A12 (reference computes the whole class's
+    * correlation matrix: external/bluecv/neuron_class.py:47-49).
+    *
+    * Input: a (possibly sparse) `(gid, bin, cnt)` frame; absent bins count
+    * as 0 over the dense grid `0 until nBins`. Output: one row per
+    * unordered gid pair, `(gid1 < gid2, r)`.
+    *
+    * Scale design — G gids means G²/2 pairs, which must never become a
+    * per-bin self-join (G² rows × nBins) or a driver-side Gram matrix
+    * (G² doubles on one node). Instead:
+    *   1. one shuffle assembles each gid's dense count vector + its
+    *      sufficient statistics (Σx, Σx² via the codegen `array_dot`);
+    *   2. gids hash into `nBlocks` blocks; the (nBlocks²/2) ordered block
+    *      pairs are driver constants broadcast against the vectors, so
+    *      each vector is replicated ~nBlocks times — the classic blocked
+    *      cartesian, executed as two EQUI-joins (no nested loop, audited
+    *      in CorrelationSpec);
+    *   3. within a block pair, r comes from the closed form
+    *      (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) with Σxy one
+    *      fused `array_dot` — pure codegen per pair, no agg.
+    * Memory per task is bounded by (2 · G/nBlocks · nBins) doubles: pick
+    * nBlocks ≈ G·nBins·8B / (executor-task budget); bigger classes take
+    * more blocks, never more per-task memory.
+    */
+  def pairwiseCorrelation(
+      binned: DataFrame, nBins: Int, nBlocks: Int = 16,
+      gidCol: String = "gid", binCol: String = "bin", cntCol: String = "cnt"): DataFrame = {
+    val s = binned.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    require(nBins > 0 && nBlocks > 0)
+    val vec = binned
+      .groupBy(col(gidCol).as("g"))
+      .agg(map_from_entries(collect_list(struct(
+        col(binCol).cast("int"), col(cntCol).cast("double")))).as("m"))
+      .select(
+        col("g"),
+        expr(s"transform(sequence(0, ${nBins - 1}), b -> coalesce(element_at(m, b), 0D))")
+          .as("v"))
+      .withColumn("sx", expr("aggregate(v, 0D, (acc, x) -> acc + x)"))
+      .withColumn("qx", expr("array_dot(v, v)"))
+      .withColumn("blk", pmod(hash(col("g")), lit(nBlocks)).cast("int"))
+    val blockPairs = broadcast(
+      (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toDF("bi", "bj"))
+    val a = vec.select(
+      col("blk").as("bi"), col("g").as("g1"), col("v").as("v1"),
+      col("sx").as("s1"), col("qx").as("q1"))
+    val b = vec.select(
+      col("blk").as("bj"), col("g").as("g2"), col("v").as("v2"),
+      col("sx").as("s2"), col("qx").as("q2"))
+    val n = lit(nBins.toDouble)
+    val dot = expr("array_dot(v1, v2)")
+    val cov = n * dot - col("s1") * col("s2")
+    val var1 = n * col("q1") - col("s1") * col("s1")
+    val var2 = n * col("q2") - col("s2") * col("s2")
+    blockPairs
+      .join(a, "bi")
+      .join(b, "bj")
+      // {x,y} surfaces exactly once: ordered cross-block pair, or same
+      // block with the gid order as the tiebreak
+      .filter(col("bi") < col("bj") || col("g1") < col("g2"))
+      .select(
+        least(col("g1"), col("g2")).as("gid1"),
+        greatest(col("g1"), col("g2")).as("gid2"),
+        when(var1 > 0 && var2 > 0, cov / sqrt(var1 * var2)).as("r"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---- J4: interval/range join window assignment ----
@@ -293,20 +361,14 @@ object Spikes {
           |SELECT d1.gid AS gid1, d2.gid AS gid2, corr(d1.cnt, d2.cnt) AS r
           |FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
           |GROUP BY d1.gid, d2.gid""".stripMargin) { (s, dir) =>
+      // the oracle-locked instance runs the SAME blocked engine path as a
+      // full class would (nBlocks=2 exercises both the same-block and
+      // cross-block pair branches); CorrelationSpec drives it at 1k gids
       val c = assigned(s, dir)
         .filter(col("win") === "day1" && col("gid") <= 10)
         .withColumn("bin", expr(s"time div $H").cast("int"))
         .groupBy("gid", "bin").agg(count(lit(1)).as("cnt"))
-      val g = c.select("gid").distinct()
-      val b = s.range(0, 24).select(col("id").cast("int").as("bin"))
-      val dense = g.crossJoin(broadcast(b))
-        .join(c, Seq("gid", "bin"), "left")
-        .select(col("gid"), col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      val d2 = dense.select(
-        col("gid").as("gid2"), col("bin").as("bin2"), col("cnt").as("cnt2"))
-      dense.join(d2, col("bin") === col("bin2") && col("gid") < col("gid2"))
-        .groupBy(col("gid").as("gid1"), col("gid2"))
-        .agg(corr("cnt", "cnt2").as("r"))
+      pairwiseCorrelation(c, nBins = 24, nBlocks = 2)
     },
 
     // ---- A14: complexity PDF — distribution of #simultaneously-active
