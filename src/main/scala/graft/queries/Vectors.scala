@@ -43,6 +43,71 @@ object Vectors {
   private val coefSql =
     "CASE WHEN substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END"
 
+  /** Map-side random-hyperplane LSH bucket assignment, signature depth
+    * parameterized: `bands × planesPerBand` ±1 planes, md5-derived per
+    * (plane, dim) so any engine instance regenerates the identical matrix
+    * with no stored state. Planes are DRIVER LITERALS — each projection is
+    * one fused `array_dot` against the embedding, so signatures are pure
+    * codegen with no posexplode and no signature shuffle (at 100 TB this
+    * is the difference between a full extra shuffle of the corpus and
+    * none). Output: (vec_id, band, bkey).
+    *
+    * Depth is the saturation knob: a b-plane band has 2^b buckets, so at
+    * N vectors expected occupancy is N/2^b per band — when that passes the
+    * bucket cap the capped drop engages (visible via the observe metric).
+    * Pick planesPerBand ≈ log2(N / targetOccupancy); the oracle-locked v2
+    * instance stays at 4×4, VectorsLshDepthSpec drives 50k vectors at
+    * depth 10.
+    */
+  private[queries] def lshSignatures(
+      emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    registered(emb.sparkSession)
+    require(bands > 0 && planesPerBand > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coef(p: Int, d: Int): Double = {
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
+    // embedding width from the data itself (one single-row job): a
+    // hard-coded width would silently truncate array_dot and corrupt
+    // every signature if the corpus changed
+    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dims > 0, "embeddings table has empty embedding arrays")
+    val nPlanes = bands * planesPerBand
+    val projCols = (0 until nPlanes).map { p =>
+      val arr = (0 until dims).map(coef(p, _)).mkString("array(", "D, ", "D)")
+      expr(s"array_dot(embedding, $arr)").as(s"s$p")
+    }
+    def bit(p: Int) = s"CASE WHEN s$p >= 0 THEN '1' ELSE '0' END"
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map(i => bit(planesPerBand * b + i))
+      s"struct($b as band, concat(${bits.mkString(", ")}) as bkey)"
+    }
+    emb.select(col("vec_id") +: projCols: _*)
+      .select(col("vec_id"), explode(expr(s"array(${bandCols.mkString(", ")})")).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /** ANN similar-pair search: bucketed candidates from [[lshSignatures]]
+    * (one shuffle by bucket key, occupancy-capped — Lsh.cappedPairs), then
+    * an exact cosine re-rank of candidates only. The engine-side scale
+    * path behind the oracle-locked v2 instance (4 bands × 4 planes).
+    */
+  def lshSimilarPairs(
+      emb: DataFrame, bands: Int = 4, planesPerBand: Int = 4,
+      threshold: Double = 0.4, cap: Int = Lsh.DefaultBucketCap,
+      metricName: String = "graft_lsh_vec"): DataFrame = {
+    val sig = lshSignatures(emb, bands, planesPerBand)
+    val cand = Lsh.cappedPairs(sig, "vec_id", "v1", "v2", metricName, cap)
+    val e = withNorm(emb)
+    val ea = e.select(col("vec_id").as("v1"), col("embedding").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("v2"), col("embedding").as("vb"), col("nrm").as("nb"))
+    cand.join(ea, "v1").join(eb, "v2")
+      .withColumn("cos", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("v1", "v2", "cos")
+  }
+
   /** Build (once per session+dir) the persisted IVF index: a small
     * centroid table (cell → centroid array) plus the corpus vectors with
     * precomputed norms, laid out in CELL-PARTITIONED parquet — so a probe
@@ -133,46 +198,10 @@ object Vectors {
          |SELECT c.v1, c.v2, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
          |FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
-      registered(s)
-      // The ±1 plane matrix is 16×64 md5-derived CONSTANTS — computed once
-      // on the driver (bit-identical to the oracle's per-row md5 CASE) and
-      // embedded as array literals, so each projection is one array_dot
-      // against the embedding: signatures are MAP-SIDE pure codegen, no
-      // posexplode and no 128k-row signature shuffle. At 100 TB this is
-      // the difference between a full extra shuffle of the corpus and none.
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def coef(p: Int, d: Int): Double = {
-        val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        if (hex.charAt(0) < '8') 1.0 else -1.0
-      }
-      // embedding width from the data itself (one single-row job), matching
-      // the oracle's len(): a hard-coded width would silently truncate
-      // array_dot and corrupt every signature if the corpus changed
-      val dims = Tables.embeddings(s, dir)
-        .select(size(col("embedding"))).head.getInt(0)
-      require(dims > 0, "embeddings table has empty embedding arrays")
-      val projCols = (0 until 16).map { p =>
-        val arr = (0 until dims).map(coef(p, _)).mkString("array(", "D, ", "D)")
-        expr(s"array_dot(embedding, $arr)").as(s"s$p")
-      }
-      def bit(p: Int) = s"CASE WHEN s$p >= 0 THEN '1' ELSE '0' END"
-      val bands = (0 until 4).map { b =>
-        s"struct($b as band, concat(${(0 until 4).map(i => bit(4 * b + i)).mkString(", ")}) as bkey)"
-      }
-      val sig = Tables.embeddings(s, dir)
-        .select(col("vec_id") +: projCols: _*)
-        .select(col("vec_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
-        .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-      // within-bucket pairing: signature subplan computed once, one shuffle
-      // by bucket key, occupancy-capped (see Lsh.cappedPairs for rationale)
-      val cand = Lsh.cappedPairs(sig, "vec_id", "v1", "v2", "graft_lsh_vec")
-      val e = withNorm(Tables.embeddings(s, dir))
-      val ea = e.select(col("vec_id").as("v1"), col("embedding").as("va"), col("nrm").as("na"))
-      val eb = e.select(col("vec_id").as("v2"), col("embedding").as("vb"), col("nrm").as("nb"))
-      cand.join(ea, "v1").join(eb, "v2")
-        .withColumn("cos", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.4)
-        .select("v1", "v2", "cos")
+      // the parameterized engine path at the oracle-locked 4×4 depth —
+      // the ±1 plane matrix is md5-derived driver constants, bit-identical
+      // to the oracle's per-row md5 CASE (see lshSignatures)
+      lshSimilarPairs(Tables.embeddings(s, dir), bands = 4, planesPerBand = 4)
     },
 
     // ---- Per-label centroids (posexplode → groupBy label,dim → avg) ----
