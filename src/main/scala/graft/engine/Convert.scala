@@ -133,10 +133,11 @@ object Convert {
       "metadata" -> Map("note" -> "Synthetic simulation")))
 
     // campaign config, native blueetl row format with a single simulation
-    // (reference convert_spikes.py:223-245). graft adapters take the data
-    // path directly (Model.scala xarrayCampaign note), so simulation_path
-    // points at the spikes table and circuit_path at the node table.
-    ConfigIO.dumpYaml(base.resolve("simulation_campaign_config.json").toString, Map(
+    // (reference convert_spikes.py:223-245, dump_json). graft adapters take
+    // the data path directly (Model.scala xarrayCampaign note), so
+    // simulation_path points at the spikes table and circuit_path at the
+    // node table.
+    json(base.resolve("simulation_campaign_config.json"), Map(
       "format" -> "blueetl",
       "version" -> 1,
       "name" -> "synthetic",

@@ -159,10 +159,16 @@ final case class Campaign(
 
 object ConfigIO {
   private val yaml = new ObjectMapper(new YAMLFactory()).registerModule(DefaultScalaModule)
+  private val json = new ObjectMapper().registerModule(DefaultScalaModule)
 
+  /** .json parses with the JSON reader (JSON allows raw TABs, YAML does
+    * not — real simulator configs contain them); everything else as YAML
+    * (a JSON superset for well-formed documents).
+    */
   def loadMap(path: String): Map[String, Any] = {
     val txt = Files.readString(Paths.get(path))
-    yaml.readValue(txt, classOf[Map[String, Any]])
+    val mapper = if (path.endsWith(".json")) json else yaml
+    mapper.readValue(txt, classOf[Map[String, Any]])
   }
 
   def dumpYaml(path: String, v: Any): Unit =

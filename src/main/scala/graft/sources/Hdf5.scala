@@ -1,0 +1,591 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
+
+/** Minimal pure-JVM HDF5 reader for the subset h5py emits by default —
+  * the on-disk format of SONATA spike/frame reports and node tables
+  * (reference reads them via bluepysnap/h5py:
+  * adapters/impl/bluepysnap/simulation.py:16-42, circuit.py).
+  *
+  * Supported (all structures observed in the reference's own .h5
+  * fixtures, written by h5py with default settings):
+  *  - superblock v0/v1, v1 object headers (+ continuation blocks)
+  *  - symbol-table groups (v1 B-tree + SNOD + local heap)
+  *  - dataspace v1/v2 (rank ≤ 2), datatypes: fixed-point (1/2/4/8 bytes,
+  *    signed/unsigned), IEEE float32/64, fixed strings, vlen strings
+  *    (global heap), enums (decoded as their base integer)
+  *  - data layouts: compact, contiguous, chunked (v1 B-tree index), with
+  *    optional shuffle + deflate filters
+  *  - attribute messages v1-v3 (scalar string/number attributes)
+  *
+  * NOT supported (clear error, conversion contract in README.md is the
+  * fallback): superblock ≥ v2 / v2 object headers (h5py libver="latest"),
+  * fractal-heap groups, references, compounds, szip/lzf.
+  *
+  * Thread-safety: reads are positional (`FileChannel.read(dst, pos)`), so
+  * one instance can serve concurrent partition readers.
+  */
+final class Hdf5File(val path: String) extends AutoCloseable {
+
+  private val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+
+  override def close(): Unit = ch.close()
+
+  private def readAt(pos: Long, len: Int): ByteBuffer = {
+    val b = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0
+    while (off < len) {
+      val n = ch.read(b, pos + off)
+      require(n > 0, s"$path: unexpected EOF at ${pos + off}")
+      off += n
+    }
+    b.flip()
+    b
+  }
+
+  private def u16(b: ByteBuffer): Int = b.getShort & 0xffff
+  private def u32(b: ByteBuffer): Long = b.getInt & 0xffffffffL
+  private def u8(b: ByteBuffer): Int = b.get & 0xff
+
+  // ---- superblock ---------------------------------------------------------
+
+  private val Undef = -1L // 0xffffffffffffffff as signed
+
+  private val rootEntry: SymbolEntry = {
+    val sig = readAt(0, 8)
+    val magic = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+    require((0 until 8).forall(i => sig.get(i) == magic(i)), s"$path: not an HDF5 file")
+    val b = readAt(8, 16)
+    val sbVersion = u8(b)
+    require(sbVersion <= 1,
+      s"$path: superblock v$sbVersion not supported (h5py libver='latest'?); " +
+        "convert per the SONATA interop contract (README.md)")
+    u8(b); u8(b); u8(b); u8(b) // freespace, root group, reserved, shared header versions
+    val offSize = u8(b); val lenSize = u8(b)
+    require(offSize == 8 && lenSize == 8, s"$path: offsets/lengths $offSize/$lenSize != 8")
+    // leaf/internal k (4 bytes) + consistency flags (4) + (v1: indexed k, 4)
+    val fixed = 24 + (if (sbVersion == 1) 4 else 0)
+    // base(8) free(8) eof(8) driver(8) then root symbol table entry
+    readSymbolEntry(readAt(fixed + 32L, 40))
+  }
+
+  private case class SymbolEntry(nameOffset: Long, headerAddr: Long, btree: Long, heap: Long)
+
+  private def readSymbolEntry(b: ByteBuffer): SymbolEntry = {
+    val nameOff = b.getLong
+    val hdr = b.getLong
+    val cacheType = b.getInt
+    b.getInt // reserved
+    val s0 = b.getLong; val s1 = b.getLong // scratch
+    if (cacheType == 1) SymbolEntry(nameOff, hdr, s0, s1)
+    else SymbolEntry(nameOff, hdr, Undef, Undef)
+  }
+
+  // ---- object headers -----------------------------------------------------
+
+  private case class Message(typ: Int, body: ByteBuffer)
+
+  private def objectMessages(addr: Long): Seq[Message] = {
+    val head = readAt(addr, 16)
+    val version = u8(head)
+    require(version == 1,
+      s"$path: object header v$version not supported (only v1; see README SONATA contract)")
+    u8(head)
+    val nMsgs = u16(head)
+    head.getInt // ref count
+    val hdrSize = u32(head).toInt
+    val out = Seq.newBuilder[Message]
+    var remainingMsgs = nMsgs
+    // blocks of (address, size): header data follows the 16-byte prefix
+    var blocks = List((addr + 16, hdrSize))
+    while (blocks.nonEmpty && remainingMsgs > 0) {
+      val (bAddr, bSize) = blocks.head
+      blocks = blocks.tail
+      val buf = readAt(bAddr, bSize)
+      while (buf.remaining >= 8 && remainingMsgs > 0) {
+        val typ = u16(buf)
+        val size = u16(buf)
+        u8(buf); u8(buf); u8(buf); u8(buf) // flags + reserved
+        if (size > buf.remaining) { remainingMsgs = 0 }
+        else {
+          val body = buf.slice().order(ByteOrder.LITTLE_ENDIAN)
+          body.limit(size)
+          buf.position(buf.position() + size)
+          remainingMsgs -= 1
+          if (typ == 0x0010) { // continuation
+            val cAddr = body.getLong; val cLen = body.getLong
+            blocks = blocks :+ ((cAddr, cLen.toInt))
+          } else out += Message(typ, body)
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ---- groups: v1 B-tree + SNOD + local heap ------------------------------
+
+  private def heapString(heapAddr: Long, offset: Long): String = {
+    val h = readAt(heapAddr, 32)
+    require(h.getInt == 0x50414548, s"$path: bad local heap signature") // "HEAP"
+    h.position(8)
+    h.getLong // data size
+    h.getLong // free list
+    val dataAddr = h.getLong
+    val sb = new StringBuilder
+    var pos = dataAddr + offset
+    var done = false
+    while (!done) {
+      val chunk = readAt(pos, 64)
+      while (!done && chunk.hasRemaining) {
+        val c = chunk.get
+        if (c == 0) done = true else sb.append(c.toChar)
+      }
+      pos += 64
+    }
+    sb.toString
+  }
+
+  /** All (name, entry) pairs of a symbol-table group. */
+  private def groupEntries(btreeAddr: Long, heapAddr: Long): Seq[(String, SymbolEntry)] = {
+    val head = readAt(btreeAddr, 24)
+    require(head.getInt == 0x45455254, s"$path: bad B-tree signature") // "TREE"
+    val nodeType = u8(head)
+    require(nodeType == 0, s"$path: B-tree node type $nodeType where group expected")
+    val level = u8(head)
+    val used = u16(head)
+    // keys/children: key(len=8) child(off=8) alternating, used children
+    val body = readAt(btreeAddr + 24, (2 * used + 1) * 8)
+    val children = (0 until used).map { i =>
+      body.position((2 * i + 1) * 8)
+      body.getLong
+    }
+    if (level > 0) children.flatMap(groupEntries(_, heapAddr))
+    else children.flatMap { snodAddr =>
+      val sh = readAt(snodAddr, 8)
+      require(sh.getInt == 0x444f4e53, s"$path: bad SNOD signature") // "SNOD"
+      sh.get // version
+      sh.get // reserved
+      val n = u16(sh)
+      val entries = readAt(snodAddr + 8, n * 40)
+      (0 until n).map { _ =>
+        val e = readSymbolEntry(entries)
+        (heapString(heapAddr, e.nameOffset), e)
+      }
+    }
+  }
+
+  private def childEntries(e: SymbolEntry): Seq[(String, SymbolEntry)] = {
+    val (bt, hp) =
+      if (e.btree != Undef) (e.btree, e.heap)
+      else {
+        val st = objectMessages(e.headerAddr).find(_.typ == 0x0011).getOrElse(
+          throw new IllegalArgumentException(s"$path: not a symbol-table group"))
+        (st.body.getLong, st.body.getLong)
+      }
+    groupEntries(bt, hp)
+  }
+
+  private def resolve(p: String): SymbolEntry =
+    p.split("/").filter(_.nonEmpty).foldLeft(rootEntry) { (e, name) =>
+      childEntries(e).collectFirst { case (n, c) if n == name => c }.getOrElse(
+        throw new NoSuchElementException(s"$path: no such object: $p (missing '$name')"))
+    }
+
+  def exists(p: String): Boolean =
+    try { resolve(p); true } catch { case _: NoSuchElementException => false }
+
+  /** Child link names of a group. */
+  def ls(p: String): Seq[String] = childEntries(resolve(p)).map(_._1).sorted
+
+  // ---- datatypes ----------------------------------------------------------
+
+  /** Parsed datatype: HDF5 class, element size, signedness; `base` for
+    * enum/vlen.
+    */
+  private case class Dtype(
+      cls: Int, size: Int, signed: Boolean, littleEndian: Boolean,
+      base: Option[Dtype] = None)
+
+  private def parseDtype(b: ByteBuffer): Dtype = {
+    val classAndVersion = u8(b)
+    val cls = classAndVersion & 0x0f
+    val bits0 = u8(b); u8(b); u8(b)
+    val size = u32(b).toInt
+    cls match {
+      case 0 => // fixed-point: bits0 bit0 = byte order, bit3 = signed
+        b.getShort; b.getShort // bit offset / precision
+        Dtype(cls, size, signed = (bits0 & 0x08) != 0, littleEndian = (bits0 & 1) == 0)
+      case 1 => // float
+        Dtype(cls, size, signed = true, littleEndian = (bits0 & 1) == 0)
+      case 3 => // fixed string
+        Dtype(cls, size, signed = false, littleEndian = true)
+      case 8 => // enum: base type follows (names/values not needed for ints)
+        Dtype(cls, size, signed = true, littleEndian = true, base = Some(parseDtype(b)))
+      case 9 => // vlen: bits0 bit0..3 type (1 = string); base type follows
+        Dtype(cls, size, signed = false, littleEndian = true, base = Some(parseDtype(b)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"$path: HDF5 datatype class $other not supported")
+    }
+  }
+
+  // ---- dataspace ----------------------------------------------------------
+
+  private def parseDims(b: ByteBuffer): Seq[Long] = {
+    val version = u8(b)
+    val rank = u8(b)
+    val flags = u8(b)
+    if (version == 1) { u8(b); b.getInt } // reserved (5 bytes total)
+    else u8(b) // v2: type
+    val dims = (0 until rank).map(_ => b.getLong)
+    if ((flags & 1) != 0) (0 until rank).foreach(_ => b.getLong) // max dims
+    dims
+  }
+
+  // ---- layout + filters ---------------------------------------------------
+
+  private sealed trait Layout
+  private case class Contiguous(addr: Long, size: Long) extends Layout
+  private case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
+  private case class Compact(data: Array[Byte]) extends Layout
+
+  private case class Filter(id: Int, clientValues: Seq[Int])
+
+  private case class Dataset(
+      dtype: Dtype, dims: Seq[Long], layout: Layout, filters: Seq[Filter])
+
+  private def parseLayout(b: ByteBuffer): Layout = {
+    val version = u8(b)
+    require(version == 3, s"$path: data layout v$version not supported (only v3)")
+    u8(b) match {
+      case 0 =>
+        val size = u16(b)
+        val data = new Array[Byte](size)
+        b.get(data)
+        Compact(data)
+      case 1 => Contiguous(b.getLong, b.getLong)
+      case 2 =>
+        val dimensionality = u8(b)
+        val btree = b.getLong
+        // dims include the trailing element-size dim
+        val cd = (0 until dimensionality - 1).map(_ => b.getInt)
+        b.getInt // element size
+        Chunked(btree, cd)
+      case other => throw new IllegalArgumentException(s"$path: layout class $other")
+    }
+  }
+
+  private def parseFilters(b: ByteBuffer): Seq[Filter] = {
+    val version = u8(b)
+    val n = u8(b)
+    if (version == 1) { u16(b); b.getInt } // reserved
+    (0 until n).map { _ =>
+      val id = u16(b)
+      val nameLen = if (version == 1 || id >= 256) u16(b) else 0
+      u16(b) // flags
+      val nCv = u16(b)
+      if (nameLen > 0) b.position(b.position() + ((nameLen + 7) / 8) * 8)
+      val cvs = (0 until nCv).map(_ => b.getInt)
+      if (version == 1 && nCv % 2 == 1) b.getInt // pad
+      Filter(id, cvs)
+    }
+  }
+
+  private def dataset(p: String): Dataset = {
+    val msgs = objectMessages(resolve(p).headerAddr)
+    def one(typ: Int, what: String): ByteBuffer =
+      msgs.find(_.typ == typ).map(_.body).getOrElse(
+        throw new IllegalArgumentException(s"$path: $p has no $what message"))
+    val dims = parseDims(one(0x0001, "dataspace"))
+    val dtype = parseDtype(one(0x0003, "datatype"))
+    val layout = parseLayout(one(0x0008, "layout"))
+    val filters = msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body)).getOrElse(Nil)
+    Dataset(dtype, dims, layout, filters)
+  }
+
+  def dims(p: String): Seq[Long] = dataset(p).dims
+
+  // ---- raw element bytes (layout + filters resolved) ----------------------
+
+  private def inflate(data: Array[Byte], outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](outLen)
+    var off = 0
+    while (off < outLen && !inf.finished()) off += inf.inflate(out, off, outLen - off)
+    inf.end()
+    out
+  }
+
+  private def unshuffle(data: Array[Byte], elemSize: Int): Array[Byte] = {
+    val n = data.length / elemSize
+    val out = new Array[Byte](data.length)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < elemSize) { out(i * elemSize + j) = data(j * n + i); j += 1 }
+      j += 0; i += 1
+    }
+    out
+  }
+
+  private def applyFilters(raw: Array[Byte], filters: Seq[Filter], elemSize: Int,
+      outLen: Int): Array[Byte] = {
+    // stored order is application order; decode runs in reverse
+    filters.reverse.foldLeft(raw) { (d, f) =>
+      f.id match {
+        case 1 => inflate(d, outLen)
+        case 2 => unshuffle(d, elemSize)
+        case other => throw new IllegalArgumentException(
+          s"$path: filter id $other not supported (deflate/shuffle only)")
+      }
+    }
+  }
+
+  /** All chunks of a chunked dataset: (logical offsets, data address, stored size). */
+  private def chunkIndex(btreeAddr: Long, rank: Int): Seq[(Seq[Long], Long, Int)] = {
+    val head = readAt(btreeAddr, 24)
+    require(head.getInt == 0x45455254, s"$path: bad chunk B-tree signature")
+    require(u8(head) == 1, s"$path: B-tree node type != 1 for chunks")
+    val level = u8(head)
+    val used = u16(head)
+    // key: size(4) mask(4) offsets((rank+1)*8); entries: key child ... key
+    val keySize = 8 + (rank + 1) * 8
+    val body = readAt(btreeAddr + 24, used * (keySize + 8) + keySize)
+    (0 until used).flatMap { _ =>
+      val storedSize = body.getInt
+      body.getInt // filter mask
+      val offs = (0 until rank).map(_ => body.getLong)
+      body.getLong // trailing elem-size dim offset
+      val child = body.getLong
+      if (level > 0) chunkIndex(child, rank) else Seq((offs, child, storedSize))
+    }
+  }
+
+  /** Bytes of elements [elemStart, elemEnd) in ROW-MAJOR element order.
+    * For rank-2 data the element index is row*ncols + col.
+    */
+  private def elementBytes(ds: Dataset, elemStart: Long, elemEnd: Long): ByteBuffer = {
+    val es = ds.dtype.size
+    val total = ds.dims.product
+    require(elemStart >= 0 && elemEnd <= total && elemStart <= elemEnd,
+      s"$path: element range [$elemStart,$elemEnd) outside [0,$total)")
+    val want = ((elemEnd - elemStart) * es).toInt
+    ds.layout match {
+      case Compact(data) =>
+        ByteBuffer.wrap(data, (elemStart * es).toInt, want).slice()
+          .order(ByteOrder.LITTLE_ENDIAN)
+      case Contiguous(addr, _) =>
+        require(addr != Undef, s"$path: dataset has no allocated storage")
+        readAt(addr + elemStart * es, want)
+      case Chunked(btree, chunkDims) =>
+        val out = ByteBuffer.allocate(want).order(ByteOrder.LITTLE_ENDIAN)
+        val rank = ds.dims.length
+        require(chunkDims.length == rank, s"$path: chunk rank mismatch")
+        val chunkElems = chunkDims.map(_.toLong).product
+        for ((offs, addr, stored) <- chunkIndex(btree, rank)) {
+          // chunk's element range in row-major order — valid to treat as a
+          // flat run only when the chunk spans full rows (chunkDims tail ==
+          // dims tail), which holds for h5py's 1-D datasets and row-chunked
+          // 2-D; otherwise copy element by element below
+          val fullRows = rank == 1 ||
+            (1 until rank).forall(i => chunkDims(i).toLong == ds.dims(i))
+          val raw = readAt(addr, stored).array()
+          val bytes = applyFilters(raw, ds.filters, es, (chunkElems * es).toInt)
+          if (fullRows) {
+            val cStart = offs.head * (if (rank == 2) ds.dims(1) else 1L)
+            val cEnd = cStart + chunkElems
+            val s = math.max(cStart, elemStart); val e = math.min(cEnd, elemEnd)
+            if (s < e) {
+              out.position(((s - elemStart) * es).toInt)
+              out.put(bytes, ((s - cStart) * es).toInt, ((e - s) * es).toInt)
+            }
+          } else {
+            // general 2-D chunk: copy row fragments
+            val (r0, c0) = (offs(0), offs(1))
+            val (nr, nc) = (chunkDims(0).toLong, chunkDims(1).toLong)
+            val cols = ds.dims(1)
+            var r = 0L
+            while (r < nr && r0 + r < ds.dims(0)) {
+              var c = 0L
+              while (c < nc && c0 + c < cols) {
+                val elem = (r0 + r) * cols + (c0 + c)
+                if (elem >= elemStart && elem < elemEnd) {
+                  out.position(((elem - elemStart) * es).toInt)
+                  out.put(bytes, ((r * nc + c) * es).toInt, es)
+                }
+                c += 1
+              }
+              r += 1
+            }
+          }
+        }
+        out.rewind()
+        out
+    }
+  }
+
+  // ---- typed reads --------------------------------------------------------
+
+  private def numeric(ds: Dataset, b: ByteBuffer, n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    // only enums unwrap to their base: a vlen string's base is a 1-byte
+    // char type, which must NOT be decodable as numeric
+    val dt = if (ds.dtype.cls == 8) ds.dtype.base.getOrElse(ds.dtype) else ds.dtype
+    require(dt.cls == 0 || dt.cls == 1,
+      s"$path: string-typed dataset read as numeric (class ${ds.dtype.cls}) — use readStrings")
+    var i = 0
+    while (i < n) {
+      out(i) = (dt.cls, dt.size, dt.signed) match {
+        case (1, 8, _) => b.getDouble
+        case (1, 4, _) => b.getFloat.toDouble
+        case (0, 8, _) => b.getLong.toDouble // u64 > Long.Max unexpected for ids
+        case (0, 4, true) => b.getInt.toDouble
+        case (0, 4, false) => u32(b).toDouble
+        case (0, 2, true) => b.getShort.toDouble
+        case (0, 2, false) => u16(b).toDouble
+        case (0, 1, true) => b.get.toDouble
+        case (0, 1, false) => u8(b).toDouble
+        case other => throw new IllegalArgumentException(s"$path: numeric type $other")
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** 1-D (or flattened row-major) element range as doubles. */
+  def readDoubles(p: String, start: Long = 0, end: Long = -1): Array[Double] = {
+    val ds = dataset(p)
+    val hi = if (end < 0) ds.dims.product else end
+    numeric(ds, elementBytes(ds, start, hi), (hi - start).toInt)
+  }
+
+  /** 1-D element range as longs (ids). */
+  def readLongs(p: String, start: Long = 0, end: Long = -1): Array[Long] = {
+    val ds = dataset(p)
+    val hi = if (end < 0) ds.dims.product else end
+    val n = (hi - start).toInt
+    val b = elementBytes(ds, start, hi)
+    val dt = if (ds.dtype.cls == 8) ds.dtype.base.getOrElse(ds.dtype) else ds.dtype
+    require(dt.cls == 0 || dt.cls == 1,
+      s"$path: string-typed dataset read as integer (class ${ds.dtype.cls}) — use readStrings")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (dt.cls, dt.size) match {
+        case (0, 8) => b.getLong
+        case (0, 4) => if (dt.signed) b.getInt.toLong else u32(b)
+        case (0, 2) => if (dt.signed) b.getShort.toLong else u16(b).toLong
+        case (0, 1) => if (dt.signed) b.get.toLong else u8(b).toLong
+        case (1, _) => numericAt(b, dt).toLong
+        case other => throw new IllegalArgumentException(s"$path: integer type $other")
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def numericAt(b: ByteBuffer, dt: Dtype): Double =
+    if (dt.size == 8) b.getDouble else b.getFloat.toDouble
+
+  /** Strings: fixed-length (trailing NULs stripped) or vlen (global heap). */
+  def readStrings(p: String, start: Long = 0, end: Long = -1): Array[String] = {
+    val ds = dataset(p)
+    val hi = if (end < 0) ds.dims.product else end
+    val n = (hi - start).toInt
+    val b = elementBytes(ds, start, hi)
+    ds.dtype.cls match {
+      case 3 =>
+        val raw = new Array[Byte](ds.dtype.size)
+        Array.fill(n) {
+          b.get(raw)
+          val len = raw.indexOf(0) match { case -1 => raw.length; case i => i }
+          new String(raw, 0, len, "UTF-8")
+        }
+      case 9 =>
+        Array.fill(n) {
+          u32(b) // length (also in the heap object)
+          val coll = b.getLong
+          val idx = b.getInt
+          globalHeapString(coll, idx)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"$path: not a string dataset (class $other)")
+    }
+  }
+
+  private def globalHeapString(collAddr: Long, index: Int): String = {
+    val head = readAt(collAddr, 16)
+    require(head.getInt == 0x4c4f4347, s"$path: bad global heap signature") // "GCOL"
+    head.position(8)
+    val collSize = head.getLong
+    val buf = readAt(collAddr + 16, (collSize - 16).toInt)
+    while (buf.remaining >= 16) {
+      val objIdx = u16(buf)
+      u16(buf) // refcount
+      buf.getInt // reserved
+      val size = buf.getLong.toInt
+      if (objIdx == 0) return throwMissing(collAddr, index) // free-space terminator
+      val data = new Array[Byte](size)
+      buf.get(data)
+      // objects padded to 8
+      val pad = (8 - (size % 8)) % 8
+      buf.position(buf.position() + pad)
+      if (objIdx == index) return new String(data, "UTF-8")
+    }
+    throwMissing(collAddr, index)
+  }
+
+  private def throwMissing(collAddr: Long, index: Int): String =
+    throw new NoSuchElementException(s"$path: global heap object $index not in $collAddr")
+
+  // ---- attributes ---------------------------------------------------------
+
+  /** Scalar attribute value (String or Double) of an object. */
+  def attr(p: String, name: String): Option[Any] = {
+    objectMessages(resolve(p).headerAddr).filter(_.typ == 0x000C).flatMap { m =>
+      val b = m.body
+      val version = u8(b)
+      u8(b) // reserved / flags
+      val nameSize = u16(b)
+      val dtSize = u16(b)
+      val dsSize = u16(b)
+      if (version == 3) u8(b) // name character-set encoding
+      val pad = version == 1
+      def padded(k: Int) = if (pad) ((k + 7) / 8) * 8 else k
+      val nameBytes = new Array[Byte](padded(nameSize))
+      b.get(nameBytes)
+      val aName = new String(nameBytes.takeWhile(_ != 0), "UTF-8")
+      val dtBuf = b.slice().order(ByteOrder.LITTLE_ENDIAN); dtBuf.limit(padded(dtSize))
+      b.position(b.position() + padded(dtSize))
+      val dsBuf = b.slice().order(ByteOrder.LITTLE_ENDIAN); dsBuf.limit(padded(dsSize))
+      b.position(b.position() + padded(dsSize))
+      if (aName != name) None
+      else {
+        val dt = parseDtype(dtBuf)
+        val nElems = parseDims(dsBuf).product max 1L
+        dt.cls match {
+          case 3 =>
+            val raw = new Array[Byte](dt.size)
+            b.get(raw)
+            Some(new String(raw.takeWhile(_ != 0), "UTF-8"))
+          case 9 =>
+            u32(b); val coll = b.getLong; val idx = b.getInt
+            Some(globalHeapString(coll, idx))
+          case 0 | 8 =>
+            val base = dt.base.getOrElse(dt)
+            Some((base.size match {
+              case 8 => b.getLong
+              case 4 => b.getInt.toLong
+              case 2 => b.getShort.toLong
+              case 1 => b.get.toLong
+            }).toDouble)
+          case 1 => Some(if (dt.size == 8) b.getDouble else b.getFloat.toDouble)
+          case _ => None
+        }
+      }
+    }.headOption
+  }
+}
