@@ -98,6 +98,18 @@ object Convert {
     val maxId = row.getLong(3)
     val maxTime = row.getDouble(5)
 
+    // SONATA interop back-channel (S8, reference _write_spikes
+    // convert_spikes.py:133-145): the same sorted spikes as a real SONATA
+    // .h5, so downstream SONATA tooling can consume the conversion too.
+    // Driver-side collect is the reference's own working set (pandas holds
+    // the whole frame); the engine-scale interchange stays parquet.
+    val sorted = spark.read.parquet(spikesPath).orderBy("time", "gid").collect()
+    graft.sources.Hdf5Writer.writeSonataSpikes(
+      base.resolve("simulation/synthetic_spikes.h5").toString,
+      nodePopulation,
+      sorted.map(_.getDouble(0)),
+      sorted.map(_.getLong(1)))
+
     // synthetic circuit: one row per node id 0..max_id with a placeholder
     // property (reference writes an empty CellCollection of the same size,
     // convert_spikes.py:148-157; `_` is its literal placeholder column)

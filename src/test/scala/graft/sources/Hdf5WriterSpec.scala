@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** S8 round trip: Hdf5Writer's SONATA spike files read back through every
+  * consumer tier — the raw Hdf5File reader (itself pinned byte-level
+  * against genuine h5py files in Hdf5Spec), the sonata-spikes DSv2 source
+  * with its pushdowns, and the SonataAdapter.
+  */
+class Hdf5WriterSpec extends SparkSuite {
+
+  private val ts = Array(0.5, 1.25, 2.0, 2.0, 7.75)
+  private val ids = Array(3L, 1L, 4L, 1L, 0L)
+
+  private def written(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-h5w").resolve("spikes.h5")
+    Hdf5Writer.writeSonataSpikes(p.toString, "synthetic", ts, ids)
+    p.toString
+  }
+
+  test("raw reader round trip: values, attrs, structure") {
+    val h5 = new Hdf5File(written())
+    try {
+      assert(h5.ls("/spikes") === Seq("synthetic"))
+      assert(h5.ls("/spikes/synthetic") === Seq("node_ids", "timestamps"))
+      assert(h5.attr("/spikes/synthetic", "sorting").contains(2.0))
+      assert(h5.attr("/spikes/synthetic/timestamps", "units").contains("ms"))
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts.toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids.toSeq)
+      // element-range reads hold on written files too
+      assert(h5.readDoubles("/spikes/synthetic/timestamps", 1, 3).toSeq === Seq(1.25, 2.0))
+    } finally h5.close()
+  }
+
+  test("DSv2 source reads written files with time pushdown") {
+    val df = spark.read.format("sonata-spikes")
+      .option("rowsPerPartition", "1")
+      .load(written())
+      .filter(col("time") >= 1.0 && col("time") < 3.0)
+    // by_time sort is declared by the writer → binary-search narrowing
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.collect().map(r => (r.getDouble(1), r.getLong(2))).toSet ===
+      Set((1.25, 1L), (2.0, 4L), (2.0, 1L)))
+  }
+
+  test("SonataAdapter consumes writer output directly") {
+    val sp = new graft.engine.SonataAdapter().spikes(spark, written())
+    assert(sp.count() === 5)
+    assert(sp.agg(min("time"), max("gid")).collect()(0).toSeq === Seq(0.5, 4L))
+  }
+
+  test("convert-spikes campaign scaffold now carries a readable SONATA .h5") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-conv-h5").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
+      "timestamps node_ids\n3.5 2\n1.0 1\n2.25 0\n")
+    graft.engine.Convert.convertCampaign(spark, s"$dir/in.csv", s"$dir/out").collect()
+    val h5 = new Hdf5File(s"$dir/out/simulation/synthetic_spikes.h5")
+    try {
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === Seq(1.0, 2.25, 3.5))
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === Seq(1L, 0L, 2L))
+      assert(h5.attr("/spikes/synthetic", "sorting").contains(2.0))
+    } finally h5.close()
+    // and the parquet table in the same scaffold holds identical rows
+    val pq = spark.read.parquet(s"$dir/out/simulation/synthetic_spikes.parquet")
+      .orderBy("time").collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(pq === Seq((1.0, 1L), (2.25, 0L), (3.5, 2L)))
+  }
+}
