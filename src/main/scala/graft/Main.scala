@@ -6,17 +6,25 @@ import org.apache.spark.sql.SparkSession
 /** CLI (reference surface: `blueetl run | validate-config | migrate`,
   * src/blueetl/apps/{run,migrate}.py, plus the convert-spikes tool):
   *
-  *   runMain graft.Main run <analysis.yaml>        extract + features
+  *   runMain graft.Main run <analysis.yaml> [--adapter=events|sonata]
+  *       [--population=<pop>]                extract + features; sonata =
+  *                                           native .h5 campaigns
   *   runMain graft.Main validate-config <yaml>     parse + summarize
   *   runMain graft.Main migrate <old> <new> [--no-sort]  v1-v3 → v4 config
-  *   runMain graft.Main convert-spikes <csv> <out> CSV → sorted parquet
+  *   runMain graft.Main convert-spikes <csv> <out> [--bare]
+  *       CSV → runnable campaign scaffold (parquet + SONATA .h5)
   */
 object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "run" :: cfgPath :: rest =>
       val spark = session()
+      val population = rest.collectFirst {
+        case a if a.startsWith("--population=") => a.stripPrefix("--population=")
+      }
       val adapter: DataAdapter =
-        if (rest.contains("--adapter=events")) new EventsAdapter else new ParquetAdapter
+        if (rest.contains("--adapter=events")) new EventsAdapter
+        else if (rest.contains("--adapter=sonata")) new SonataAdapter(population)
+        else new ParquetAdapter
       val ma = MultiAnalyzer.fromFile(spark, cfgPath, adapter)
       try {
         ma.extractRepo()
