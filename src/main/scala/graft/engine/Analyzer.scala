@@ -211,7 +211,7 @@ final class MultiAnalyzer(
         if (useCache && config.cacheRoot.nonEmpty) {
           val d = s"${config.cacheRoot}/${a.name}"
           if (cs.clear) MultiAnalyzer.deleteRecursively(new java.io.File(d))
-          Some(new CacheManager(spark, d, readonly = cs.readonly))
+          Some(new CacheManager(spark, d, readonly = cs.readonly, storeType = cs.storeType))
         } else None
       a.name -> new Analyzer(spark, a, campaign, adapter, config.simulationsFilter, cm,
         skipFeatures = cs.skipFeatures)

@@ -86,7 +86,10 @@ object Describe {
   * (reference: src/blueetl/cache.py — C1 manager, C2 invalidation DAG,
   * C3 `_is_subfilter` reuse, C5 lock).
   */
-final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boolean = false) {
+final class CacheManager(
+    val spark: SparkSession, val dir: String, readonly: Boolean = false,
+    storeType: String = "parquet") {
+  require(storeType == "parquet" || storeType == "feather", s"bad store: $storeType")
   private val manifestPath = Paths.get(dir, "manifest.json")
   Files.createDirectories(Paths.get(dir, "repo"))
   Files.createDirectories(Paths.get(dir, "features"))
@@ -122,15 +125,18 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
     Files.writeString(manifestPath, json)
   }
 
-  private def path(kind: String, name: String) = s"$dir/$kind/$name.parquet"
+  private def path(kind: String, name: String) = s"$dir/$kind/$name.$storeType"
 
-  /** Digest of the stored parquet files (C4 — reference checksums each
-    * stored file, cache.py:412-476): md5 over sorted (name, size, md5)
-    * triples so on-disk tampering/corruption forces a rebuild.
+  /** Digest of the stored files (C4 — reference checksums each stored
+    * file, cache.py:412-476): md5 over sorted (name, size, md5) triples so
+    * on-disk tampering/corruption forces a rebuild. A feather store is one
+    * flat file; a parquet store is a directory of parts.
     */
   private def filesDigest(p: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val dir = Paths.get(p)
+    if (Files.isRegularFile(dir))
+      return md.digest(Files.readAllBytes(dir)).map("%02x".format(_)).mkString
     if (!Files.isDirectory(dir)) return ""
     // names are hashed relative to the parquet dir so moving/renaming a
     // cache directory keeps entries valid as long as contents are intact
@@ -159,18 +165,22 @@ final class CacheManager(val spark: SparkSession, val dir: String, readonly: Boo
       store: Boolean = true): DataFrame = {
     val key = s"$kind/$name"
     val p = path(kind, name)
+    def load(): DataFrame =
+      if (storeType == "feather") graft.sources.FeatherIO.read(spark, p)
+      else spark.read.parquet(p)
     val fresh = manifest.get(key).contains(chain) && Files.exists(Paths.get(p)) &&
       manifest.get(s"$key#files").forall(_ == filesDigest(p))
     if (fresh)
-      spark.read.parquet(p)
+      load()
     else {
       val df = compute
       if (!readonly && store) {
-        df.write.mode("overwrite").parquet(p)
+        if (storeType == "feather") graft.sources.FeatherIO.write(df, p)
+        else df.write.mode("overwrite").parquet(p)
         manifest += key -> chain
         manifest += s"$key#files" -> filesDigest(p)
         saveManifest()
-        spark.read.parquet(p)
+        load()
       } else df
     }
   }

@@ -108,15 +108,20 @@ final case class SingleAnalysisConfig(
       */
     custom: Map[String, Any] = Map.empty)
 
-/** The `cache:` block (reference: analysis_model.py:57-71 CacheConfig —
-  * store_type feather is deliberately unsupported; parquet only).
+/** The `cache:` block (reference: analysis_model.py:57-71 CacheConfig).
+  * `storeType` selects the on-disk frame format: parquet (default,
+  * dataset-scale) or feather (Arrow IPC — the reference's
+  * store/feather.py, interoperable with an existing blueetl cache).
   */
 final case class CacheSettings(
     path: String = "",
     clear: Boolean = false,
     readonly: Boolean = false,
-    skipFeatures: Boolean = false) {
+    skipFeatures: Boolean = false,
+    storeType: String = "parquet") {
   require(!(clear && readonly), "clear and readonly cannot be both True at the same time")
+  require(storeType == "parquet" || storeType == "feather",
+    s"store_type must be parquet or feather, got $storeType")
 }
 
 final case class MultiAnalysisConfig(
@@ -397,7 +402,8 @@ object ConfigIO {
             case _ => false
           }),
           readonly = bool("readonly"),
-          skipFeatures = bool("skip_features"))
+          skipFeatures = bool("skip_features"),
+          storeType = str(c.getOrElse("store_type", "parquet")))
       })
   }
 }

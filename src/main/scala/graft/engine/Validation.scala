@@ -214,7 +214,7 @@ object Validation {
             case _: Boolean => Nil
             case _ => Seq(Violation(p, s"expected boolean, got ${typeName(v)}"))
           }),
-          "store_type" -> enumOf(Set("parquet")))),
+          "store_type" -> enumOf(Set("parquet", "feather")))),
       "clear_cache" -> ((p, v) => v match {
         case _: Boolean => Nil
         case _ => Seq(Violation(p, s"expected boolean, got ${typeName(v)}"))
