@@ -141,6 +141,32 @@ object Vectors {
       out
     })
 
+  /** Shared oracle CTEs for the hyperplane-LSH candidate pipeline (the
+    * SQL twin of [[lshSignatures]] at the oracle-locked 4×4 depth):
+    * defines `cand(v1, v2)` and `e(vec_id, v, nrm)`.
+    */
+  private val lshOracleCtes =
+    s"""WITH x AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, plane, sum(($coefSql) * x) AS s
+       |  FROM x, (SELECT unnest(generate_series(0, 15)) AS plane)
+       |  GROUP BY vec_id, plane),
+       |sig AS (
+       |  SELECT vec_id, plane // 4 AS band,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bkey
+       |  FROM proj GROUP BY vec_id, plane // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings)""".stripMargin
+
   val all: Seq[GQuery] = Seq(
 
     // ---- Brute-force cosine top-k: every 25th vector queries the corpus ----
@@ -175,33 +201,39 @@ object Vectors {
     // candidates share a 4-bit signature in some band; exact cosine re-rank ----
     GQuery(
       "v2_ann_lsh_pairs",
-      s"""WITH x AS (
-         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-         |    unnest(generate_series(0, len(embedding) - 1)) AS d
-         |  FROM embeddings),
-         |proj AS (
-         |  SELECT vec_id, plane, sum(($coefSql) * x) AS s
-         |  FROM x, (SELECT unnest(generate_series(0, 15)) AS plane)
-         |  GROUP BY vec_id, plane),
-         |sig AS (
-         |  SELECT vec_id, plane // 4 AS band,
-         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane) AS bkey
-         |  FROM proj GROUP BY vec_id, plane // 4),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-         |  FROM sig a JOIN sig b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
-         |e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings)
-         |SELECT c.v1, c.v2, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-         |FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
-         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
+      lshOracleCtes +
+        """
+          |SELECT c.v1, c.v2, list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+          |FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
+          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin) { (s, dir) =>
       // the parameterized engine path at the oracle-locked 4×4 depth —
       // the ±1 plane matrix is md5-derived driver constants, bit-identical
       // to the oracle's per-row md5 CASE (see lshSignatures)
       lshSimilarPairs(Tables.embeddings(s, dir), bands = 4, planesPerBand = 4)
+    },
+
+    // ---- Embedding-cosine near-dup DEDUP: the t9 survivors shape over
+    // the vector pipeline — any vector appearing as the GREATER id of a
+    // high-cosine LSH candidate pair is a near-duplicate and is dropped;
+    // the anti-join keeps deterministic lowest-id representatives. The
+    // dedup tier a multimodal corpus runs where text shingles don't
+    // apply. ----
+    GQuery(
+      "v8_embedding_neardup_survivors",
+      lshOracleCtes +
+        """,
+          |dups AS (
+          |  SELECT DISTINCT c.v2
+          |  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2
+          |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.9)
+          |SELECT emb.vec_id, emb.label FROM embeddings emb
+          |WHERE emb.vec_id NOT IN (SELECT v2 FROM dups)""".stripMargin) { (s, dir) =>
+      val dups = lshSimilarPairs(
+        Tables.embeddings(s, dir), bands = 4, planesPerBand = 4, threshold = 0.9,
+        metricName = "graft_lsh_vec_dedup")
+        .select(col("v2").as("vec_id")).distinct()
+      Tables.embeddings(s, dir).select("vec_id", "label")
+        .join(dups, Seq("vec_id"), "left_anti")
     },
 
     // ---- Per-label centroids (posexplode → groupBy label,dim → avg) ----
