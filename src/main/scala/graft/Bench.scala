@@ -97,7 +97,11 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     spark.stop()
-    // the compact contract line goes LAST so a tail capture always has it
+    // a MINIMAL record first (<200 bytes: any tail window catches a
+    // parseable line even when the full per-query line gets truncated),
+    // then the full contract line last
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir"}""")
     println("{" + head + s""","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

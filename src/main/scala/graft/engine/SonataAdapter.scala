@@ -40,7 +40,11 @@ class SonataAdapter(
   }
 
   private def substitute(v: String, manifest: Map[String, String]): String =
-    manifest.foldLeft(v) { case (s, (k, repl)) => s.replace(k, repl) }
+    // longest key first: with prefix-colliding vars ($BASE vs $BASE_DIR)
+    // unordered-map iteration must not decide which one matches
+    manifest.toSeq.sortBy(-_._1.length).foldLeft(v) {
+      case (s, (k, repl)) => s.replace(k, repl)
+    }
 
   private def resolved(cfg: Map[String, Any], dir: java.nio.file.Path, raw: String): String = {
     val manifest = cfg.getOrElse("manifest", Map.empty[String, Any])
@@ -200,6 +204,9 @@ class SonataAdapter(
     val h5 = new Hdf5File(nodesFile)
     try {
       val pops = h5.ls("/nodes").filter(p => population.forall(_ == p))
+      require(pops.nonEmpty,
+        s"population ${population.getOrElse("<any>")} not found in $nodesFile " +
+          s"(available: ${h5.ls("/nodes").mkString(", ")})")
       val frames = pops.map { pop =>
         val g = s"/nodes/$pop/0"
         def leaves(p: String, prefix: String): Seq[(String, String)] = {
@@ -222,7 +229,11 @@ class SonataAdapter(
               libValues(name) match {
                 case Some(lib) =>
                   name -> h5.readLongs(dsPath).map(i => lib(i.toInt))
-                case None => name -> h5.readDoubles(dsPath)
+                case None =>
+                  // int64 node ids/params above 2^53 would lose precision
+                  // as Double — keep integer-typed properties as Long
+                  if (h5.isIntegerType(dsPath)) name -> h5.readLongs(dsPath)
+                  else name -> h5.readDoubles(dsPath)
               }
           }
         }
@@ -232,6 +243,7 @@ class SonataAdapter(
             cols.map { case (nm, arr) =>
               org.apache.spark.sql.types.StructField(nm.replace('/', '_'), arr match {
                 case _: Array[String] => org.apache.spark.sql.types.StringType
+                case _: Array[Long] => org.apache.spark.sql.types.LongType
                 case _ => org.apache.spark.sql.types.DoubleType
               })
             })

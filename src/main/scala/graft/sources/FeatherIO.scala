@@ -105,8 +105,16 @@ object FeatherIO {
         s"feather read: unsupported vector ${other.getClass.getSimpleName}")
     }
 
-  def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
+  /** Rows per Arrow record batch on write. Bounds driver memory: the
+    * writer holds one batch of vectors plus one fetched partition
+    * (`toLocalIterator`), never the whole frame.
+    */
+  private[graft] val WriteBatchRows: Int = 1 << 16
+
+  def write(df: DataFrame, path: String): Unit =
+    write(df, path, WriteBatchRows)
+
+  private[graft] def write(df: DataFrame, path: String, batchRows: Int): Unit = {
     val sparkSchema = df.schema
     val alloc = new RootAllocator()
     val fields = sparkSchema.fields.map { f =>
@@ -132,28 +140,41 @@ object FeatherIO {
     val writer = new ArrowFileWriter(root, null, out)
     try {
       writer.start()
-      root.setRowCount(rows.length)
-      for ((f, ci) <- sparkSchema.fields.zipWithIndex) {
-        val vec = root.getVector(ci)
-        vec.setInitialCapacity(rows.length)
-        vec.allocateNew()
-        for (ri <- rows.indices) {
-          val value = rows(ri).get(ci)
-          if (value == null) vec.setNull(ri)
-          else (vec, value) match {
-            case (x: IntVector, v: Int) => x.setSafe(ri, v)
-            case (x: BigIntVector, v: Long) => x.setSafe(ri, v)
-            case (x: Float4Vector, v: Float) => x.setSafe(ri, v)
-            case (x: Float8Vector, v: Double) => x.setSafe(ri, v)
-            case (x: VarCharVector, v: String) => x.setSafe(ri, v.getBytes("UTF-8"))
-            case (x: BitVector, v: Boolean) => x.setSafe(ri, if (v) 1 else 0)
-            case (x, v) => throw new IllegalArgumentException(
-              s"feather write: $v into ${x.getClass.getSimpleName}")
+      // stream one record batch at a time: a misconfigured data-scale frame
+      // routed through the feather store degrades to a slow sequential
+      // write, not a driver OOM (read side already loops loadNextBatch)
+      val it = df.toLocalIterator()
+      val batch = new scala.collection.mutable.ArrayBuffer[Row](batchRows)
+      var wroteAny = false
+      while (it.hasNext || !wroteAny) {
+        batch.clear()
+        while (it.hasNext && batch.length < batchRows) batch += it.next()
+        val n = batch.length
+        root.allocateNew()
+        for ((f, ci) <- sparkSchema.fields.zipWithIndex) {
+          val vec = root.getVector(ci)
+          var ri = 0
+          while (ri < n) {
+            val value = batch(ri).get(ci)
+            if (value == null) vec.setNull(ri)
+            else (vec, value) match {
+              case (x: IntVector, v: Int) => x.setSafe(ri, v)
+              case (x: BigIntVector, v: Long) => x.setSafe(ri, v)
+              case (x: Float4Vector, v: Float) => x.setSafe(ri, v)
+              case (x: Float8Vector, v: Double) => x.setSafe(ri, v)
+              case (x: VarCharVector, v: String) => x.setSafe(ri, v.getBytes("UTF-8"))
+              case (x: BitVector, v: Boolean) => x.setSafe(ri, if (v) 1 else 0)
+              case (x, v) => throw new IllegalArgumentException(
+                s"feather write: $v into ${x.getClass.getSimpleName}")
+            }
+            ri += 1
           }
+          vec.setValueCount(n)
         }
-        vec.setValueCount(rows.length)
+        root.setRowCount(n)
+        writer.writeBatch()
+        wroteAny = true
       }
-      writer.writeBatch()
       writer.end()
     } finally { writer.close(); out.close(); root.close(); alloc.close() }
   }

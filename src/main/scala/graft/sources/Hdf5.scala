@@ -307,6 +307,15 @@ final class Hdf5File(val path: String) extends AutoCloseable {
 
   def dims(p: String): Seq[Long] = dataset(p).dims
 
+  /** True when the dataset (or an enum's base) is fixed-point — callers
+    * that must not lose >2^53 precision read via readLongs instead.
+    */
+  def isIntegerType(p: String): Boolean = {
+    val dt0 = dataset(p).dtype
+    val dt = if (dt0.cls == 8) dt0.base.getOrElse(dt0) else dt0
+    dt.cls == 0
+  }
+
   // ---- raw element bytes (layout + filters resolved) ----------------------
 
   private def inflate(data: Array[Byte], outLen: Int): Array[Byte] = {
@@ -383,6 +392,9 @@ final class Hdf5File(val path: String) extends AutoCloseable {
       case Chunked(btree, chunkDims) =>
         val out = ByteBuffer.allocate(want).order(ByteOrder.LITTLE_ENDIAN)
         val rank = ds.dims.length
+        require(rank <= 2,
+          s"$path: chunked dataset rank $rank not supported (rank <= 2 only; " +
+            "see README SONATA conversion contract)")
         require(chunkDims.length == rank, s"$path: chunk rank mismatch")
         val chunkElems = chunkDims.map(_.toLong).product
         for ((offs, addr, stored) <- chunkIndex(btree, rank)) {
@@ -436,6 +448,7 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     val dt = if (ds.dtype.cls == 8) ds.dtype.base.getOrElse(ds.dtype) else ds.dtype
     require(dt.cls == 0 || dt.cls == 1,
       s"$path: string-typed dataset read as numeric (class ${ds.dtype.cls}) — use readStrings")
+    if (!dt.littleEndian) b.order(ByteOrder.BIG_ENDIAN) // numpy '>f8'/'>i8'
     var i = 0
     while (i < n) {
       out(i) = (dt.cls, dt.size, dt.signed) match {
@@ -471,6 +484,7 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     val dt = if (ds.dtype.cls == 8) ds.dtype.base.getOrElse(ds.dtype) else ds.dtype
     require(dt.cls == 0 || dt.cls == 1,
       s"$path: string-typed dataset read as integer (class ${ds.dtype.cls}) — use readStrings")
+    if (!dt.littleEndian) b.order(ByteOrder.BIG_ENDIAN) // numpy '>i8'/'>f8'
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {

@@ -69,6 +69,12 @@ object Hdf5Writer {
     val tsData = idsOhdr + idsOhdrSize
     val idsData = tsData + 8L * n
     val eof = idsData + 8L * n
+    // single-buffer writer: past ~134M spikes eof.toInt would wrap — fail
+    // loudly; the distributed interchange format stays parquet (README)
+    require(eof <= Int.MaxValue,
+      s"writeSonataSpikes: $n spikes -> $eof bytes exceeds the 2 GiB " +
+        "single-file writer limit (~134M spikes); keep spikes in parquet " +
+        "and convert per-simulation chunks instead")
 
     val out = ByteBuffer.allocate(eof.toInt).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -234,14 +240,26 @@ object Hdf5Writer {
     val nameRaw = name.getBytes("UTF-8") :+ 0.toByte
     val (dtRaw, dataRaw) = value match {
       case Left(v) =>
-        val dt = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-        dt.put(0x10.toByte); dt.put(0x08.toByte) // v1 class 0, LE signed
-        dt.put(0.toByte); dt.put(0.toByte)
-        dt.putInt(4)
-        dt.putShort(0); dt.putShort(32)
+        // enum dtype identical to h5py.enum_dtype({"none":0,"by_id":1,
+        // "by_time":2}) (convert_spikes.py:138) so strict SONATA readers
+        // (libsonata) accept the attribute; v1 enum member names are
+        // NUL-terminated and 8-padded, values follow in base-type units
+        val base = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        base.put(0x10.toByte); base.put(0x08.toByte) // v1 class 0, LE signed
+        base.put(0.toByte); base.put(0.toByte)
+        base.putInt(4)
+        base.putShort(0); base.putShort(32)
+        val names = Seq("none", "by_id", "by_time")
+          .flatMap(s => padArr(s.getBytes("UTF-8") :+ 0.toByte)).toArray
+        val vals = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+        vals.putInt(0); vals.putInt(1); vals.putInt(2)
+        val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        head.put(0x18.toByte) // v1, class 8 (enum)
+        head.put(3.toByte); head.put(0.toByte); head.put(0.toByte) // 3 members
+        head.putInt(4)
         val d = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         d.putInt(v)
-        (dt.array(), d.array())
+        (head.array() ++ base.array() ++ names ++ vals.array(), d.array())
       case Right(v) =>
         val bytes = v.getBytes("UTF-8") :+ 0.toByte
         val dt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)

@@ -70,6 +70,30 @@ class SonataAdapterSpec extends SparkSuite {
     assert(r.getAs[Double]("dynamics_params_holding_current") === 0.1)
   }
 
+  test("manifest: prefix-colliding variables resolve longest-first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+    java.nio.file.Files.createDirectories(dir.resolve("reporting"))
+    graft.sources.Hdf5Writer.writeSonataSpikes(
+      dir.resolve("reporting/spikes.h5").toString, "default",
+      Array(1.0, 2.0), Array(0L, 1L))
+    // $OUT vs $OUT_DIR: unordered-map iteration must not mangle $OUT_DIR
+    // into "<out>_DIR" (a valid bluepysnap config shape)
+    java.nio.file.Files.writeString(dir.resolve("simulation_config.json"),
+      s"""{"manifest": {"$$OUT": "/nonexistent", "$$OUT_DIR": "$dir/reporting"},
+         | "output": {"output_dir": "$$OUT_DIR", "spikes_file": "spikes.h5"}}""".stripMargin)
+    val a = new SonataAdapter(population = Some("default"))
+    assert(a.spikesFile(dir.toString) === s"$dir/reporting/spikes.h5")
+    assert(a.spikes(spark, dir.toString).count() === 2)
+  }
+
+  test("nodes: a population filter matching nothing fails with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      new SonataAdapter(population = Some("no_such_pop")).nodes(spark, circuitDir)
+    }
+    assert(e.getMessage.contains("no_such_pop"))
+    assert(e.getMessage.contains("default")) // lists what IS available
+  }
+
   test("end-to-end: doc .h5 campaign extracts through the Repository unconverted") {
     val campaign = Campaign(
       name = "doc-campaign",

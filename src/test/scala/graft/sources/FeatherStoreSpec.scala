@@ -48,6 +48,28 @@ class FeatherStoreSpec extends SparkSuite {
     assert(back.collect().map(_.toSeq).toSeq === in.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("write streams record batches: a data-scale frame cannot OOM the driver") {
+    import spark.implicits._
+    val n = 1000
+    val in = (0 until n).map(i => (i.toLong, s"doc-$i", i * 0.5)).toDF("id", "name", "x")
+    val p = java.nio.file.Files.createTempDirectory("graft-feather-stream")
+      .resolve("big.feather").toString
+    // small batch size: forces the toLocalIterator multi-batch path
+    FeatherIO.write(in.repartition(7), p, batchRows = 64)
+    // the file genuinely holds multiple Arrow record batches
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(p))
+    val reader = new org.apache.arrow.vector.ipc.ArrowFileReader(ch, alloc)
+    val nBatches =
+      try { var k = 0; while (reader.loadNextBatch()) k += 1; k }
+      finally { reader.close(); ch.close(); alloc.close() }
+    assert(nBatches >= n / 64, s"expected multiple record batches, got $nBatches")
+    val back = FeatherIO.read(spark, p)
+    assert(back.count() === n)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === (0 until n).map(_.toLong))
+    assert(back.agg(sum("x")).head.getDouble(0) === (0 until n).map(_ * 0.5).sum)
+  }
+
   test("CacheManager on store_type=feather: cache hit, invalidation, corruption") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-feather-cache").toString

@@ -118,6 +118,38 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("big-endian numeric datasets decode correctly (numpy '>f8'/'>i8')") {
+    // build a known-good LE file, then flip both datatype byte-order flags
+    // and byte-swap the trailing data region — exactly the bytes h5py
+    // writes for a big-endian numpy array (same values, BE encoding)
+    val ts = Array(0.5, 1.25, 2.0, 3.5, 7.75)
+    val ids = Array(3L, 1L, 4L, 1L, 0L)
+    val p = java.nio.file.Files.createTempFile("graft-be", ".h5")
+    Hdf5Writer.writeSonataSpikes(p.toString, "be", ts, ids)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    // f64 datatype message body (v1, class 1, flags 0x20, size 8)
+    val f = bytes.indexOfSlice(Array[Byte](0x11, 0x20, 0x3f, 0, 8, 0, 0, 0))
+    assert(f > 0, "float64 datatype message not found")
+    bytes(f + 1) = 0x21.toByte // order bit -> big-endian
+    // u64 datatype message body (v1, class 0, flags 0, size 8, prec 64)
+    val i = bytes.indexOfSlice(Array[Byte](0x10, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0x40, 0))
+    assert(i > 0, "int64 datatype message not found")
+    bytes(i + 1) = 0x01.toByte
+    // data = last 16n bytes (timestamps then node_ids): reverse each element
+    val dataStart = bytes.length - 16 * ts.length
+    for (e <- 0 until 2 * ts.length; k <- 0 until 4) {
+      val a = dataStart + 8 * e + k; val b = dataStart + 8 * e + 7 - k
+      val t = bytes(a); bytes(a) = bytes(b); bytes(b) = t
+    }
+    java.nio.file.Files.write(p, bytes)
+    withFile(p.toString) { h5 =>
+      assert(h5.readDoubles("/spikes/be/timestamps").toSeq === ts.toSeq)
+      assert(h5.readLongs("/spikes/be/node_ids").toSeq === ids.toSeq)
+      // and readLongs on the BE float dataset still coerces correctly
+      assert(h5.readLongs("/spikes/be/timestamps").toSeq === ts.map(_.toLong).toSeq)
+    }
+  }
+
   test("missing paths and non-HDF5 files error clearly") {
     withFile(spikesH5) { h5 =>
       assert(!h5.exists("/spikes/nope"))
