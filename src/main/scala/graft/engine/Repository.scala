@@ -284,7 +284,26 @@ final class Repository(
     * at runtime when the measured size is small and shuffles otherwise.
     */
   lazy val report: DataFrame = {
-    val events = if (cfg.reportType == "spikes") allSpikes else allFrames
+    val events0 = if (cfg.reportType == "spikes") allSpikes else allFrames
+    // the window join's range predicates compare to the windows table, so
+    // they can't push into the scan — but with only static windows the
+    // global envelope [min(offset+t_start), max(offset+t_stop)) is a
+    // config-time constant, and a literal prefilter reaches the
+    // sonata-spikes / sonata-frames readers as a plan-time row-range
+    // collapse (the reference pushes t_start/t_stop into bluepysnap the
+    // same way, adapters/impl/bluepysnap/simulation.py:42-60)
+    val dynamic = cfg.windows.values.exists(w =>
+      w.trialStepsLabel.nonEmpty || w.windowType == "dynamic_onset")
+    val events =
+      if (dynamic || cfg.windows.isEmpty) events0
+      else {
+        val spans = for {
+          w <- cfg.windows.values.toSeq
+          off <- w.stepOffsets.map(w.initialOffset + _)
+        } yield (off + w.bounds._1, off + w.bounds._2)
+        events0.filter(
+          col("time") >= spans.map(_._1).min && col("time") < spans.map(_._2).max)
+      }
     val extra = Seq("value", "section").filter(events.columns.contains)
     val w = broadcast(windows)
     val joined = events.alias("e").join(

@@ -112,69 +112,29 @@ class SonataAdapter(
     * (bluepysnap PopulationSomaReport vs PopulationCompartmentReport).
     * `section` is emitted only for genuine compartment reports.
     *
-    * Each Spark task reads a contiguous frame-row slab of the data matrix.
+    * Reads through the `sonata-frames` DSv2 source: time filters collapse
+    * the planned frame-row ranges at plan time (the reference pushes
+    * t_start/t_stop into the reader the same way,
+    * adapters/impl/bluepysnap/simulation.py:42-60), gid filters prune
+    * column runs, and each task streams its contiguous row slab.
     */
   def frames(spark: SparkSession, simulationPath: String): DataFrame = {
-    import spark.implicits._
     val file = reportFile(simulationPath)
+    // driver-side metadata probe (mapping datasets only, never `data`):
+    // soma reports emit (time, gid, value); compartments add `section`
     val h5 = new Hdf5File(file)
-    val (pops, metaByPop) =
-      try {
-        val ps = h5.ls("/report").filter(p => population.forall(_ == p))
-        (ps, ps.map { pop =>
-          val base = s"/report/$pop"
-          val dims = h5.dims(s"$base/data")
-          val time = h5.readDoubles(s"$base/mapping/time")
-          val nodeIds = h5.readLongs(s"$base/mapping/node_ids")
-          val idx =
-            if (h5.exists(s"$base/mapping/index_pointers"))
-              h5.readLongs(s"$base/mapping/index_pointers")
-            else (0L to nodeIds.length.toLong).toArray
-          val elems =
-            if (h5.exists(s"$base/mapping/element_ids"))
-              h5.readLongs(s"$base/mapping/element_ids")
-            else new Array[Long](dims(1).toInt)
-          pop -> (dims, time, nodeIds, idx, elems)
-        }.toMap)
+    val hasSections =
+      try h5.ls("/report").filter(p => population.forall(_ == p)).exists { pop =>
+        val base = s"/report/$pop"
+        val nNodes = h5.dims(s"$base/mapping/node_ids").product
+        h5.dims(s"$base/data")(1) != nNodes ||
+          (h5.exists(s"$base/mapping/element_ids") &&
+            h5.readLongs(s"$base/mapping/element_ids").exists(_ != 0))
       } finally h5.close()
-    val hasSections = metaByPop.values.exists { case (dims, _, nodeIds, _, elems) =>
-      elems.exists(_ != 0) || dims(1) != nodeIds.length
-    }
-    // one slice spec per (population, frame-row range): ~4 MB of f32 each
-    val rowsPerSlice = math.max(1, 4 * 1024 * 1024 / math.max(1, metaByPop.values
-      .map(_._1(1)).max.toInt * 4))
-    val slices = pops.flatMap { pop =>
-      val nFrames = metaByPop(pop)._1(0)
-      (0L until nFrames by rowsPerSlice).map(s =>
-        (pop, s, math.min(s + rowsPerSlice, nFrames)))
-    }
-    val bMeta = spark.sparkContext.broadcast(metaByPop)
-    val base = spark.createDataset(slices).repartition(slices.size.max(1))
-      .flatMap { case (pop, r0, r1) =>
-        val (dims, time, nodeIds, idx, elems) = bMeta.value(pop)
-        val nCols = dims(1).toInt
-        val Array(start, _, step) = time
-        // column → owning node, expanded once per slice
-        val colNode = new Array[Long](nCols)
-        var k = 0
-        while (k < nodeIds.length) {
-          var j = idx(k)
-          while (j < idx(k + 1)) { colNode(j.toInt) = nodeIds(k); j += 1 }
-          k += 1
-        }
-        val f = new Hdf5File(file)
-        try {
-          val slab = f.readDoubles(s"/report/$pop/data", r0 * nCols, r1 * nCols)
-          (r0 until r1).iterator.flatMap { r =>
-            val t = start + r * step
-            (0 until nCols).iterator.map { j =>
-              (t, colNode(j), slab(((r - r0) * nCols).toInt + j), elems(j))
-            }
-          }.toVector
-        } finally f.close()
-      }
-      .toDF("time", "gid", "value", "section")
-    if (hasSections) base else base.drop("section")
+    val reader = spark.read.format("sonata-frames")
+    population.foreach(p => reader.option("population", p))
+    val cols = Seq("time", "gid", "value") ++ (if (hasSections) Seq("section") else Nil)
+    reader.load(file).select(cols.map(col): _*)
   }
 
   // ---- node tables --------------------------------------------------------

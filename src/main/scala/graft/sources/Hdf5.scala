@@ -293,7 +293,11 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     }
   }
 
-  private def dataset(p: String): Dataset = {
+  // repeated positional reads (binary search, per-row column runs) must not
+  // re-walk the group B-tree + object header every call
+  private val dsCache = scala.collection.concurrent.TrieMap.empty[String, Dataset]
+
+  private def dataset(p: String): Dataset = dsCache.getOrElseUpdate(p, {
     val msgs = objectMessages(resolve(p).headerAddr)
     def one(typ: Int, what: String): ByteBuffer =
       msgs.find(_.typ == typ).map(_.body).getOrElse(
@@ -303,9 +307,12 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     val layout = parseLayout(one(0x0008, "layout"))
     val filters = msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body)).getOrElse(Nil)
     Dataset(dtype, dims, layout, filters)
-  }
+  })
 
   def dims(p: String): Seq[Long] = dataset(p).dims
+
+  /** Element size in bytes (for planning slice widths). */
+  def elemSize(p: String): Int = dataset(p).dtype.size
 
   /** True when the dataset (or an enum's base) is fixed-point — callers
     * that must not lose >2^53 precision read via readLongs instead.
@@ -353,6 +360,9 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     }
   }
 
+  private val chunkCache =
+    scala.collection.concurrent.TrieMap.empty[Long, Seq[(Seq[Long], Long, Int)]]
+
   /** All chunks of a chunked dataset: (logical offsets, data address, stored size). */
   private def chunkIndex(btreeAddr: Long, rank: Int): Seq[(Seq[Long], Long, Int)] = {
     val head = readAt(btreeAddr, 24)
@@ -397,25 +407,36 @@ final class Hdf5File(val path: String) extends AutoCloseable {
             "see README SONATA conversion contract)")
         require(chunkDims.length == rank, s"$path: chunk rank mismatch")
         val chunkElems = chunkDims.map(_.toLong).product
-        for ((offs, addr, stored) <- chunkIndex(btree, rank)) {
-          // chunk's element range in row-major order — valid to treat as a
-          // flat run only when the chunk spans full rows (chunkDims tail ==
-          // dims tail), which holds for h5py's 1-D datasets and row-chunked
-          // 2-D; otherwise copy element by element below
-          val fullRows = rank == 1 ||
-            (1 until rank).forall(i => chunkDims(i).toLong == ds.dims(i))
-          val raw = readAt(addr, stored).array()
-          val bytes = applyFilters(raw, ds.filters, es, (chunkElems * es).toInt)
-          if (fullRows) {
-            val cStart = offs.head * (if (rank == 2) ds.dims(1) else 1L)
+        val index = chunkCache.getOrElseUpdate(btree, chunkIndex(btree, rank))
+        // chunk's element range in row-major order — valid to treat as a
+        // flat run only when the chunk spans full rows (chunkDims tail ==
+        // dims tail), which holds for h5py's 1-D datasets and row-chunked
+        // 2-D; otherwise copy element by element below
+        val fullRows = rank == 1 ||
+          (1 until rank).forall(i => chunkDims(i).toLong == ds.dims(i))
+        for ((offs, addr, stored) <- index) {
+          // skip (no read, no inflate) chunks entirely outside the range:
+          // a narrow row-window probe of a long report touches few chunks
+          val minElem =
+            if (rank == 2) offs(0) * ds.dims(1) + offs(1) else offs.head
+          val maxElemEx =
+            if (fullRows) minElem + chunkElems
+            else (offs(0) + chunkDims(0) - 1) * ds.dims(1) + offs(1) + chunkDims(1)
+          val overlaps = maxElemEx > elemStart && minElem < elemEnd
+          if (overlaps && fullRows) {
+            val bytes = applyFilters(
+              readAt(addr, stored).array(), ds.filters, es, (chunkElems * es).toInt)
+            val cStart = minElem
             val cEnd = cStart + chunkElems
             val s = math.max(cStart, elemStart); val e = math.min(cEnd, elemEnd)
             if (s < e) {
               out.position(((s - elemStart) * es).toInt)
               out.put(bytes, ((s - cStart) * es).toInt, ((e - s) * es).toInt)
             }
-          } else {
+          } else if (overlaps) {
             // general 2-D chunk: copy row fragments
+            val bytes = applyFilters(
+              readAt(addr, stored).array(), ds.filters, es, (chunkElems * es).toInt)
             val (r0, c0) = (offs(0), offs(1))
             val (nr, nc) = (chunkDims(0).toLong, chunkDims(1).toLong)
             val cols = ds.dims(1)

@@ -1,0 +1,325 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 reader for SONATA HDF5 frame reports (soma/compartment
+  * voltage traces) — layout `/report/<pop>/{data, mapping/{node_ids,
+  * index_pointers, element_ids, time}}` where `data` is an
+  * [n_frames × n_columns] float32 matrix and `mapping/time` is the
+  * implicit grid `(start, stop, step)`. The reference reads these through
+  * bluepysnap with `t_start/t_stop/t_step` pushed into the reader
+  * (adapters/impl/bluepysnap/simulation.py:42-60); this source gives
+  * Catalyst the same power at plan time.
+  *
+  * Scale design (a frame report is the BIG table of a campaign — hours ×
+  * kHz × millions of columns):
+  *  - **time-window pushdown uses the implicit grid**: frame row r holds
+  *    t = start + r·step, so pushed `time` bounds collapse the planned
+  *    row ranges to `[⌊(lo−start)/step⌋, ⌈(hi−start)/step⌉)` with a
+  *    one-row conservative margin — a narrow probe of a long report plans
+  *    (and reads) only that window's slabs; residual evaluation in the
+  *    reader keeps boundary semantics exact regardless of float rounding;
+  *  - **gid pushdown prunes columns**: `gid = k` / `gid IN (...)`
+  *    conjuncts map to column runs via node_ids/index_pointers; when the
+  *    admitted runs are narrow (≤ 1/4 of columns) each task reads only
+  *    those byte runs of each frame row instead of whole rows;
+  *  - each task reads a contiguous frame-row slab (positional reads, no
+  *    full-matrix materialization) and streams rows out — nothing is
+  *    buffered beyond one ~4 MB slab;
+  *  - `population` equality prunes whole populations at planning; column
+  *    pruning skips decoding `data` entirely for row-count-only plans.
+  *
+  * Usage: `spark.read.format("sonata-frames").load("out/soma.h5")`
+  * (options: `population`, `slicebytes`).
+  */
+class SonataFramesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sonata-frames"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SonataFramesSource.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
+    new SonataFramesTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SonataFramesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("population", StringType),
+    StructField("time", DoubleType),
+    StructField("gid", LongType),
+    StructField("value", DoubleType),
+    StructField("section", LongType)))
+
+  /** Target bytes of `data` per planned slice (one task's working set). */
+  val DefaultSliceBytes: Long = 4L * 1024 * 1024
+
+  private[sources] def supported(f: Filter): Boolean = {
+    def isCol(a: String) = a == "time" || a == "gid" || a == "population"
+    f match {
+      case EqualTo(a, v) => isCol(a) && v != null
+      case GreaterThan(a, v) => isCol(a) && v != null
+      case GreaterThanOrEqual(a, v) => isCol(a) && v != null
+      case LessThan(a, v) => isCol(a) && v != null
+      case LessThanOrEqual(a, v) => isCol(a) && v != null
+      case In(a, vs) => isCol(a) && vs != null && !vs.contains(null)
+      case IsNotNull(a) => isCol(a)
+      case And(l, r) => supported(l) && supported(r)
+      case _ => false // Or/Not stay residual: range extraction would be unsound
+    }
+  }
+
+  /** gid values admitted by top-level / And-ed EqualTo/In conjuncts
+    * (None = unconstrained).
+    */
+  private[sources] def gidFilter(filters: Seq[Filter]): Option[Set[Long]] = {
+    var sets = List.empty[Set[Long]]
+    def visit(f: Filter): Unit = f match {
+      case EqualTo("gid", n: Number) => sets ::= Set(n.longValue())
+      case In("gid", vs) => sets ::= vs.collect { case n: Number => n.longValue() }.toSet
+      case And(l, r) => visit(l); visit(r)
+      case _ => ()
+    }
+    filters.foreach(visit)
+    sets.reduceOption(_ intersect _)
+  }
+
+  /** Merge sorted [start, end) column runs that touch. */
+  private[sources] def mergeRuns(runs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    runs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((s, e) :: tail, (s2, e2)) if s2 <= e => (s, math.max(e, e2)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
+
+  private[sources] def eval(f: Filter, pop: String, time: Double, gid: Long): Boolean =
+    SonataSpikesSource.eval(f, pop, time, gid)
+}
+
+class SonataFramesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"sonata_frames($path)"
+  override def schema(): StructType = SonataFramesSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SonataFramesScanBuilder(
+      path,
+      Option(options.get("population")),
+      Option(options.get("slicebytes")).map(_.toLong)
+        .getOrElse(SonataFramesSource.DefaultSliceBytes),
+      Option(options.get("colpruneratio")).map(_.toInt).getOrElse(4))
+}
+
+class SonataFramesScanBuilder(
+    path: String, population: Option[String], sliceBytes: Long, colPruneRatio: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SonataFramesSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(SonataFramesSource.supported)
+    pushed = ours
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan =
+    new SonataFramesScan(path, population, sliceBytes, colPruneRatio, pushed, required)
+}
+
+/** Frame-row range [r0, r1) of one population's data matrix, optionally
+  * restricted to the given column runs (gid pushdown).
+  */
+final case class SonataFrameSlice(
+    file: String, pop: String, r0: Long, r1: Long,
+    runs: Option[Seq[(Long, Long)]]) extends InputPartition
+
+class SonataFramesScan(
+    path: String, population: Option[String], sliceBytes: Long, colPruneRatio: Int,
+    filters: Array[Filter], required: StructType) extends Scan with Batch {
+  import SonataFramesSource._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SonataFramesScan pushed=[${filters.mkString(",")}] cols=[${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val h5 = new Hdf5File(path)
+    try {
+      val admitted = SonataSpikesSource.popFilter(filters.toSeq)
+      val pops = h5.ls("/report")
+        .filter(p => population.forall(_ == p))
+        .filter(p => admitted.forall(_.contains(p)))
+      val (tLo, tHi) = SonataSpikesSource.timeWindow(filters.toSeq)
+      val gids = gidFilter(filters.toSeq)
+      pops.flatMap { pop =>
+        val base = s"/report/$pop"
+        val dims = h5.dims(s"$base/data")
+        val (nFrames, nCols) = (dims(0), dims(1))
+        val Array(start, _, step) = h5.readDoubles(s"$base/mapping/time")
+        // pushed time bounds → frame-row range via the implicit grid, with
+        // a one-row margin each side; reader-side residual eval keeps the
+        // boundary exact, so the bounds only need to be conservative
+        val (rLo, rHi) =
+          if (step > 0 && (tLo > Double.NegativeInfinity || tHi < Double.PositiveInfinity)) {
+            val lo =
+              if (tLo > Double.NegativeInfinity)
+                math.max(0L, math.floor((tLo - start) / step).toLong)
+              else 0L
+            val hi =
+              if (tHi < Double.PositiveInfinity)
+                math.min(nFrames, math.ceil((tHi - start) / step).toLong + 1)
+              else nFrames
+            (lo, math.max(lo, hi))
+          } else (0L, nFrames)
+        // pushed gid equality/In → column runs; only worth the per-row
+        // positional reads when the admitted width is a small fraction
+        val runs: Option[Seq[(Long, Long)]] = gids.map { admit =>
+          val nodeIds = h5.readLongs(s"$base/mapping/node_ids")
+          val idx =
+            if (h5.exists(s"$base/mapping/index_pointers"))
+              h5.readLongs(s"$base/mapping/index_pointers")
+            else (0L to nodeIds.length.toLong).toArray
+          mergeRuns(nodeIds.indices.collect {
+            case k if admit.contains(nodeIds(k)) => (idx(k), idx(k + 1))
+          }.toSeq)
+        }.flatMap { rs =>
+          val width = rs.map { case (s, e) => e - s }.sum
+          if (rs.isEmpty) Some(Nil) // gid filter admits nothing → no rows
+          else if (width * colPruneRatio <= nCols) Some(rs)
+          else None // wide selection: whole-row slabs are cheaper
+        }
+        if (runs.contains(Nil)) Nil
+        else {
+          val es = h5.elemSize(s"$base/data")
+          val bytesPerRow =
+            runs.map(_.map { case (s, e) => e - s }.sum).getOrElse(nCols) * es
+          val rowsPerSlice = math.max(1L, sliceBytes / math.max(1L, bytesPerRow))
+          (rLo until rHi by rowsPerSlice).map(s =>
+            SonataFrameSlice(path, pop, s, math.min(s + rowsPerSlice, rHi), runs)
+              : InputPartition)
+        }
+      }.toArray
+    } finally h5.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SonataFramesReaderFactory(filters, required)
+}
+
+class SonataFramesReaderFactory(filters: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SonataFramesReader(partition.asInstanceOf[SonataFrameSlice], filters, required)
+}
+
+/** Streams one frame-row slab: per batch of rows it issues one positional
+  * read (whole rows) or one read per column run per row (gid-pruned), and
+  * yields rows lazily — no slab-sized tuple buffer ever materializes.
+  */
+class SonataFramesReader(p: SonataFrameSlice, filters: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
+  import SonataFramesSource._
+
+  private val h5 = new Hdf5File(p.file)
+  private val base = s"/report/${p.pop}"
+  private val dims = h5.dims(s"$base/data")
+  private val nCols = dims(1).toInt
+  private val Array(tStart, _, tStep) = h5.readDoubles(s"$base/mapping/time")
+
+  private val need = required.fieldNames.toSet
+  private val filterCols = filters.flatMap(_.references).toSet
+  private val needValue = need("value")
+  private val needGid = need("gid") || filterCols("gid")
+  private val needSection = need("section")
+
+  // column → owning gid / section id, expanded once per task (O(nCols);
+  // the data matrix is O(nFrames × nCols) — metadata stays the small side)
+  private val (colNode, colElem): (Array[Long], Array[Long]) =
+    if (needGid || needSection) {
+      val nodeIds = h5.readLongs(s"$base/mapping/node_ids")
+      val idx =
+        if (h5.exists(s"$base/mapping/index_pointers"))
+          h5.readLongs(s"$base/mapping/index_pointers")
+        else (0L to nodeIds.length.toLong).toArray
+      val cn = new Array[Long](nCols)
+      var k = 0
+      while (k < nodeIds.length) {
+        var j = idx(k)
+        while (j < idx(k + 1)) { cn(j.toInt) = nodeIds(k); j += 1 }
+        k += 1
+      }
+      val ce =
+        if (needSection && h5.exists(s"$base/mapping/element_ids"))
+          h5.readLongs(s"$base/mapping/element_ids")
+        else new Array[Long](nCols)
+      (cn, ce)
+    } else (null, null)
+
+  private val cols: Array[Long] = p.runs match {
+    case Some(rs) => rs.iterator.flatMap { case (s, e) => s until e }.toArray
+    case None => Array.tabulate(nCols)(_.toLong)
+  }
+  private val popUtf8 = UTF8String.fromString(p.pop)
+
+  // batches of whole rows; within a batch one read per run (or one slab)
+  private val rowsPerBatch: Int =
+    math.max(1, (DefaultSliceBytes / math.max(1, cols.length * 8)).toInt)
+
+  private val rows: Iterator[InternalRow] =
+    (p.r0 until p.r1 by rowsPerBatch).iterator.flatMap { b0 =>
+      val b1 = math.min(b0 + rowsPerBatch, p.r1)
+      // values for rows [b0,b1) at the selected columns, row-major
+      val vals: Array[Double] =
+        if (!needValue) null
+        else p.runs match {
+          case None => h5.readDoubles(s"$base/data", b0 * nCols, b1 * nCols)
+          case Some(rs) =>
+            val width = cols.length
+            val out = new Array[Double]((b1 - b0).toInt * width)
+            var r = b0
+            while (r < b1) {
+              var o = (r - b0).toInt * width
+              rs.foreach { case (c0, c1) =>
+                val run = h5.readDoubles(s"$base/data", r * nCols + c0, r * nCols + c1)
+                System.arraycopy(run, 0, out, o, run.length)
+                o += run.length
+              }
+              r += 1
+            }
+            out
+        }
+      (b0 until b1).iterator.flatMap { r =>
+        val t = tStart + r * tStep
+        cols.indices.iterator.flatMap { ci =>
+          val c = cols(ci).toInt
+          val gid = if (colNode ne null) colNode(c) else 0L
+          if (!filters.forall(eval(_, p.pop, t, gid))) None
+          else Some(InternalRow.fromSeq(required.fieldNames.toSeq.map {
+            case "population" => popUtf8
+            case "time" => t
+            case "gid" => gid
+            case "value" => vals((r - b0).toInt * cols.length + ci)
+            case "section" => colElem(c)
+          }))
+        }
+      }
+    }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    val has = rows.hasNext
+    if (has) cur = rows.next()
+    has
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = h5.close()
+}
