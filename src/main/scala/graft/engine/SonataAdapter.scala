@@ -18,12 +18,14 @@ import java.nio.file.Paths
   * (each task reads only its contiguous byte slab); node tables read
   * row-range-partitioned columns the same way.
   *
-  * @param population   restrict to one SONATA population (None = all)
-  * @param reportName   frame report name (None = the first one configured)
+  * @param population     restrict to one SONATA population (None = all)
+  * @param reportName     frame report name (None = the first one configured)
+  * @param nodeSliceBytes target working-set bytes per node-table slice task
   */
 class SonataAdapter(
     population: Option[String] = None,
-    reportName: Option[String] = None) extends DataAdapter {
+    reportName: Option[String] = None,
+    nodeSliceBytes: Long = SonataAdapter.NodeSliceBytes) extends DataAdapter {
 
   // ---- config resolution --------------------------------------------------
 
@@ -143,6 +145,12 @@ class SonataAdapter(
     * id) + every property of group 0 (numeric as double/long, strings as
     * string, `dynamics_params/<name>` flattened) — what bluepysnap's
     * NodePopulation.get() materializes (reference circuit.py).
+    *
+    * Scale: the driver touches only metadata (property names, dtypes, the
+    * small `@library` categorical arrays); every task reads a contiguous
+    * row-range slab of each property column — a multi-million-node circuit
+    * never materializes on the driver, and downstream neuron-class
+    * filters/joins start from many partitions.
     */
   def nodes(spark: SparkSession, circuitPath: String): DataFrame = {
     val nodesFile =
@@ -161,59 +169,102 @@ class SonataAdapter(
         resolved(cfg, cfgPath.getParent,
           nodes0.getOrElse("nodes_file", "").toString)
       }
+    import SonataAdapter._
     val h5 = new Hdf5File(nodesFile)
-    try {
-      val pops = h5.ls("/nodes").filter(p => population.forall(_ == p))
-      require(pops.nonEmpty,
-        s"population ${population.getOrElse("<any>")} not found in $nodesFile " +
-          s"(available: ${h5.ls("/nodes").mkString(", ")})")
-      val frames = pops.map { pop =>
-        val g = s"/nodes/$pop/0"
-        def leaves(p: String, prefix: String): Seq[(String, String)] = {
-          val children = try h5.ls(p) catch { case _: Exception => Nil }
-          if (children.isEmpty) Seq(prefix -> p)
-          else children.filterNot(_ == "@library").flatMap(c =>
-            leaves(s"$p/$c", if (prefix.isEmpty) c else s"$prefix/$c"))
-        }
-        val props = leaves(g, "")
-        val n = h5.dims(s"$g/${props.head._1}").product.toInt
-        // @library indirection: <prop> ints index @library/<prop> strings
-        def libValues(name: String): Option[Array[String]] =
-          if (h5.exists(s"$g/@library/$name")) Some(h5.readStrings(s"$g/@library/$name"))
-          else None
-        val cols: Seq[(String, Array[_])] = props.map { case (name, dsPath) =>
-          val asStrings = try Some(h5.readStrings(dsPath)) catch { case _: Exception => None }
-          asStrings match {
-            case Some(ss) => name -> ss
-            case None =>
-              libValues(name) match {
-                case Some(lib) =>
-                  name -> h5.readLongs(dsPath).map(i => lib(i.toInt))
-                case None =>
-                  // int64 node ids/params above 2^53 would lose precision
-                  // as Double — keep integer-typed properties as Long
-                  if (h5.isIntegerType(dsPath)) name -> h5.readLongs(dsPath)
-                  else name -> h5.readDoubles(dsPath)
-              }
+    val plans: Seq[(String, Long, Seq[NodeProp])] =
+      try {
+        val pops = h5.ls("/nodes").filter(p => population.forall(_ == p))
+        require(pops.nonEmpty,
+          s"population ${population.getOrElse("<any>")} not found in $nodesFile " +
+            s"(available: ${h5.ls("/nodes").mkString(", ")})")
+        pops.map { pop =>
+          val g = s"/nodes/$pop/0"
+          def leaves(p: String, prefix: String): Seq[(String, String)] = {
+            val children = try h5.ls(p) catch { case _: Exception => Nil }
+            if (children.isEmpty) Seq(prefix -> p)
+            else children.filterNot(_ == "@library").flatMap(c =>
+              leaves(s"$p/$c", if (prefix.isEmpty) c else s"$prefix/$c"))
           }
+          val props = leaves(g, "")
+          val n = h5.dims(s"$g/${props.head._1}").product
+          val specs = props.map { case (name, dsPath) =>
+            // type probe reads at most ONE element — never a full column
+            val isString =
+              try { h5.readStrings(dsPath, 0, math.min(1L, n)); true }
+              catch { case _: IllegalArgumentException => false }
+            // @library indirection: <prop> ints index @library/<prop>
+            // strings; the library itself is a small categorical array
+            val lib =
+              if (!isString && h5.exists(s"$g/@library/$name"))
+                Some(h5.readStrings(s"$g/@library/$name"))
+              else None
+            val kind =
+              if (isString) StrProp
+              else if (lib.isDefined) LibProp
+              // int64 node ids/params above 2^53 would lose precision as
+              // Double — keep integer-typed properties as Long
+              else if (h5.isIntegerType(dsPath)) LongProp
+              else DoubleProp
+            NodeProp(name.replace('/', '_'), dsPath, kind, lib)
+          }
+          (pop, n, specs)
         }
-        val schema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("gid",
-            org.apache.spark.sql.types.LongType) +:
-            cols.map { case (nm, arr) =>
-              org.apache.spark.sql.types.StructField(nm.replace('/', '_'), arr match {
-                case _: Array[String] => org.apache.spark.sql.types.StringType
-                case _: Array[Long] => org.apache.spark.sql.types.LongType
-                case _ => org.apache.spark.sql.types.DoubleType
-              })
-            })
-        val rows = (0 until n).map { i =>
-          org.apache.spark.sql.Row.fromSeq(i.toLong +: cols.map(_._2(i)))
+      } finally h5.close()
+    val frames = plans.map { case (pop, n, specs) =>
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("gid",
+          org.apache.spark.sql.types.LongType) +:
+          specs.map(s =>
+            org.apache.spark.sql.types.StructField(s.column, s.kind match {
+              case LongProp => org.apache.spark.sql.types.LongType
+              case DoubleProp => org.apache.spark.sql.types.DoubleType
+              case _ => org.apache.spark.sql.types.StringType
+            })))
+      // ~rowsPerSlice × nProps × 8 B per task working set
+      val rowsPerSlice = math.max(1L, nodeSliceBytes / math.max(1, specs.size * 8))
+      val slices = (0L until n by rowsPerSlice)
+        .map(s => (s, math.min(s + rowsPerSlice, n)))
+      val rdd = spark.sparkContext
+        .parallelize(slices, slices.size.max(1))
+        .flatMap { case (r0, r1) =>
+          val f = new Hdf5File(nodesFile)
+          try {
+            val cols: Seq[Array[_]] = specs.map { s =>
+              s.kind match {
+                case StrProp => f.readStrings(s.dsPath, r0, r1)
+                case LibProp =>
+                  val lib = s.lib.get
+                  f.readLongs(s.dsPath, r0, r1).map(i => lib(i.toInt))
+                case LongProp => f.readLongs(s.dsPath, r0, r1)
+                case DoubleProp => f.readDoubles(s.dsPath, r0, r1)
+              }
+            }
+            // materialized per slice (bounded) so the handle can close
+            (r0 until r1).map { i =>
+              org.apache.spark.sql.Row.fromSeq(
+                i +: cols.map(_((i - r0).toInt)))
+            }
+          } finally f.close()
         }
-        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-          .withColumn("population", lit(pop))
-      }
-      frames.reduce(_ unionByName _)
-    } finally h5.close()
+      spark.createDataFrame(rdd, schema).withColumn("population", lit(pop))
+    }
+    frames.reduce(_ unionByName _)
   }
+}
+
+object SonataAdapter {
+  /** Target working-set bytes of one node-table slice task (~16 MB). */
+  val NodeSliceBytes: Long = 16L * 1024 * 1024
+
+  sealed trait PropKind extends Serializable
+  case object StrProp extends PropKind
+  case object LibProp extends PropKind
+  case object LongProp extends PropKind
+  case object DoubleProp extends PropKind
+
+  /** One node property column: flattened name, dataset path, decode kind,
+    * and the broadcast-small `@library` categorical values when indirect.
+    */
+  final case class NodeProp(
+      column: String, dsPath: String, kind: PropKind, lib: Option[Array[String]])
 }

@@ -86,6 +86,23 @@ class SonataAdapterSpec extends SparkSuite {
     assert(a.spikes(spark, dir.toString).count() === 2)
   }
 
+  test("nodes: the read distributes into row-range slab tasks (no driver build)") {
+    // force ~1-row slices: the 3-node fixture must plan 3 partitions, each
+    // task slab-reading its own row range — the shape that holds at
+    // millions of nodes (driver touches metadata + @library only)
+    val tiny = new SonataAdapter(population = Some("default"), nodeSliceBytes = 8L)
+    val df = tiny.nodes(spark, circuitDir)
+    assert(df.rdd.getNumPartitions >= 3)
+    val rows = df.orderBy("gid").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getAs[String]("mtype") === "L2_X")
+    assert(rows.map(_.getAs[Long]("gid")).toSeq === Seq(0L, 1L, 2L))
+    // slab-partitioned result equals the default-sliced result
+    val whole = new SonataAdapter(population = Some("default")).nodes(spark, circuitDir)
+    assert(whole.orderBy("gid").collect().map(_.toString).toSeq ===
+      rows.map(_.toString).toSeq)
+  }
+
   test("nodes: a population filter matching nothing fails with a clear error") {
     val e = intercept[IllegalArgumentException] {
       new SonataAdapter(population = Some("no_such_pop")).nodes(spark, circuitDir)
