@@ -10,19 +10,22 @@ import java.nio.file.{Paths, StandardOpenOption}
   * adapters/impl/bluepysnap/simulation.py:16-42, circuit.py).
   *
   * Supported (all structures observed in the reference's own .h5
-  * fixtures, written by h5py with default settings):
-  *  - superblock v0/v1, v1 object headers (+ continuation blocks)
-  *  - symbol-table groups (v1 B-tree + SNOD + local heap)
+  * fixtures, written by h5py with default settings, plus the
+  * libver='latest' layer):
+  *  - superblock v0/v1/v2/v3; v1 object headers (+ continuation blocks)
+  *    and v2 "OHDR" headers (+ "OCHK" continuations)
+  *  - symbol-table groups (v1 B-tree + SNOD + local heap) and new-style
+  *    compact groups (link messages)
   *  - dataspace v1/v2 (rank ≤ 2), datatypes: fixed-point (1/2/4/8 bytes,
   *    signed/unsigned), IEEE float32/64, fixed strings, vlen strings
   *    (global heap), enums (decoded as their base integer)
-  *  - data layouts: compact, contiguous, chunked (v1 B-tree index), with
-  *    optional shuffle + deflate filters
+  *  - data layouts: compact, contiguous (v3/v4), chunked (v1 B-tree
+  *    index), with optional shuffle + deflate filters
   *  - attribute messages v1-v3 (scalar string/number attributes)
   *
   * NOT supported (clear error, conversion contract in README.md is the
-  * fallback): superblock ≥ v2 / v2 object headers (h5py libver="latest"),
-  * fractal-heap groups, references, compounds, szip/lzf.
+  * fallback): dense (fractal-heap) groups, v4 chunked layouts (new chunk
+  * indexes), references, compounds, szip/lzf.
   *
   * Thread-safety: reads are positional (`FileChannel.read(dst, pos)`), so
   * one instance can serve concurrent partition readers.
@@ -59,16 +62,26 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     require((0 until 8).forall(i => sig.get(i) == magic(i)), s"$path: not an HDF5 file")
     val b = readAt(8, 16)
     val sbVersion = u8(b)
-    require(sbVersion <= 1,
-      s"$path: superblock v$sbVersion not supported (h5py libver='latest'?); " +
+    if (sbVersion <= 1) {
+      u8(b); u8(b); u8(b); u8(b) // freespace, root group, reserved, shared header versions
+      val offSize = u8(b); val lenSize = u8(b)
+      require(offSize == 8 && lenSize == 8, s"$path: offsets/lengths $offSize/$lenSize != 8")
+      // leaf/internal k (4 bytes) + consistency flags (4) + (v1: indexed k, 4)
+      val fixed = 24 + (if (sbVersion == 1) 4 else 0)
+      // base(8) free(8) eof(8) driver(8) then root symbol table entry
+      readSymbolEntry(readAt(fixed + 32L, 40))
+    } else if (sbVersion == 2 || sbVersion == 3) {
+      // v2/v3 (h5py libver='latest'): sig(8) ver(1) offSize(1) lenSize(1)
+      // flags(1) base(8) extension(8) eof(8) rootOhdr(8) checksum(4) —
+      // the root group is referenced by object header address directly
+      val offSize = u8(b); val lenSize = u8(b)
+      require(offSize == 8 && lenSize == 8, s"$path: offsets/lengths $offSize/$lenSize != 8")
+      u8(b) // file consistency flags; base/extension/eof follow
+      val rootOhdr = readAt(8 + 4 + 24, 8).getLong
+      SymbolEntry(0L, rootOhdr, Undef, Undef)
+    } else throw new IllegalArgumentException(
+      s"$path: superblock v$sbVersion not supported; " +
         "convert per the SONATA interop contract (README.md)")
-    u8(b); u8(b); u8(b); u8(b) // freespace, root group, reserved, shared header versions
-    val offSize = u8(b); val lenSize = u8(b)
-    require(offSize == 8 && lenSize == 8, s"$path: offsets/lengths $offSize/$lenSize != 8")
-    // leaf/internal k (4 bytes) + consistency flags (4) + (v1: indexed k, 4)
-    val fixed = 24 + (if (sbVersion == 1) 4 else 0)
-    // base(8) free(8) eof(8) driver(8) then root symbol table entry
-    readSymbolEntry(readAt(fixed + 32L, 40))
   }
 
   private case class SymbolEntry(nameOffset: Long, headerAddr: Long, btree: Long, heap: Long)
@@ -87,11 +100,17 @@ final class Hdf5File(val path: String) extends AutoCloseable {
 
   private case class Message(typ: Int, body: ByteBuffer)
 
-  private def objectMessages(addr: Long): Seq[Message] = {
+  private val OhdrSig = 0x5244484f // "OHDR" little-endian
+
+  private def objectMessages(addr: Long): Seq[Message] =
+    if (readAt(addr, 4).getInt == OhdrSig) objectMessagesV2(addr)
+    else objectMessagesV1(addr)
+
+  private def objectMessagesV1(addr: Long): Seq[Message] = {
     val head = readAt(addr, 16)
     val version = u8(head)
     require(version == 1,
-      s"$path: object header v$version not supported (only v1; see README SONATA contract)")
+      s"$path: object header v$version not supported (only v1/v2; see README SONATA contract)")
     u8(head)
     val nMsgs = u16(head)
     head.getInt // ref count
@@ -118,6 +137,63 @@ final class Hdf5File(val path: String) extends AutoCloseable {
             val cAddr = body.getLong; val cLen = body.getLong
             blocks = blocks :+ ((cAddr, cLen.toInt))
           } else out += Message(typ, body)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Version-2 ("OHDR") object headers — what h5py libver='latest' writes.
+    * Prefix: sig(4) version(1) flags(1) [times 4×4 if flags&0x20]
+    * [phase-change 2×2 if flags&0x10] chunk0-size(1/2/4/8 per flags&3);
+    * messages use 1-byte types, optional 2-byte creation order
+    * (flags&0x04), and each chunk ends with a 4-byte lookup3 checksum.
+    * Continuations are "OCHK" blocks whose length includes sig + checksum.
+    */
+  private def objectMessagesV2(addr: Long): Seq[Message] = {
+    val head = readAt(addr, 16)
+    head.getInt // "OHDR"
+    val version = u8(head)
+    require(version == 2, s"$path: OHDR version $version not supported")
+    val flags = u8(head)
+    var pos = addr + 6
+    if ((flags & 0x20) != 0) pos += 16 // access/mod/change/birth times
+    if ((flags & 0x10) != 0) pos += 4 // compact/dense phase-change bounds
+    val szBytes = 1 << (flags & 0x03)
+    val szBuf = readAt(pos, szBytes)
+    val chunk0 = szBytes match {
+      case 1 => u8(szBuf).toLong
+      case 2 => u16(szBuf).toLong
+      case 4 => u32(szBuf)
+      case _ => szBuf.getLong
+    }
+    pos += szBytes
+    val orderBytes = if ((flags & 0x04) != 0) 2 else 0
+    val out = Seq.newBuilder[Message]
+    // (messages start, messages length) per chunk; chunk 0's length
+    // excludes its trailing checksum, OCHK lengths include sig + checksum
+    var blocks = List((pos, chunk0))
+    while (blocks.nonEmpty) {
+      val (bAddr, bSize) = blocks.head
+      blocks = blocks.tail
+      val buf = readAt(bAddr, bSize.toInt)
+      var more = true
+      while (more && buf.remaining >= 4 + orderBytes) {
+        val typ = u8(buf)
+        val size = u16(buf)
+        u8(buf) // message flags
+        if (orderBytes > 0) u16(buf)
+        if (size > buf.remaining) more = false // trailing gap
+        else {
+          val body = buf.slice().order(ByteOrder.LITTLE_ENDIAN)
+          body.limit(size)
+          buf.position(buf.position() + size)
+          if (typ == 0x10) { // continuation → OCHK block
+            val cAddr = body.getLong; val cLen = body.getLong
+            require(readAt(cAddr, 4).getInt == 0x4b48434f, // "OCHK"
+              s"$path: bad continuation block signature")
+            blocks = blocks :+ ((cAddr + 4, cLen - 8))
+          } else if (typ != 0) out += Message(typ, body) // 0 = null msg
         }
       }
     }
@@ -176,15 +252,57 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     }
   }
 
+  /** One Link message (type 0x0006) — new-style compact groups store one
+    * per child directly in the object header (h5py libver='latest').
+    */
+  private def parseLink(body: ByteBuffer): (String, SymbolEntry) = {
+    val version = u8(body)
+    require(version == 1, s"$path: link message v$version not supported")
+    val flags = u8(body)
+    if ((flags & 0x08) != 0) {
+      val linkType = u8(body)
+      require(linkType == 0, s"$path: only hard links supported (type $linkType)")
+    }
+    if ((flags & 0x04) != 0) body.getLong // creation order
+    if ((flags & 0x10) != 0) u8(body) // charset
+    val nameLen = (flags & 0x03) match {
+      case 0 => u8(body).toLong
+      case 1 => u16(body).toLong
+      case 2 => u32(body)
+      case _ => body.getLong
+    }
+    val nameBytes = new Array[Byte](nameLen.toInt)
+    body.get(nameBytes)
+    (new String(nameBytes, "UTF-8"), SymbolEntry(0L, body.getLong, Undef, Undef))
+  }
+
   private def childEntries(e: SymbolEntry): Seq[(String, SymbolEntry)] = {
-    val (bt, hp) =
-      if (e.btree != Undef) (e.btree, e.heap)
-      else {
-        val st = objectMessages(e.headerAddr).find(_.typ == 0x0011).getOrElse(
-          throw new IllegalArgumentException(s"$path: not a symbol-table group"))
-        (st.body.getLong, st.body.getLong)
+    if (e.btree != Undef) groupEntries(e.btree, e.heap)
+    else {
+      val msgs = objectMessages(e.headerAddr)
+      msgs.find(_.typ == 0x0011) match {
+        case Some(st) => groupEntries(st.body.getLong, st.body.getLong)
+        case None =>
+          val links = msgs.filter(_.typ == 0x0006).map(m => parseLink(m.body))
+          if (links.nonEmpty) links
+          else msgs.find(_.typ == 0x0002) match {
+            case Some(li) =>
+              // Link Info: v(1) flags(1) [max-order 8 if flags&1]
+              // fractal-heap(8) name-btree(8); a defined heap address
+              // means a DENSE group — not supported
+              val b = li.body
+              u8(b); val liFlags = u8(b)
+              if ((liFlags & 1) != 0) b.getLong
+              val fheap = b.getLong
+              require(fheap == Undef,
+                s"$path: dense (fractal-heap) groups not supported; " +
+                  "convert per the SONATA interop contract (README.md)")
+              Nil // compact group with zero links
+            case None =>
+              throw new IllegalArgumentException(s"$path: not a group")
+          }
       }
-    groupEntries(bt, hp)
+    }
   }
 
   private def resolve(p: String): SymbolEntry =
@@ -258,7 +376,10 @@ final class Hdf5File(val path: String) extends AutoCloseable {
 
   private def parseLayout(b: ByteBuffer): Layout = {
     val version = u8(b)
-    require(version == 3, s"$path: data layout v$version not supported (only v3)")
+    // v4 compact/contiguous encode exactly as v3; v4 chunked (new chunk
+    // indexes: single/implicit/fixed-array/ext-array/btree-v2) does not
+    require(version == 3 || version == 4,
+      s"$path: data layout v$version not supported (only v3/v4)")
     u8(b) match {
       case 0 =>
         val size = u16(b)
@@ -266,13 +387,16 @@ final class Hdf5File(val path: String) extends AutoCloseable {
         b.get(data)
         Compact(data)
       case 1 => Contiguous(b.getLong, b.getLong)
-      case 2 =>
+      case 2 if version == 3 =>
         val dimensionality = u8(b)
         val btree = b.getLong
         // dims include the trailing element-size dim
         val cd = (0 until dimensionality - 1).map(_ => b.getInt)
         b.getInt // element size
         Chunked(btree, cd)
+      case 2 => throw new IllegalArgumentException(
+        s"$path: v4 chunked layouts (new chunk indexes) not supported; " +
+          "convert per the SONATA interop contract (README.md)")
       case other => throw new IllegalArgumentException(s"$path: layout class $other")
     }
   }

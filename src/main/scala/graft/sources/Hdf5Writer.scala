@@ -231,6 +231,195 @@ object Hdf5Writer {
     try s.write(out.array()) finally s.close()
   }
 
+  // ---- superblock v2 + OHDR v2 variant ------------------------------------
+
+  /** Same SONATA spikes layout through the modern on-disk structures h5py
+    * emits with `libver="latest"`: superblock v2, version-2 ("OHDR")
+    * object headers with lookup3 checksums, new-style compact groups
+    * (link-info/group-info/link messages), v3 attributes. Exists so the
+    * reader's libver='latest' support is pinned by a real file — and as
+    * the interop escape hatch for tools that require the new format.
+    */
+  def writeSonataSpikesV2(
+      path: String, population: String,
+      timestamps: Array[Double], nodeIds: Array[Long],
+      sorting: Int = SortByTime, units: String = "ms"): Unit = {
+    require(timestamps.length == nodeIds.length, "timestamps/node_ids length mismatch")
+    val n = timestamps.length
+    def bb(size: Int) = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+
+    def linkMsg(name: String, addr: Long): Array[Byte] = {
+      val nm = name.getBytes("UTF-8")
+      val b = bb(3 + nm.length + 8)
+      b.put(1.toByte) // version
+      b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
+      b.put(nm.length.toByte); b.put(nm)
+      b.putLong(addr)
+      b.array()
+    }
+    val linkInfo: Array[Byte] = {
+      val b = bb(18)
+      b.put(0.toByte); b.put(0.toByte) // v0, no creation order
+      b.putLong(-1L); b.putLong(-1L) // no fractal heap / name index (compact)
+      b.array()
+    }
+    val groupInfo = Array[Byte](0, 0) // v0, no flags
+    def dataspaceV2(len: Long): Array[Byte] = {
+      val b = bb(12)
+      b.put(2.toByte); b.put(1.toByte); b.put(0.toByte); b.put(1.toByte) // v2 rank1 simple
+      b.putLong(len)
+      b.array()
+    }
+    def dtype64(float: Boolean): Array[Byte] = {
+      val b = bb(24)
+      if (float) {
+        b.put(0x11.toByte); b.put(0x20.toByte); b.put(0x3f.toByte); b.put(0.toByte)
+        b.putInt(8); b.putShort(0); b.putShort(64)
+        b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+        b.putInt(1023); b.putInt(0)
+      } else {
+        b.put(0x10.toByte); b.put(0x00.toByte); b.put(0.toByte); b.put(0.toByte)
+        b.putInt(8); b.putShort(0); b.putShort(64)
+        b.putInt(0); b.putInt(0); b.putInt(0)
+      }
+      b.array()
+    }
+    def layoutC(addr: Long, size: Long): Array[Byte] = {
+      val b = bb(18)
+      b.put(3.toByte); b.put(1.toByte)
+      b.putLong(addr); b.putLong(size)
+      b.array()
+    }
+
+    def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val msgBytes = msgs.map(4 + _._2.length).sum
+      val b = bb(8 + msgBytes + 4)
+      b.putInt(0x5244484f) // "OHDR"
+      b.put(2.toByte)
+      b.put(0x01.toByte) // flags: 2-byte chunk0 size, no times/order
+      b.putShort(msgBytes.toShort)
+      msgs.foreach { case (t, body) =>
+        b.put(t.toByte); b.putShort(body.length.toShort); b.put(0.toByte)
+        b.put(body)
+      }
+      b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 8 + msgBytes)))
+      b.array()
+    }
+    def ohdrSize(msgs: Seq[(Int, Array[Byte])]): Long =
+      8L + msgs.map(4 + _._2.length).sum + 4
+
+    val sortAttr = attrMessageV3("sorting", Left(sorting))
+    val unitsAttr = attrMessageV3("units", Right(units))
+    // addresses embed as fixed 8-byte fields, so sizes are
+    // address-independent: size with dummies, then build with real ones
+    def rootMsgs(spikes: Long) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo, 0x06 -> linkMsg("spikes", spikes))
+    def spikesMsgs(pop: Long) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo, 0x06 -> linkMsg(population, pop))
+    def popMsgs(ids: Long, ts: Long) = Seq(
+      0x02 -> linkInfo, 0x0A -> groupInfo,
+      0x06 -> linkMsg("node_ids", ids), 0x06 -> linkMsg("timestamps", ts),
+      0x0C -> sortAttr)
+    def tsMsgs(data: Long) = Seq(
+      0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = true),
+      0x08 -> layoutC(data, 8L * n), 0x0C -> unitsAttr)
+    def idsMsgs(data: Long) = Seq(
+      0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = false),
+      0x08 -> layoutC(data, 8L * n))
+
+    val rootOhdr = 48L
+    val spikesOhdr = rootOhdr + ohdrSize(rootMsgs(0))
+    val popOhdr = spikesOhdr + ohdrSize(spikesMsgs(0))
+    val tsOhdr = popOhdr + ohdrSize(popMsgs(0, 0))
+    val idsOhdr = tsOhdr + ohdrSize(tsMsgs(0))
+    val tsData = idsOhdr + ohdrSize(idsMsgs(0))
+    val idsData = tsData + 8L * n
+    val eof = idsData + 8L * n
+    require(eof <= Int.MaxValue,
+      s"writeSonataSpikesV2: $n spikes -> $eof bytes exceeds the 2 GiB " +
+        "single-file writer limit (~134M spikes); keep spikes in parquet " +
+        "and convert per-simulation chunks instead")
+
+    val out = bb(eof.toInt)
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(2.toByte) // superblock v2
+    out.put(8.toByte); out.put(8.toByte) // offset/length sizes
+    out.put(0.toByte) // consistency flags
+    out.putLong(0L) // base address
+    out.putLong(-1L) // superblock extension: none
+    out.putLong(eof)
+    out.putLong(rootOhdr)
+    out.putInt(lookup3(java.util.Arrays.copyOfRange(out.array(), 0, 44)))
+
+    out.position(rootOhdr.toInt); out.put(ohdrV2(rootMsgs(spikesOhdr)))
+    out.position(spikesOhdr.toInt); out.put(ohdrV2(spikesMsgs(popOhdr)))
+    out.position(popOhdr.toInt); out.put(ohdrV2(popMsgs(idsOhdr, tsOhdr)))
+    out.position(tsOhdr.toInt); out.put(ohdrV2(tsMsgs(tsData)))
+    out.position(idsOhdr.toInt); out.put(ohdrV2(idsMsgs(idsData)))
+    out.position(tsData.toInt)
+    timestamps.foreach(out.putDouble)
+    nodeIds.foreach(out.putLong)
+
+    val s = new BufferedOutputStream(new FileOutputStream(path))
+    try s.write(out.array()) finally s.close()
+  }
+
+  /** Jenkins lookup3 ("hashlittle") — the checksum HDF5 stores after
+    * superblock v2 and each v2 object-header chunk (public-domain
+    * algorithm; HDF5 calls it with initval 0).
+    */
+  private[sources] def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    def word(off: Int, nb: Int): Int = {
+      var v = 0; var j = 0
+      while (j < nb && off + j < data.length) {
+        v |= (data(off + j) & 0xff) << (8 * j); j += 1
+      }
+      v
+    }
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var i = 0; var len = data.length
+    while (len > 12) {
+      a += word(i, 4); b += word(i + 4, 4); c += word(i + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      i += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(i, math.min(len, 4))
+      if (len > 4) b += word(i + 4, math.min(len - 4, 4))
+      if (len > 8) c += word(i + 8, math.min(len - 8, 4))
+      c ^= b; c -= rot(b, 14)
+      a ^= c; a -= rot(c, 11)
+      b ^= a; b -= rot(a, 25)
+      c ^= b; c -= rot(b, 16)
+      a ^= c; a -= rot(c, 4)
+      b ^= a; b -= rot(a, 14)
+      c ^= b; c -= rot(b, 24)
+    }
+    c
+  }
+
+  // ---- v3 attribute message (unpadded, charset byte) ----------------------
+
+  private def attrMessageV3(name: String, value: Either[Int, String]): Array[Byte] = {
+    val nameRaw = name.getBytes("UTF-8") :+ 0.toByte
+    val (dtRaw, dataRaw) = attrParts(value)
+    val ds = Array[Byte](2, 0, 0, 0) // v2 scalar dataspace: v, rank 0, flags, type
+    val head = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(3.toByte); head.put(0.toByte)
+    head.putShort(nameRaw.length.toShort)
+    head.putShort(dtRaw.length.toShort)
+    head.putShort(ds.length.toShort)
+    head.put(0.toByte) // charset: ASCII
+    head.array() ++ nameRaw ++ dtRaw ++ ds ++ dataRaw
+  }
+
   // ---- v1 attribute message (8-padded name/datatype/dataspace blocks) -----
 
   private def padArr(b: Array[Byte]): Array[Byte] =
@@ -238,7 +427,18 @@ object Hdf5Writer {
 
   private def attrMessage(name: String, value: Either[Int, String]): Array[Byte] = {
     val nameRaw = name.getBytes("UTF-8") :+ 0.toByte
-    val (dtRaw, dataRaw) = value match {
+    val (dtRaw, dataRaw) = attrParts(value)
+    val ds = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0) // v1 scalar dataspace
+    val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(1.toByte); head.put(0.toByte)
+    head.putShort(nameRaw.length.toShort)
+    head.putShort(dtRaw.length.toShort)
+    head.putShort(ds.length.toShort)
+    padArr(head.array() ++ padArr(nameRaw) ++ padArr(dtRaw) ++ padArr(ds) ++ dataRaw)
+  }
+
+  private def attrParts(value: Either[Int, String]): (Array[Byte], Array[Byte]) =
+    value match {
       case Left(v) =>
         // enum dtype identical to h5py.enum_dtype({"none":0,"by_id":1,
         // "by_time":2}) (convert_spikes.py:138) so strict SONATA readers
@@ -268,12 +468,4 @@ object Hdf5Writer {
         dt.putInt(bytes.length)
         (dt.array(), bytes)
     }
-    val ds = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0) // v1 scalar dataspace
-    val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    head.put(1.toByte); head.put(0.toByte)
-    head.putShort(nameRaw.length.toShort)
-    head.putShort(dtRaw.length.toShort)
-    head.putShort(ds.length.toShort)
-    padArr(head.array() ++ padArr(nameRaw) ++ padArr(dtRaw) ++ padArr(ds) ++ dataRaw)
-  }
 }

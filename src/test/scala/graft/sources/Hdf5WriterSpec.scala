@@ -50,6 +50,56 @@ class Hdf5WriterSpec extends SparkSuite {
     assert(sp.agg(min("time"), max("gid")).collect()(0).toSeq === Seq(0.5, 4L))
   }
 
+  private def writtenV2(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-h5w2").resolve("spikes_v2.h5")
+    Hdf5Writer.writeSonataSpikesV2(p.toString, "synthetic", ts, ids)
+    p.toString
+  }
+
+  test("superblock v2 + OHDR v2 file (libver='latest' layer) reads identically") {
+    val p = writtenV2()
+    // the on-disk structures really are the modern ones
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(head(8) === 2.toByte, "superblock version must be 2")
+    assert(new String(head.slice(48, 52), "ASCII") === "OHDR")
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.ls("/spikes") === Seq("synthetic"))
+      assert(h5.ls("/spikes/synthetic") === Seq("node_ids", "timestamps"))
+      assert(h5.attr("/spikes/synthetic", "sorting").contains(2.0))
+      assert(h5.attr("/spikes/synthetic/timestamps", "units").contains("ms"))
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts.toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids.toSeq)
+      assert(h5.readDoubles("/spikes/synthetic/timestamps", 1, 3).toSeq === Seq(1.25, 2.0))
+    } finally h5.close()
+    // both writer modes must decode to the same rows
+    val v0 = new Hdf5File(written())
+    val v2 = new Hdf5File(p)
+    try {
+      assert(v0.readDoubles("/spikes/synthetic/timestamps").toSeq ===
+        v2.readDoubles("/spikes/synthetic/timestamps").toSeq)
+      assert(v0.readLongs("/spikes/synthetic/node_ids").toSeq ===
+        v2.readLongs("/spikes/synthetic/node_ids").toSeq)
+    } finally { v0.close(); v2.close() }
+  }
+
+  test("DSv2 source applies time pushdown on a v2-superblock file") {
+    val df = spark.read.format("sonata-spikes")
+      .option("rowsPerPartition", "1")
+      .load(writtenV2())
+      .filter(col("time") >= 1.0 && col("time") < 3.0)
+    assert(df.rdd.getNumPartitions === 3) // by_time binary-search narrowing
+    assert(df.collect().map(r => (r.getDouble(1), r.getLong(2))).toSet ===
+      Set((1.25, 1L), (2.0, 4L), (2.0, 1L)))
+  }
+
+  test("lookup3 checksum: empty input and length sensitivity") {
+    assert(Hdf5Writer.lookup3(Array.empty[Byte]) === 0xdeadbeef)
+    // 13 bytes exercises the >12 mix loop + tail; must differ from 12
+    val d13 = Array.fill(13)(0x55.toByte)
+    assert(Hdf5Writer.lookup3(d13) !== Hdf5Writer.lookup3(d13.take(12)))
+  }
+
   test("convert-spikes campaign scaffold now carries a readable SONATA .h5") {
     val dir = java.nio.file.Files.createTempDirectory("graft-conv-h5").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "in.csv"),
