@@ -1,0 +1,94 @@
+package graft.engine
+
+import graft.SparkSuite
+import graft.dsl.{QAnd, QCond, QEq, QTrue}
+import graft.sources.Hdf5Writer
+import org.apache.spark.sql.DataFrame
+
+/** End-to-end cross-check of the NATIVE SONATA path: the same 2-simulation
+  * campaign analyzed once through SonataAdapter (spikes as real SONATA
+  * HDF5 written by Hdf5Writer — one file per superblock generation) and
+  * once through ParquetAdapter (the converted-format tier), asserting the
+  * extracted repository report and every computed feature frame are
+  * identical after sort. Mirrors the reference's functional analysis
+  * equality test (tests/functional/test_analysis.py:156-170), which pins
+  * the bluepysnap-read campaign against stored expectations.
+  */
+class SonataCampaignCrossSpec extends SparkSuite {
+
+  private val circuitDir = "/root/reference/tests/unit/data/circuit/sonata"
+
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.head, cols.tail: _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("sonata .h5 campaign == parquet campaign: report and features") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cross").toString
+    val rnd = new scala.util.Random(1234)
+
+    // identical spike trains per simulation, gids in the 3-node circuit
+    val sims = (0 until 2).map { i =>
+      val times = Array.fill(200)(rnd.nextDouble() * 100.0).sorted
+      val gids = Array.fill(200)(rnd.nextInt(3).toLong)
+      (i, times, gids)
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sonata"))
+    sims.foreach { case (i, times, gids) =>
+      // one sim per writer generation: superblock v0 and v2 both flow
+      // through the whole engine, not just the reader spec
+      if (i == 0)
+        Hdf5Writer.writeSonataSpikes(s"$dir/sonata/sim$i.h5", "default", times, gids)
+      else
+        Hdf5Writer.writeSonataSpikesV2(s"$dir/sonata/sim$i.h5", "default", times, gids)
+      times.zip(gids).toSeq.toDF("time", "gid")
+        .write.mode("overwrite").parquet(s"$dir/pq/sim$i")
+    }
+    // shared node table: the SONATA circuit exported to parquet, so both
+    // adapters see the same properties and class predicates
+    val sonataNodes = new SonataAdapter(population = Some("default"))
+    sonataNodes.nodes(spark, circuitDir)
+      .write.mode("overwrite").parquet(s"$dir/pq/nodes")
+
+    def campaign(paths: Int => String, circuit: String) = Campaign(
+      name = "cross", pathPrefix = "", attrs = Map.empty,
+      rows = (0 until 2).map(i => Map[String, Any](
+        "simulation_path" -> paths(i), "circuit_path" -> circuit, "seed" -> (100 + i))))
+
+    val cfg = SingleAnalysisConfig(
+      name = "spikes",
+      reportType = "spikes",
+      windows = Map(
+        "full" -> WindowSpec(bounds = (0.0, 100.0)),
+        "early" -> WindowSpec(bounds = (0.0, 20.0), initialOffset = 10.0)),
+      neuronClasses = Map(
+        "all" -> NeuronClassSpec(query = QTrue),
+        "L2" -> NeuronClassSpec(query = QAnd("mtype" -> QCond(QEq("L2_X"))))),
+      features = Seq(FeaturesSpec(
+        groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+        function = "mean_firing_rates")))
+
+    val native = new Analyzer(spark, cfg,
+      campaign(i => s"$dir/sonata/sim$i.h5", circuitDir),
+      new SonataAdapter(population = Some("default")))
+    val converted = new Analyzer(spark, cfg,
+      campaign(i => s"$dir/pq/sim$i", s"$dir/pq/nodes"),
+      new ParquetAdapter)
+
+    val nativeReport = native.df("report")
+    val convReport = converted.df("report")
+    assert(nativeReport.columns.sorted.toSeq === convReport.columns.sorted.toSeq)
+    val nr = sortedRows(nativeReport)
+    assert(nr.nonEmpty)
+    assert(nr === sortedRows(convReport))
+
+    val nf = native.calculateFeatures()
+    val cf = converted.calculateFeatures()
+    assert(nf.keySet === cf.keySet && nf.nonEmpty)
+    nf.keySet.foreach { k =>
+      assert(sortedRows(nf(k)) === sortedRows(cf(k)), s"feature frame '$k' differs")
+    }
+  }
+}
