@@ -176,6 +176,55 @@ object Spikes {
         when(var1 > 0 && var2 > 0, cov / sqrt(var1 * var2)).as("r"))
   }
 
+  /** Blocked all-unordered-pairs expansion of a per-gid frame — the same
+    * blocking that scales A12's correlation (see [[pairwiseCorrelation]]),
+    * factored out for every symmetric pairwise metric (A16 Van Rossum /
+    * Victor-Purpura over whole classes; reference computes full-class
+    * distance matrices in external/bluecv/comparison.py:11-21).
+    *
+    * gids hash into `nBlocks` blocks; the (nBlocks·(nBlocks+1)/2) ordered
+    * block pairs are a broadcast driver constant, so the expansion runs as
+    * two EQUI-joins (never a broadcast nested loop), each vector
+    * replicated ~nBlocks times and per-task memory bounded by
+    * 2·(G/nBlocks) payloads. Output: every unordered pair exactly once,
+    * payload columns suffixed 1/2, normalized to gid1 < gid2.
+    */
+  def blockedSelfPairs(
+      perGid: DataFrame, nBlocks: Int, gidCol: String = "gid"): DataFrame = {
+    val s = perGid.sparkSession
+    import s.implicits._
+    require(nBlocks > 0)
+    val others = perGid.columns.filterNot(_ == gidCol).toSeq
+    val t = perGid.withColumn("_blk", pmod(hash(col(gidCol)), lit(nBlocks)).cast("int"))
+    val blockPairs = broadcast(
+      (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toDF("_bi", "_bj"))
+    val a = t.select(col("_blk").as("_bi") +: col(gidCol).as("_g1") +:
+      others.map(c => col(c).as(s"${c}1")): _*)
+    val b = t.select(col("_blk").as("_bj") +: col(gidCol).as("_g2") +:
+      others.map(c => col(c).as(s"${c}2")): _*)
+    val joined = blockPairs.join(a, "_bi").join(b, "_bj")
+      // {x,y} surfaces exactly once: ordered cross-block pair, or same
+      // block with the gid order as the tiebreak
+      .filter(col("_bi") < col("_bj") || col("_g1") < col("_g2"))
+    // cross-block pairs arrive in block order, not gid order — swap the
+    // payload together with the gids to normalize to gid1 < gid2
+    val swap = col("_g1") > col("_g2")
+    joined.select(
+      when(swap, col("_g2")).otherwise(col("_g1")).as(s"${gidCol}1") +:
+        when(swap, col("_g1")).otherwise(col("_g2")).as(s"${gidCol}2") +:
+        others.flatMap(c => Seq(
+          when(swap, col(s"${c}2")).otherwise(col(s"${c}1")).as(s"${c}1"),
+          when(swap, col(s"${c}1")).otherwise(col(s"${c}2")).as(s"${c}2"))): _*)
+  }
+
+  /** Van Rossum exponential-kernel inner product of two sorted trains as a
+    * pure-codegen nested `aggregate` — O(|t1|·|t2|) per pair, no
+    * intermediate arrays.
+    */
+  private def vrKernel(t1: String, t2: String, tau: Double): org.apache.spark.sql.Column =
+    expr(s"aggregate($t1, 0D, (acc, x) -> acc + " +
+      s"aggregate($t2, 0D, (a2, y) -> a2 + exp(-abs(x - y) / ${tau}D)))")
+
   val all: Seq[GQuery] = Seq(
 
     // ---- J4: interval/range join window assignment ----
@@ -574,9 +623,11 @@ object Spikes {
           .agg(avg("p").as("psd"))
     },
 
-    // ---- A16: Van Rossum spike-train distance for a bounded cohort —
-    // exponential-kernel inner products via pair joins, VR²(f,g) =
-    // <f,f> + <g,g> - 2<f,g> (reference: external/bluecv/comparison.py:11-21) ----
+    // ---- A16: Van Rossum spike-train distance — exponential-kernel inner
+    // products over blocked train pairs, VR²(f,g) = <f,f> + <g,g> - 2<f,g>
+    // (reference: external/bluecv/comparison.py:11-21); the oracle keeps
+    // the gated cohort, the engine path scales to whole classes
+    // (A16BlockedSpec drives 1k gids) ----
     GQuery(
       "a16_van_rossum", {
         val tau = "3600000000.0"
@@ -593,23 +644,20 @@ object Spikes {
              |FROM crossk c
              |JOIN selfk s1 ON s1.gid = c.gid1 JOIN selfk s2 ON s2.gid = c.gid2""".stripMargin
       }) { (s, dir) =>
+      // full-class shape: per-gid trains with their self-kernels computed
+      // ONCE (one shuffle), then the blocked equi-join pair expansion —
+      // never a per-event theta join (events² rows) or a nested loop
       val tau = 3600000000.0
-      val ev = assigned(s, dir)
+      val trains = assigned(s, dir)
         .filter(col("win") === "full" && col("gid") <= 6)
-        .select("gid", "time")
-      val evB = ev.select(col("gid").as("gid_b"), col("time").as("time_b"))
-      val kern = exp(-abs(col("time") - col("time_b")) / lit(tau))
-      val selfk = ev.join(evB, col("gid") === col("gid_b"))
-        .groupBy("gid").agg(sum(kern).as("kk"))
-      val crossk = ev.join(evB, col("gid") < col("gid_b"))
-        .groupBy(col("gid").as("gid1"), col("gid_b").as("gid2"))
-        .agg(sum(kern).as("kk"))
-      crossk
-        .join(selfk.select(col("gid").as("gid1"), col("kk").as("kk1")), "gid1")
-        .join(selfk.select(col("gid").as("gid2"), col("kk").as("kk2")), "gid2")
+        .groupBy("gid")
+        .agg(sort_array(collect_list(col("time").cast("double"))).as("train"))
+        .withColumn("kk", vrKernel("train", "train", tau))
+      blockedSelfPairs(trains, nBlocks = 4)
         .select(
           col("gid1"), col("gid2"),
-          (col("kk1") + col("kk2") - lit(2) * col("kk")).as("vr2"))
+          (col("kk1") + col("kk2") -
+            lit(2) * vrKernel("train1", "train2", tau)).as("vr2"))
     },
 
     // ---- A16 (other half): Victor-Purpura distance — imperative DP kernel
@@ -657,11 +705,12 @@ object Spikes {
         .filter(col("win") === "full" && col("gid") <= 6)
         .groupBy("gid")
         .agg(sort_array(collect_list(col("time").cast("double"))).as("train"))
-      val t2 = trains.select(col("gid").as("gid2"), col("train").as("train2"))
-      trains.join(t2, col("gid") < col("gid2"))
+      // blocked equi-join pair expansion (full-class path); VP distance is
+      // symmetric, so the gid1<gid2 normalization is free
+      blockedSelfPairs(trains, nBlocks = 4)
         .select(
-          col("gid").as("gid1"), col("gid2"),
-          expr(s"vp_distance(train, train2, ${1.0 / 3600000000.0}d)").as("vp"))
+          col("gid1"), col("gid2"),
+          expr(s"vp_distance(train1, train2, ${1.0 / 3600000000.0}d)").as("vp"))
     },
 
     // ---- J4 at data scale: binned large-large range join — per-gid
