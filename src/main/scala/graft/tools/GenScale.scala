@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * events-per-user density, and a 4-lines-per-order lineitem.
   *
   * Usage: runMain graft.tools.GenScale <outBase> <multiplier...>
-  *   (writes <outBase>/x<m>/{documents,embeddings,events,lineitem}.parquet)
+  *   (writes <outBase>/x<m>/{documents,embeddings,events,lineitem}.parquet;
+  *   GRAFT_TABLES=events,embeddings restricts generation — an x1000
+  *   lineitem is ~45 GB of parquet nobody profiling the event/vector
+  *   paths needs)
   */
 object GenScale {
 
   def main(args: Array[String]): Unit = {
     val outBase = args.head
     val multipliers = args.tail.map(_.toInt).toSeq
+    val tables = sys.env.get("GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "embeddings", "events", "lineitem"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,12 +38,15 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    multipliers.foreach(m => generate(spark, s"$outBase/x$m", m))
+    multipliers.foreach(m => generate(spark, s"$outBase/x$m", m, tables))
     spark.stop()
   }
 
-  def generate(spark: SparkSession, dir: String, m: Int): Unit = {
+  def generate(
+      spark: SparkSession, dir: String, m: Int,
+      tables: Set[String] = Set("documents", "embeddings", "events", "lineitem")): Unit = {
     val t0 = System.nanoTime()
+    if (tables("documents")) {
 
     // ---- documents: 5000 * m ------------------------------------------
     val vocab = Seq("batch", "part", "spark", "line", "column", "order",
@@ -75,12 +84,14 @@ object GenScale {
         concat(lit("src"), pmod(abs(hash(col("id") * 11)), lit(20))).as("source"),
         length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
 
     // ---- embeddings: 2000 * m, 64-dim ---------------------------------
     // clustered, with cluster count ∝ scale (more data = more distinct
     // content regions): label center + per-vector noise. Uniform random
     // vectors would make LSH bucket density — and candidate pair counts —
     // grow quadratically at fixed band width.
+    if (tables("embeddings")) {
     val nLabels = 10 * m
     spark.range(2000L * m)
       .withColumn("label", pmod(abs(hash(col("id") * 17)), lit(nLabels)))
@@ -92,10 +103,12 @@ object GenScale {
           .as("embedding"),
         col("label").cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
 
     // ---- events: 100000 * m over 30 days, 1500 * m users --------------
     // ts is int64 NANOS (the driver's TIMESTAMP(NANOS) reads as long via
     // nanosAsLong; a plain long column reads identically in Tables.events)
+    if (tables("events")) {
     val nEv = 100000L * m
     val stepNs = 2592000000000000L / nEv // 30 days of nanos
     spark.range(nEv)
@@ -110,8 +123,10 @@ object GenScale {
         concat(lit("{\"k\": "), pmod(abs(hash(col("id") * 13)), lit(100)),
           lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
 
     // ---- lineitem: 600000 * m -----------------------------------------
+    if (tables("lineitem")) {
     spark.range(600000L * m)
       .select(
         (col("id") / 4).cast("long").as("l_orderkey"),
@@ -127,6 +142,7 @@ object GenScale {
         expr("timestamp_micros(694224000000000 + pmod(abs(hash(id * 23)), 2400) * 86400000000)")
           .as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
 
     println(f"[genscale] x$m written to $dir in ${(System.nanoTime() - t0) / 1e9}%.1fs")
   }
