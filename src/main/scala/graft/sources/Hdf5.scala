@@ -19,13 +19,14 @@ import java.nio.file.{Paths, StandardOpenOption}
   *  - dataspace v1/v2 (rank ≤ 2), datatypes: fixed-point (1/2/4/8 bytes,
   *    signed/unsigned), IEEE float32/64, fixed strings, vlen strings
   *    (global heap), enums (decoded as their base integer)
-  *  - data layouts: compact, contiguous (v3/v4), chunked (v1 B-tree
-  *    index), with optional shuffle + deflate filters
+  *  - data layouts: compact, contiguous (v3/v4), chunked via the v1
+  *    B-tree index and the v4 indexes (single chunk, implicit, fixed
+  *    array incl. paged), with optional shuffle + deflate filters
   *  - attribute messages v1-v3 (scalar string/number attributes)
   *
   * NOT supported (clear error, conversion contract in README.md is the
-  * fallback): dense (fractal-heap) groups, v4 chunked layouts (new chunk
-  * indexes), references, compounds, szip/lzf.
+  * fallback): dense (fractal-heap) groups, extensible-array / v2-B-tree
+  * chunk indexes, references, compounds, szip/lzf.
   *
   * Thread-safety: reads are positional (`FileChannel.read(dst, pos)`), so
   * one instance can serve concurrent partition readers.
@@ -368,6 +369,13 @@ final class Hdf5File(val path: String) extends AutoCloseable {
   private case class Contiguous(addr: Long, size: Long) extends Layout
   private case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
   private case class Compact(data: Array[Byte]) extends Layout
+  /** v4 chunked (h5py libver='latest'): `indexType` 1=single chunk,
+    * 2=implicit, 3=fixed array; `single` carries (storedSize, filterMask)
+    * for a filtered single chunk.
+    */
+  private case class ChunkedV4(
+      indexType: Int, chunkDims: Seq[Int], addr: Long, pageBits: Int,
+      single: Option[(Long, Int)]) extends Layout
 
   private case class Filter(id: Int, clientValues: Seq[Int])
 
@@ -394,9 +402,32 @@ final class Hdf5File(val path: String) extends AutoCloseable {
         val cd = (0 until dimensionality - 1).map(_ => b.getInt)
         b.getInt // element size
         Chunked(btree, cd)
-      case 2 => throw new IllegalArgumentException(
-        s"$path: v4 chunked layouts (new chunk indexes) not supported; " +
-          "convert per the SONATA interop contract (README.md)")
+      case 2 =>
+        // v4 chunked: flags, rank (NO trailing element-size dim), encoded
+        // dim sizes, chunk indexing type + type-specific fields, address
+        val flags = u8(b)
+        val rank = u8(b)
+        val dimLen = u8(b)
+        def dim(): Long = dimLen match {
+          case 1 => u8(b).toLong
+          case 2 => u16(b).toLong
+          case 4 => u32(b)
+          case _ => b.getLong
+        }
+        val cd = (0 until rank).map(_ => dim().toInt)
+        u8(b) match {
+          case 1 => // single chunk; the filtered variant carries size + mask
+            val single =
+              if ((flags & 0x02) != 0) Some((b.getLong, b.getInt)) else None
+            ChunkedV4(1, cd, b.getLong, 0, single)
+          case 2 => ChunkedV4(2, cd, b.getLong, 0, None) // implicit
+          case 3 =>
+            val pageBits = u8(b)
+            ChunkedV4(3, cd, b.getLong, pageBits, None) // fixed array
+          case other => throw new IllegalArgumentException(
+            s"$path: v4 chunk index type $other (extensible array / v2 " +
+              "B-tree) not supported; convert per the SONATA interop contract (README.md)")
+        }
       case other => throw new IllegalArgumentException(s"$path: layout class $other")
     }
   }
@@ -524,21 +555,46 @@ final class Hdf5File(val path: String) extends AutoCloseable {
         require(addr != Undef, s"$path: dataset has no allocated storage")
         readAt(addr + elemStart * es, want)
       case Chunked(btree, chunkDims) =>
-        val out = ByteBuffer.allocate(want).order(ByteOrder.LITTLE_ENDIAN)
         val rank = ds.dims.length
         require(rank <= 2,
           s"$path: chunked dataset rank $rank not supported (rank <= 2 only; " +
             "see README SONATA conversion contract)")
         require(chunkDims.length == rank, s"$path: chunk rank mismatch")
-        val chunkElems = chunkDims.map(_.toLong).product
-        val index = chunkCache.getOrElseUpdate(btree, chunkIndex(btree, rank))
-        // chunk's element range in row-major order — valid to treat as a
-        // flat run only when the chunk spans full rows (chunkDims tail ==
-        // dims tail), which holds for h5py's 1-D datasets and row-chunked
-        // 2-D; otherwise copy element by element below
-        val fullRows = rank == 1 ||
-          (1 until rank).forall(i => chunkDims(i).toLong == ds.dims(i))
-        for ((offs, addr, stored) <- index) {
+        copyChunks(ds, chunkDims,
+          chunkCache.getOrElseUpdate(btree, chunkIndex(btree, rank)),
+          elemStart, elemEnd)
+      case cv: ChunkedV4 =>
+        val rank = ds.dims.length
+        require(rank <= 2,
+          s"$path: chunked dataset rank $rank not supported (rank <= 2 only; " +
+            "see README SONATA conversion contract)")
+        require(cv.chunkDims.length == rank, s"$path: chunk rank mismatch")
+        copyChunks(ds, cv.chunkDims,
+          chunkCache.getOrElseUpdate(cv.addr, chunksV4(ds, cv)),
+          elemStart, elemEnd)
+    }
+  }
+
+  /** Copy the overlapping parts of each chunk into a contiguous buffer of
+    * elements [elemStart, elemEnd) — shared by the v1-B-tree and v4 chunk
+    * indexes (`index` rows: logical chunk offsets, file address, stored
+    * byte size).
+    */
+  private def copyChunks(
+      ds: Dataset, chunkDims: Seq[Int], index: Seq[(Seq[Long], Long, Int)],
+      elemStart: Long, elemEnd: Long): ByteBuffer = {
+    val es = ds.dtype.size
+    val rank = ds.dims.length
+    val want = ((elemEnd - elemStart) * es).toInt
+    val out = ByteBuffer.allocate(want).order(ByteOrder.LITTLE_ENDIAN)
+    val chunkElems = chunkDims.map(_.toLong).product
+    // chunk's element range in row-major order — valid to treat as a
+    // flat run only when the chunk spans full rows (chunkDims tail ==
+    // dims tail), which holds for h5py's 1-D datasets and row-chunked
+    // 2-D; otherwise copy element by element below
+    val fullRows = rank == 1 ||
+      (1 until rank).forall(i => chunkDims(i).toLong == ds.dims(i))
+    for ((offs, addr, stored) <- index) {
           // skip (no read, no inflate) chunks entirely outside the range:
           // a narrow row-window probe of a long report touches few chunks
           val minElem =
@@ -578,9 +634,87 @@ final class Hdf5File(val path: String) extends AutoCloseable {
               r += 1
             }
           }
+    }
+    out.rewind()
+    out
+  }
+
+  /** Chunk list of a v4-layout dataset: single chunk, implicit (contiguous
+    * chunk grid), or a Fixed Array index ("FAHD" header + "FADB" data
+    * block, optionally paged) — what h5py libver='latest' writes for
+    * fixed-shape chunked datasets. Unallocated chunks are skipped.
+    */
+  private def chunksV4(ds: Dataset, l: ChunkedV4): Seq[(Seq[Long], Long, Int)] = {
+    val rank = ds.dims.length
+    val chunkBytes = l.chunkDims.map(_.toLong).product * ds.dtype.size
+    // row-major logical offsets of the full chunk grid
+    def grid: Seq[Seq[Long]] = {
+      val counts = ds.dims.zip(l.chunkDims).map { case (d, c) => (d + c - 1) / c }
+      if (rank == 1) (0L until counts(0)).map(i => Seq(i * l.chunkDims(0)))
+      else for {
+        r <- 0L until counts(0); c <- 0L until counts(1)
+      } yield Seq(r * l.chunkDims(0), c * l.chunkDims(1))
+    }
+    l.indexType match {
+      case 1 => // single chunk
+        if (l.addr == Undef) Nil
+        else Seq((Seq.fill(rank)(0L),
+          l.addr, l.single.map(_._1.toInt).getOrElse(chunkBytes.toInt)))
+      case 2 => // implicit: unfiltered chunks packed in row-major order
+        grid.zipWithIndex.map { case (offs, i) =>
+          (offs, l.addr + i * chunkBytes, chunkBytes.toInt)
         }
-        out.rewind()
-        out
+      case 3 => // fixed array
+        val head = readAt(l.addr, 28)
+        require(head.getInt == 0x44484146, s"$path: bad FAHD signature") // "FAHD"
+        u8(head) // version
+        val clientId = u8(head)
+        require(clientId <= 1, s"$path: fixed-array client $clientId")
+        val entrySize = u8(head)
+        val pageBits = u8(head)
+        val maxEntries = head.getLong
+        val dataBlock = head.getLong
+        val db = readAt(dataBlock, 14)
+        require(db.getInt == 0x42444146, s"$path: bad FADB signature") // "FADB"
+        u8(db); u8(db) // version, client id
+        db.getLong // header address back-pointer
+        val pageElems = 1L << pageBits
+        val entryBytes: ByteBuffer =
+          if (maxEntries <= pageElems)
+            readAt(dataBlock + 14, (maxEntries * entrySize).toInt)
+          else {
+            // paged: header + page bitmap + checksum, then pages of
+            // (elements + checksum)
+            val nPages = (maxEntries + pageElems - 1) / pageElems
+            val bitmapBytes = (nPages + 7) / 8
+            var pos = dataBlock + 14 + bitmapBytes + 4
+            val all = ByteBuffer.allocate((maxEntries * entrySize).toInt)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            var remaining = maxEntries
+            while (remaining > 0) {
+              val n = math.min(pageElems, remaining)
+              all.put(readAt(pos, (n * entrySize).toInt))
+              pos += n * entrySize + 4 // + page checksum
+              remaining -= n
+            }
+            all.rewind()
+            all
+          }
+        val offsets = grid
+        (0L until maxEntries).flatMap { i =>
+          entryBytes.position((i * entrySize).toInt)
+          val addr = entryBytes.getLong
+          val stored =
+            if (clientId == 1) {
+              // filtered: chunk byte size in (entrySize - 12) bytes + mask
+              var sz = 0L
+              (0 until entrySize - 12).foreach(k =>
+                sz |= (entryBytes.get() & 0xffL) << (8 * k))
+              entryBytes.getInt // filter mask
+              sz.toInt
+            } else chunkBytes.toInt
+          if (addr == Undef) Nil else Seq((offsets(i.toInt), addr, stored))
+        }
     }
   }
 

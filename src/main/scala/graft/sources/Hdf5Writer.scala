@@ -239,11 +239,17 @@ object Hdf5Writer {
     * (link-info/group-info/link messages), v3 attributes. Exists so the
     * reader's libver='latest' support is pinned by a real file — and as
     * the interop escape hatch for tools that require the new format.
+    *
+    * `chunkRows > 0` stores the datasets CHUNKED under a v4 data layout
+    * with a Fixed Array chunk index ("FAHD"/"FADB", paged when the chunk
+    * count exceeds one 4-entry page) — the index h5py's libver='latest'
+    * writes for fixed-shape chunked data.
     */
   def writeSonataSpikesV2(
       path: String, population: String,
       timestamps: Array[Double], nodeIds: Array[Long],
-      sorting: Int = SortByTime, units: String = "ms"): Unit = {
+      sorting: Int = SortByTime, units: String = "ms",
+      chunkRows: Int = 0): Unit = {
     require(timestamps.length == nodeIds.length, "timestamps/node_ids length mismatch")
     val n = timestamps.length
     def bb(size: Int) = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
@@ -291,6 +297,36 @@ object Hdf5Writer {
       b.array()
     }
 
+    // ---- v4 chunked layout + Fixed Array index ----------------------------
+    val chunked = chunkRows > 0
+    val nChunks = if (chunked) (n + chunkRows - 1) / chunkRows else 0
+    val PageElems = 4 // 2^pageBits with pageBits=2: small pages so specs hit paging
+    val paged = chunked && nChunks > PageElems
+    val nPages = if (chunked) (nChunks + PageElems - 1) / PageElems else 0
+    val chunkBytes = 8L * chunkRows
+    val fadbSize: Long =
+      if (!chunked) 0L
+      else if (!paged) 14L + nChunks * 8L + 4L
+      else 14L + (nPages + 7) / 8 + 4L + (0 until nPages).map { p =>
+        math.min(PageElems, nChunks - p * PageElems) * 8L + 4L
+      }.sum
+    // one dataset's storage region: FAHD + FADB + packed full-size chunks
+    val dataRegion: Long =
+      if (chunked) 28L + fadbSize + nChunks * chunkBytes else 8L * n
+
+    def layoutV4(fahd: Long): Array[Byte] = {
+      val b = bb(23)
+      b.put(4.toByte); b.put(2.toByte) // version 4, chunked
+      b.put(0.toByte) // flags
+      b.put(1.toByte) // rank (v4 has no trailing element-size dim)
+      b.put(8.toByte) // dim sizes encoded in 8 bytes
+      b.putLong(chunkRows.toLong)
+      b.put(3.toByte) // chunk index: fixed array
+      b.put(2.toByte) // page bits
+      b.putLong(fahd)
+      b.array()
+    }
+
     def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
       val msgBytes = msgs.map(4 + _._2.length).sum
       val b = bb(8 + msgBytes + 4)
@@ -320,12 +356,14 @@ object Hdf5Writer {
       0x02 -> linkInfo, 0x0A -> groupInfo,
       0x06 -> linkMsg("node_ids", ids), 0x06 -> linkMsg("timestamps", ts),
       0x0C -> sortAttr)
+    def layoutMsg(data: Long): Array[Byte] =
+      if (chunked) layoutV4(data) else layoutC(data, 8L * n)
     def tsMsgs(data: Long) = Seq(
       0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = true),
-      0x08 -> layoutC(data, 8L * n), 0x0C -> unitsAttr)
+      0x08 -> layoutMsg(data), 0x0C -> unitsAttr)
     def idsMsgs(data: Long) = Seq(
       0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = false),
-      0x08 -> layoutC(data, 8L * n))
+      0x08 -> layoutMsg(data))
 
     val rootOhdr = 48L
     val spikesOhdr = rootOhdr + ohdrSize(rootMsgs(0))
@@ -333,8 +371,8 @@ object Hdf5Writer {
     val tsOhdr = popOhdr + ohdrSize(popMsgs(0, 0))
     val idsOhdr = tsOhdr + ohdrSize(tsMsgs(0))
     val tsData = idsOhdr + ohdrSize(idsMsgs(0))
-    val idsData = tsData + 8L * n
-    val eof = idsData + 8L * n
+    val idsData = tsData + dataRegion
+    val eof = idsData + dataRegion
     require(eof <= Int.MaxValue,
       s"writeSonataSpikesV2: $n spikes -> $eof bytes exceeds the 2 GiB " +
         "single-file writer limit (~134M spikes); keep spikes in parquet " +
@@ -356,9 +394,55 @@ object Hdf5Writer {
     out.position(popOhdr.toInt); out.put(ohdrV2(popMsgs(idsOhdr, tsOhdr)))
     out.position(tsOhdr.toInt); out.put(ohdrV2(tsMsgs(tsData)))
     out.position(idsOhdr.toInt); out.put(ohdrV2(idsMsgs(idsData)))
-    out.position(tsData.toInt)
-    timestamps.foreach(out.putDouble)
-    nodeIds.foreach(out.putLong)
+
+    /** FAHD + FADB (paged past one page) + packed full-size chunks. */
+    def writeFixedArray(at: Long, putElem: Long => Unit): Unit = {
+      val chunksAt = at + 28 + fadbSize
+      out.position(at.toInt)
+      out.putInt(0x44484146) // "FAHD"
+      out.put(0.toByte); out.put(0.toByte) // version, client 0 (unfiltered)
+      out.put(8.toByte) // entry size
+      out.put(2.toByte) // page bits
+      out.putLong(nChunks.toLong)
+      out.putLong(at + 28)
+      out.putInt(lookup3(
+        java.util.Arrays.copyOfRange(out.array(), at.toInt, at.toInt + 24)))
+      out.position((at + 28).toInt)
+      out.putInt(0x42444146) // "FADB"
+      out.put(0.toByte); out.put(0.toByte)
+      out.putLong(at)
+      def cksumFrom(start: Long): Unit = out.putInt(lookup3(
+        java.util.Arrays.copyOfRange(out.array(), start.toInt, out.position())))
+      if (!paged) {
+        (0 until nChunks).foreach(i => out.putLong(chunksAt + i * chunkBytes))
+        cksumFrom(at + 28)
+      } else {
+        (0 until ((nPages + 7) / 8)).foreach(_ => out.put(0xff.toByte)) // bitmap
+        cksumFrom(at + 28)
+        var i = 0
+        while (i < nChunks) {
+          val pStart = out.position()
+          val cnt = math.min(PageElems, nChunks - i)
+          (0 until cnt).foreach(k => out.putLong(chunksAt + (i + k) * chunkBytes))
+          out.putInt(lookup3(
+            java.util.Arrays.copyOfRange(out.array(), pStart, out.position())))
+          i += cnt
+        }
+      }
+      // chunk data: full-size chunks, zero padding past n in the last one
+      out.position(chunksAt.toInt)
+      (0L until nChunks.toLong * chunkRows).foreach(i =>
+        putElem(if (i < n) i else -1L))
+    }
+
+    if (chunked) {
+      writeFixedArray(tsData, i => out.putDouble(if (i < 0) 0.0 else timestamps(i.toInt)))
+      writeFixedArray(idsData, i => out.putLong(if (i < 0) 0L else nodeIds(i.toInt)))
+    } else {
+      out.position(tsData.toInt)
+      timestamps.foreach(out.putDouble)
+      nodeIds.foreach(out.putLong)
+    }
 
     val s = new BufferedOutputStream(new FileOutputStream(path))
     try s.write(out.array()) finally s.close()

@@ -93,6 +93,33 @@ class Hdf5WriterSpec extends SparkSuite {
       Set((1.25, 1L), (2.0, 4L), (2.0, 1L)))
   }
 
+  test("v4 chunked layout: fixed-array index, non-paged and paged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5w4")
+    // 5 rows / chunkRows 3 → 2 chunks, one 4-entry page: non-paged FADB
+    val np = dir.resolve("nonpaged.h5").toString
+    Hdf5Writer.writeSonataSpikesV2(np, "synthetic", ts, ids, chunkRows = 3)
+    // 5 rows / chunkRows 1 → 5 chunks > 4/page: PAGED fixed array
+    val pg = dir.resolve("paged.h5").toString
+    Hdf5Writer.writeSonataSpikesV2(pg, "synthetic", ts, ids, chunkRows = 1)
+    for (p <- Seq(np, pg)) {
+      val h5 = new Hdf5File(p)
+      try {
+        assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts.toSeq)
+        assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids.toSeq)
+        // element-range reads cross chunk boundaries
+        assert(h5.readDoubles("/spikes/synthetic/timestamps", 2, 5).toSeq ===
+          ts.slice(2, 5).toSeq)
+        assert(h5.readLongs("/spikes/synthetic/node_ids", 1, 4).toSeq ===
+          ids.slice(1, 4).toSeq)
+      } finally h5.close()
+    }
+    // and the DSv2 source's binary-search pushdown still works on chunks
+    val df = spark.read.format("sonata-spikes").load(pg)
+      .filter(col("time") >= 1.0 && col("time") < 3.0)
+    assert(df.collect().map(r => (r.getDouble(1), r.getLong(2))).toSet ===
+      Set((1.25, 1L), (2.0, 4L), (2.0, 1L)))
+  }
+
   test("lookup3 checksum: empty input and length sensitivity") {
     assert(Hdf5Writer.lookup3(Array.empty[Byte]) === 0xdeadbeef)
     // 13 bytes exercises the >12 mix loop + tail; must differ from 12
