@@ -14,8 +14,10 @@ import java.nio.file.{Paths, StandardOpenOption}
   * libver='latest' layer):
   *  - superblock v0/v1/v2/v3; v1 object headers (+ continuation blocks)
   *    and v2 "OHDR" headers (+ "OCHK" continuations)
-  *  - symbol-table groups (v1 B-tree + SNOD + local heap) and new-style
-  *    compact groups (link messages)
+  *  - symbol-table groups (v1 B-tree + SNOD + local heap), new-style
+  *    compact groups (link messages), and dense groups (fractal heap +
+  *    link-name v2 B-tree; root-direct-block heaps / depth-0 indexes —
+  *    hundreds of links)
   *  - dataspace v1/v2 (rank ≤ 2), datatypes: fixed-point (1/2/4/8 bytes,
   *    signed/unsigned), IEEE float32/64, fixed strings, vlen strings
   *    (global heap), enums (decoded as their base integer)
@@ -25,7 +27,7 @@ import java.nio.file.{Paths, StandardOpenOption}
   *  - attribute messages v1-v3 (scalar string/number attributes)
   *
   * NOT supported (clear error, conversion contract in README.md is the
-  * fallback): dense (fractal-heap) groups, extensible-array / v2-B-tree
+  * fallback): multi-block fractal heaps, extensible-array / v2-B-tree
   * chunk indexes, references, compounds, szip/lzf.
   *
   * Thread-safety: reads are positional (`FileChannel.read(dst, pos)`), so
@@ -290,19 +292,90 @@ final class Hdf5File(val path: String) extends AutoCloseable {
             case Some(li) =>
               // Link Info: v(1) flags(1) [max-order 8 if flags&1]
               // fractal-heap(8) name-btree(8); a defined heap address
-              // means a DENSE group — not supported
+              // means a DENSE group (h5py libver='latest' past 8 links)
               val b = li.body
               u8(b); val liFlags = u8(b)
               if ((liFlags & 1) != 0) b.getLong
               val fheap = b.getLong
-              require(fheap == Undef,
-                s"$path: dense (fractal-heap) groups not supported; " +
-                  "convert per the SONATA interop contract (README.md)")
-              Nil // compact group with zero links
+              val nameBtree = b.getLong
+              if (fheap == Undef) Nil // compact group with zero links
+              else denseLinks(fheap, nameBtree)
             case None =>
               throw new IllegalArgumentException(s"$path: not a group")
           }
       }
+    }
+  }
+
+  /** Links of a DENSE group: heap IDs come from the link-name v2 B-tree
+    * (type 5 records: name hash + heap ID), each resolving to a link
+    * message body inside the fractal heap. Supported heap shape: a root
+    * DIRECT block (covers dense groups up to the starting-block-size of
+    * links — hundreds); root indirect blocks and deeper B-trees fail with
+    * the conversion-contract error.
+    */
+  private def denseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, SymbolEntry)] = {
+    // ---- fractal heap header ("FRHP") ----
+    val h = readAt(fheapAddr, 146)
+    require(h.getInt == 0x50485246, s"$path: bad fractal heap signature") // "FRHP"
+    u8(h) // version
+    val heapIdLen = u16(h)
+    val filtLen = u16(h)
+    require(filtLen == 0, s"$path: filtered fractal heaps not supported")
+    u8(h) // flags (bit1 = checksum direct blocks — irrelevant to reads)
+    val maxObjSize = u32(h)
+    (0 until 12).foreach(_ => h.getLong) // huge/free/managed statistics
+    u16(h) // table width
+    h.getLong // starting block size
+    h.getLong // maximum direct block size
+    val maxHeapBits = u16(h)
+    u16(h) // starting rows in root indirect block
+    val rootBlock = h.getLong
+    val curRowsRootIndirect = u16(h)
+    require(curRowsRootIndirect == 0,
+      s"$path: fractal heap with a root INDIRECT block not supported " +
+        "(dense group larger than one direct block); convert per the " +
+        "SONATA interop contract (README.md)")
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize =
+      if (maxObjSize < 0x100) 1 else if (maxObjSize < 0x10000) 2
+      else if (maxObjSize < 0x1000000) 3 else 4
+    // sanity: managed heap IDs are 1 (version/type) + offset + length bytes
+    require(heapIdLen == 1 + offSize + lenSize,
+      s"$path: unexpected heap id length $heapIdLen (offSize=$offSize lenSize=$lenSize)")
+    val dbSig = readAt(rootBlock, 4)
+    require(dbSig.getInt == 0x42444846, s"$path: bad direct block signature") // "FHDB"
+
+    // ---- link-name v2 B-tree ("BTHD" + depth-0 "BTLF" leaf) ----
+    val bt = readAt(btreeAddr, 34)
+    require(bt.getInt == 0x44485442, s"$path: bad v2 B-tree signature") // "BTHD"
+    u8(bt) // version
+    val btType = u8(bt)
+    require(btType == 5, s"$path: v2 B-tree type $btType where link-name index expected")
+    bt.getInt // node size
+    val recordSize = u16(bt)
+    val depth = u16(bt)
+    require(depth == 0,
+      s"$path: link-name B-tree depth $depth not supported (leaf root only); " +
+        "convert per the SONATA interop contract (README.md)")
+    u8(bt); u8(bt) // split / merge percent
+    val rootNode = bt.getLong
+    val rootNRec = u16(bt)
+    val leaf = readAt(rootNode, 6 + rootNRec * recordSize)
+    require(leaf.getInt == 0x464c5442, s"$path: bad B-tree leaf signature") // "BTLF"
+    u8(leaf); u8(leaf) // version, type
+    (0 until rootNRec).map { _ =>
+      leaf.getInt // name hash
+      // managed heap ID: version/type byte, heap offset, object length
+      u8(leaf)
+      var off = 0L
+      (0 until offSize).foreach(k => off |= (leaf.get() & 0xffL) << (8 * k))
+      var len = 0L
+      (0 until lenSize).foreach(k => len |= (leaf.get() & 0xffL) << (8 * k))
+      leaf.position(leaf.position() + (recordSize - 4 - heapIdLen)) // any padding
+      // the root direct block starts at heap offset 0, so the object's
+      // heap offset is a direct file offset from the block start
+      parseLink(readAt(rootBlock + off, len.toInt))
     }
   }
 

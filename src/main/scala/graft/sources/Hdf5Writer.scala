@@ -254,49 +254,6 @@ object Hdf5Writer {
     val n = timestamps.length
     def bb(size: Int) = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
 
-    def linkMsg(name: String, addr: Long): Array[Byte] = {
-      val nm = name.getBytes("UTF-8")
-      val b = bb(3 + nm.length + 8)
-      b.put(1.toByte) // version
-      b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
-      b.put(nm.length.toByte); b.put(nm)
-      b.putLong(addr)
-      b.array()
-    }
-    val linkInfo: Array[Byte] = {
-      val b = bb(18)
-      b.put(0.toByte); b.put(0.toByte) // v0, no creation order
-      b.putLong(-1L); b.putLong(-1L) // no fractal heap / name index (compact)
-      b.array()
-    }
-    val groupInfo = Array[Byte](0, 0) // v0, no flags
-    def dataspaceV2(len: Long): Array[Byte] = {
-      val b = bb(12)
-      b.put(2.toByte); b.put(1.toByte); b.put(0.toByte); b.put(1.toByte) // v2 rank1 simple
-      b.putLong(len)
-      b.array()
-    }
-    def dtype64(float: Boolean): Array[Byte] = {
-      val b = bb(24)
-      if (float) {
-        b.put(0x11.toByte); b.put(0x20.toByte); b.put(0x3f.toByte); b.put(0.toByte)
-        b.putInt(8); b.putShort(0); b.putShort(64)
-        b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
-        b.putInt(1023); b.putInt(0)
-      } else {
-        b.put(0x10.toByte); b.put(0x00.toByte); b.put(0.toByte); b.put(0.toByte)
-        b.putInt(8); b.putShort(0); b.putShort(64)
-        b.putInt(0); b.putInt(0); b.putInt(0)
-      }
-      b.array()
-    }
-    def layoutC(addr: Long, size: Long): Array[Byte] = {
-      val b = bb(18)
-      b.put(3.toByte); b.put(1.toByte)
-      b.putLong(addr); b.putLong(size)
-      b.array()
-    }
-
     // ---- v4 chunked layout + Fixed Array index ----------------------------
     val chunked = chunkRows > 0
     val nChunks = if (chunked) (n + chunkRows - 1) / chunkRows else 0
@@ -327,22 +284,6 @@ object Hdf5Writer {
       b.array()
     }
 
-    def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
-      val msgBytes = msgs.map(4 + _._2.length).sum
-      val b = bb(8 + msgBytes + 4)
-      b.putInt(0x5244484f) // "OHDR"
-      b.put(2.toByte)
-      b.put(0x01.toByte) // flags: 2-byte chunk0 size, no times/order
-      b.putShort(msgBytes.toShort)
-      msgs.foreach { case (t, body) =>
-        b.put(t.toByte); b.putShort(body.length.toShort); b.put(0.toByte)
-        b.put(body)
-      }
-      b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 8 + msgBytes)))
-      b.array()
-    }
-    def ohdrSize(msgs: Seq[(Int, Array[Byte])]): Long =
-      8L + msgs.map(4 + _._2.length).sum + 4
 
     val sortAttr = attrMessageV3("sorting", Left(sorting))
     val unitsAttr = attrMessageV3("units", Right(units))
@@ -379,15 +320,7 @@ object Hdf5Writer {
         "and convert per-simulation chunks instead")
 
     val out = bb(eof.toInt)
-    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
-    out.put(2.toByte) // superblock v2
-    out.put(8.toByte); out.put(8.toByte) // offset/length sizes
-    out.put(0.toByte) // consistency flags
-    out.putLong(0L) // base address
-    out.putLong(-1L) // superblock extension: none
-    out.putLong(eof)
-    out.putLong(rootOhdr)
-    out.putInt(lookup3(java.util.Arrays.copyOfRange(out.array(), 0, 44)))
+    superblockV2(out, eof, rootOhdr)
 
     out.position(rootOhdr.toInt); out.put(ohdrV2(rootMsgs(spikesOhdr)))
     out.position(spikesOhdr.toInt); out.put(ohdrV2(spikesMsgs(popOhdr)))
@@ -443,6 +376,208 @@ object Hdf5Writer {
       timestamps.foreach(out.putDouble)
       nodeIds.foreach(out.putLong)
     }
+
+    val s = new BufferedOutputStream(new FileOutputStream(path))
+    try s.write(out.array()) finally s.close()
+  }
+
+  // ---- shared v2 building blocks (OHDR headers, messages) ------------------
+
+  private def bbuf(size: Int) =
+    ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def linkMsg(name: String, addr: Long): Array[Byte] = {
+    val nm = name.getBytes("UTF-8")
+    val b = bbuf(3 + nm.length + 8)
+    b.put(1.toByte) // version
+    b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
+    b.put(nm.length.toByte); b.put(nm)
+    b.putLong(addr)
+    b.array()
+  }
+
+  /** Link Info message: compact (no heap) by default; dense groups pass
+    * their fractal heap + name-index addresses.
+    */
+  private def linkInfoMsg(fheap: Long = -1L, nameBtree: Long = -1L): Array[Byte] = {
+    val b = bbuf(18)
+    b.put(0.toByte); b.put(0.toByte) // v0, no creation order
+    b.putLong(fheap); b.putLong(nameBtree)
+    b.array()
+  }
+  private def linkInfo: Array[Byte] = linkInfoMsg()
+  private val groupInfo = Array[Byte](0, 0) // v0, no flags
+
+  private def dataspaceV2(len: Long): Array[Byte] = {
+    val b = bbuf(12)
+    b.put(2.toByte); b.put(1.toByte); b.put(0.toByte); b.put(1.toByte) // v2 rank1 simple
+    b.putLong(len)
+    b.array()
+  }
+
+  private def dtype64(float: Boolean): Array[Byte] = {
+    val b = bbuf(24)
+    if (float) {
+      b.put(0x11.toByte); b.put(0x20.toByte); b.put(0x3f.toByte); b.put(0.toByte)
+      b.putInt(8); b.putShort(0); b.putShort(64)
+      b.put(52.toByte); b.put(11.toByte); b.put(0.toByte); b.put(52.toByte)
+      b.putInt(1023); b.putInt(0)
+    } else {
+      b.put(0x10.toByte); b.put(0x00.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.putInt(8); b.putShort(0); b.putShort(64)
+      b.putInt(0); b.putInt(0); b.putInt(0)
+    }
+    b.array()
+  }
+
+  private def layoutC(addr: Long, size: Long): Array[Byte] = {
+    val b = bbuf(18)
+    b.put(3.toByte); b.put(1.toByte)
+    b.putLong(addr); b.putLong(size)
+    b.array()
+  }
+
+  private def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val msgBytes = msgs.map(4 + _._2.length).sum
+    val b = bbuf(8 + msgBytes + 4)
+    b.putInt(0x5244484f) // "OHDR"
+    b.put(2.toByte)
+    b.put(0x01.toByte) // flags: 2-byte chunk0 size, no times/order
+    b.putShort(msgBytes.toShort)
+    msgs.foreach { case (t, body) =>
+      b.put(t.toByte); b.putShort(body.length.toShort); b.put(0.toByte)
+      b.put(body)
+    }
+    b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 8 + msgBytes)))
+    b.array()
+  }
+  private def ohdrSize(msgs: Seq[(Int, Array[Byte])]): Long =
+    8L + msgs.map(4 + _._2.length).sum + 4
+
+  private def superblockV2(out: ByteBuffer, eof: Long, rootOhdr: Long): Unit = {
+    out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    out.put(2.toByte) // superblock v2
+    out.put(8.toByte); out.put(8.toByte) // offset/length sizes
+    out.put(0.toByte) // consistency flags
+    out.putLong(0L) // base address
+    out.putLong(-1L) // superblock extension: none
+    out.putLong(eof)
+    out.putLong(rootOhdr)
+    out.putInt(lookup3(java.util.Arrays.copyOfRange(out.array(), 0, 44)))
+  }
+
+  /** Fixture writer for DENSE groups (h5py libver='latest' past 8 links):
+    * the root group stores its links in a fractal heap (one root direct
+    * block) indexed by a depth-0 link-name v2 B-tree; each link points at
+    * a small contiguous u64 dataset. Exists to pin `Hdf5File.denseLinks`
+    * against a real on-disk instance of the structures.
+    */
+  def writeDenseGroupFixture(path: String, datasets: Seq[(String, Array[Long])]): Unit = {
+    require(datasets.nonEmpty)
+    val names = datasets.map(_._1)
+    // heap geometry: 32-bit heap offsets, 4096-max objects → 7-byte ids
+    val OffSize = 4; val LenSize = 2
+    val heapIdLen = 1 + OffSize + LenSize
+    val recordSize = 4 + heapIdLen
+    val FhdbHeader = 4 + 1 + 8 + OffSize
+
+    def dsMsgs(name: String, data: Long) = {
+      val n = datasets.find(_._1 == name).get._2.length
+      Seq(0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = false),
+        0x08 -> layoutC(data, 8L * n))
+    }
+    // layout: superblock, root OHDR, per-dataset (OHDR + data), FRHP,
+    // FHDB (+ link bodies), BTHD, BTLF
+    val rootMsgs0 = Seq(0x02 -> linkInfoMsg(0L, 0L), 0x0A -> groupInfo)
+    val rootOhdr = 48L
+    var cursor = rootOhdr + ohdrSize(rootMsgs0)
+    val dsAddrs = datasets.map { case (name, vals) =>
+      val ohdrAt = cursor
+      val dataAt = ohdrAt + ohdrSize(dsMsgs(name, 0))
+      cursor = dataAt + 8L * vals.length
+      (name, ohdrAt, dataAt)
+    }
+    val linkBodies = dsAddrs.map { case (name, ohdrAt, _) => linkMsg(name, ohdrAt) }
+    val fheapAt = cursor
+    val fhdbAt = fheapAt + 146
+    val heapOffsets = linkBodies.scanLeft(FhdbHeader.toLong)(_ + _.length)
+    val fhdbSize = heapOffsets.last
+    val bthdAt = fhdbAt + fhdbSize
+    val btlfAt = bthdAt + 38
+    val btlfSize = 6L + names.length * recordSize + 4
+    val eof = btlfAt + btlfSize
+
+    val out = bbuf(eof.toInt)
+    superblockV2(out, eof, rootOhdr)
+    out.position(rootOhdr.toInt)
+    out.put(ohdrV2(Seq(0x02 -> linkInfoMsg(fheapAt, bthdAt), 0x0A -> groupInfo)))
+    for (((name, ohdrAt, dataAt), (_, vals)) <- dsAddrs.zip(datasets)) {
+      out.position(ohdrAt.toInt)
+      out.put(ohdrV2(dsMsgs(name, dataAt)))
+      out.position(dataAt.toInt)
+      vals.foreach(out.putLong)
+    }
+    // ---- fractal heap header ----
+    out.position(fheapAt.toInt)
+    out.putInt(0x50485246) // "FRHP"
+    out.put(0.toByte)
+    out.putShort(heapIdLen.toShort)
+    out.putShort(0) // no I/O filters
+    out.put(0.toByte) // flags: direct blocks not checksummed
+    out.putInt(4096) // max managed object size
+    out.putLong(0L); out.putLong(-1L) // next huge id / huge btree
+    out.putLong(0L); out.putLong(-1L) // free space / manager
+    out.putLong(fhdbSize); out.putLong(fhdbSize) // managed / allocated space
+    out.putLong(fhdbSize) // iterator offset
+    out.putLong(names.length.toLong) // managed objects
+    out.putLong(0L); out.putLong(0L); out.putLong(0L); out.putLong(0L) // huge/tiny
+    out.putShort(4) // table width
+    out.putLong(4096L) // starting block size
+    out.putLong(65536L) // max direct block size
+    out.putShort(32) // max heap size (bits)
+    out.putShort(0) // starting rows in root indirect block
+    out.putLong(fhdbAt)
+    out.putShort(0) // current rows in root indirect block → root is DIRECT
+    out.putInt(lookup3(
+      java.util.Arrays.copyOfRange(out.array(), fheapAt.toInt, out.position())))
+    // ---- root direct block + link bodies ----
+    out.position(fhdbAt.toInt)
+    out.putInt(0x42444846) // "FHDB"
+    out.put(0.toByte)
+    out.putLong(fheapAt)
+    out.putInt(0) // block offset (heap offset space starts at this block)
+    linkBodies.foreach(out.put)
+    // ---- link-name v2 B-tree: header + one leaf, records sorted by hash ----
+    out.position(bthdAt.toInt)
+    out.putInt(0x44485442) // "BTHD"
+    out.put(0.toByte)
+    out.put(5.toByte) // type: link-name index
+    out.putInt(512) // node size
+    out.putShort(recordSize.toShort)
+    out.putShort(0) // depth
+    out.put(100.toByte); out.put(40.toByte) // split / merge percent
+    out.putLong(btlfAt)
+    out.putShort(names.length.toShort)
+    out.putLong(names.length.toLong)
+    out.putInt(lookup3(
+      java.util.Arrays.copyOfRange(out.array(), bthdAt.toInt, out.position())))
+    out.position(btlfAt.toInt)
+    out.putInt(0x464c5442) // "BTLF"
+    out.put(0.toByte)
+    out.put(5.toByte)
+    val records = names.zipWithIndex.map { case (nm, i) =>
+      (lookup3(nm.getBytes("UTF-8")) & 0xffffffffL, i)
+    }.sortBy(_._1)
+    records.foreach { case (hash, i) =>
+      out.putInt(hash.toInt)
+      out.put(0.toByte) // managed heap id, version 0
+      val off = heapOffsets(i)
+      (0 until OffSize).foreach(k => out.put(((off >> (8 * k)) & 0xff).toByte))
+      val len = linkBodies(i).length.toLong
+      (0 until LenSize).foreach(k => out.put(((len >> (8 * k)) & 0xff).toByte))
+    }
+    out.putInt(lookup3(
+      java.util.Arrays.copyOfRange(out.array(), btlfAt.toInt, out.position())))
 
     val s = new BufferedOutputStream(new FileOutputStream(path))
     try s.write(out.array()) finally s.close()

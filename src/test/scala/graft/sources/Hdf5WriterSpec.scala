@@ -120,6 +120,24 @@ class Hdf5WriterSpec extends SparkSuite {
       Set((1.25, 1L), (2.0, 4L), (2.0, 1L)))
   }
 
+  test("dense (fractal-heap) group: 12 links through heap + name B-tree") {
+    // h5py libver='latest' switches groups from compact links to dense
+    // storage past 8 links — a node table with many properties hits this
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5dense")
+    val p = dir.resolve("dense.h5").toString
+    val sets = (0 until 12).map(i => (s"prop$i", Array(i.toLong, i * 10L, i * 100L)))
+    Hdf5Writer.writeDenseGroupFixture(p, sets)
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.ls("/") === (0 until 12).map(i => s"prop$i").sorted)
+      for ((name, vals) <- sets) {
+        assert(h5.readLongs(s"/$name").toSeq === vals.toSeq, s"dataset $name")
+        assert(h5.dims(s"/$name") === Seq(3L))
+      }
+      assert(h5.exists("/prop7") && !h5.exists("/prop12"))
+    } finally h5.close()
+  }
+
   test("lookup3 checksum: empty input and length sensitivity") {
     assert(Hdf5Writer.lookup3(Array.empty[Byte]) === 0xdeadbeef)
     // 13 bytes exercises the >12 mix loop + tail; must differ from 12
