@@ -309,11 +309,17 @@ object Vectors {
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val cent = s.read.parquet(s"$idx/centroids")
-      val qdot = q.crossJoin(broadcast(cent))
-        .withColumn("dp", expr(dotExpr("q_emb", "centroid")))
-      val wq = Window.partitionBy("q_id").orderBy(col("dp").desc, col("cell"))
-      val qcell = qdot.withColumn("rk", row_number().over(wq))
-        .filter(col("rk") === 1).select("q_id", "q_emb", "q_nrm", "cell")
+      // map-side argmax routing: a row_number window here would shuffle
+      // every (query × cell) scored row — at the x1000 decade that stage
+      // dominated the whole probe; max_by partial-aggregates to one row
+      // per query before any exchange
+      val route = q.select(col("q_id"), col("q_emb"))
+        .crossJoin(broadcast(cent))
+        .select(col("q_id"), col("cell"),
+          expr(dotExpr("q_emb", "centroid")).as("dp"))
+        .groupBy("q_id")
+        .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
+      val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
       // stage 2: exact re-rank against ONLY the probed cells — the filter
       // on the partition column prunes every other cell's files
       val probed = s.read.parquet(s"$idx/vectors")
@@ -405,16 +411,25 @@ object Vectors {
       val x = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
         .withColumn("x", col("x").cast("double"))
-      val cent = x.groupBy(col("label").as("c_label"), col("d"))
+      // centroids as per-cell ARRAYS: routing is then queries × cells rows
+      // of one fused array_dot each — the per-dimension join would be
+      // queries × cells × dims rows (the x1000 scaling study caught that
+      // shape going super-linear), and max_by aggregates map-side where a
+      // row_number window would shuffle every scored pair
+      val centArr = x.groupBy(col("label").as("cell"), col("d"))
         .agg(avg("x").as("c"))
-      val qdot = x.filter(col("vec_id") % 25 === 0)
-        .join(broadcast(cent), "d")
-        .groupBy(col("vec_id").as("q_id"), col("c_label"))
-        .agg(sum(col("x") * col("c")).as("dp"))
-      val wq = Window.partitionBy("q_id").orderBy(col("dp").desc, col("c_label"))
-      val qcell = qdot.withColumn("rk", row_number().over(wq))
-        .filter(col("rk") === 1)
-        .select(col("q_id"), col("c_label").as("cell"))
+        .groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+          .as("centroid"))
+      val qcell = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centArr))
+        .select(col("q_id"), col("cell"),
+          expr(dotExpr("q_emb", "centroid")).as("dp"))
+        .groupBy("q_id")
+        // argmax with the oracle's exact tiebreak (dp DESC, cell ASC)
+        .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val c = e.select(
