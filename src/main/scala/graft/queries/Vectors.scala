@@ -114,6 +114,12 @@ object Vectors {
     * that joins on `cell` touches only the probed cells' files (dynamic
     * partition pruning). Cells are the label clusters, matching v5's
     * coarse quantizer.
+    *
+    * Scale note (x1000 decade, BASELINE.md): routing cost is
+    * queries × cells; past ~100k cells the design fix is HIERARCHICAL
+    * routing — the same IVF pattern one level up, a coarse quantizer over
+    * the cell centroids so each query scores √cells super-cells and then
+    * only the chosen super-cell's centroids.
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -135,8 +141,14 @@ object Vectors {
           .as("centroid"))
         .select(col("label").as("cell"), col("centroid"))
       cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+      // cluster by cell BEFORE the partitioned write: without it every
+      // input task writes a file into every cell directory — cells × tasks
+      // files (the x1000 decade measured a 13-minute build and an OOM-ing
+      // probe from the ~300k-file listing); clustered, the layout is one
+      // file per cell and the probe's listing stays proportional to cells
       withNorm(Tables.embeddings(s, dir))
         .withColumn("cell", col("label"))
+        .repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
       out
     })
