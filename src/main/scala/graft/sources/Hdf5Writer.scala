@@ -466,6 +466,113 @@ object Hdf5Writer {
     out.putInt(lookup3(java.util.Arrays.copyOfRange(out.array(), 0, 44)))
   }
 
+  private def dataspace2d(rows: Long, cols: Long): Array[Byte] = {
+    val b = bbuf(20)
+    b.put(2.toByte); b.put(2.toByte); b.put(0.toByte); b.put(1.toByte) // v2 rank2 simple
+    b.putLong(rows); b.putLong(cols)
+    b.array()
+  }
+
+  private def dtypeF32: Array[Byte] = {
+    val b = bbuf(20)
+    b.put(0x11.toByte) // v1, class 1 (float)
+    b.put(0x20.toByte); b.put(0x1f.toByte); b.put(0.toByte) // LE IEEE, sign bit 31
+    b.putInt(4)
+    b.putShort(0); b.putShort(32) // bit offset / precision
+    b.put(23.toByte); b.put(8.toByte) // exponent location / size
+    b.put(0.toByte); b.put(23.toByte) // mantissa location / size
+    b.putInt(127) // exponent bias
+    b.array()
+  }
+
+  /** SONATA frame report writer (`/report/<pop>/{data,
+    * mapping/{node_ids[, index_pointers, element_ids], time}}`) — the
+    * soma/compartment layout bluepysnap reads
+    * (adapters/impl/bluepysnap/simulation.py:42-60). `data` is
+    * [frame][column] float32; `time` stores the implicit grid
+    * (start, stop, step). Lets specs exercise the `sonata-frames` DSv2
+    * pushdowns at synthetic scale, and completes two-way frame interop.
+    */
+  def writeSonataFrames(
+      path: String, population: String,
+      nodeIds: Array[Long], start: Double, step: Double,
+      data: Array[Array[Float]],
+      indexPointers: Option[Array[Long]] = None,
+      elementIds: Option[Array[Long]] = None): Unit = {
+    val nFrames = data.length.toLong
+    val nCols = if (data.isEmpty) 0L else data(0).length.toLong
+    require(data.forall(_.length == nCols), "ragged frame rows")
+    require(indexPointers.forall(_.length == nodeIds.length + 1),
+      "index_pointers must have nodeIds.length + 1 entries")
+    val timeArr = Array(start, start + nFrames * step, step)
+
+    // datasets: (link name, messages-for-address, byte size, writer)
+    case class Ds(name: String, size: Long, msgs: Long => Seq[(Int, Array[Byte])],
+        write: (ByteBuffer, Long) => Unit)
+    def u64Ds(name: String, vals: Array[Long]) = Ds(
+      name, 8L * vals.length,
+      a => Seq(0x01 -> dataspaceV2(vals.length), 0x03 -> dtype64(float = false),
+        0x08 -> layoutC(a, 8L * vals.length)),
+      (out, a) => { out.position(a.toInt); vals.foreach(out.putLong) })
+    def f64Ds(name: String, vals: Array[Double]) = Ds(
+      name, 8L * vals.length,
+      a => Seq(0x01 -> dataspaceV2(vals.length), 0x03 -> dtype64(float = true),
+        0x08 -> layoutC(a, 8L * vals.length)),
+      (out, a) => { out.position(a.toInt); vals.foreach(out.putDouble) })
+    val dataDs = Ds(
+      "data", 4L * nFrames * nCols,
+      a => Seq(0x01 -> dataspace2d(nFrames, nCols), 0x03 -> dtypeF32,
+        0x08 -> layoutC(a, 4L * nFrames * nCols)),
+      (out, a) => { out.position(a.toInt); data.foreach(_.foreach(out.putFloat)) })
+    val mappingDs = Seq(u64Ds("node_ids", nodeIds)) ++
+      indexPointers.map(u64Ds("index_pointers", _)) ++
+      elementIds.map(u64Ds("element_ids", _)) ++
+      Seq(f64Ds("time", timeArr))
+
+    def groupMsgs(links: Seq[(String, Long)]) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo) ++
+        links.map { case (nm, a) => 0x06 -> linkMsg(nm, a) }
+
+    // ---- address layout ---------------------------------------------------
+    val rootOhdr = 48L
+    val reportOhdr = rootOhdr + ohdrSize(groupMsgs(Seq("report" -> 0L)))
+    val popOhdr = reportOhdr + ohdrSize(groupMsgs(Seq(population -> 0L)))
+    val mappingOhdr = popOhdr +
+      ohdrSize(groupMsgs(Seq("data" -> 0L, "mapping" -> 0L)))
+    var cursor = mappingOhdr +
+      ohdrSize(groupMsgs(mappingDs.map(_.name -> 0L)))
+    val placed = (dataDs +: mappingDs).map { ds =>
+      val ohdrAt = cursor
+      val dataAt = ohdrAt + ohdrSize(ds.msgs(0L))
+      cursor = dataAt + ds.size
+      (ds, ohdrAt, dataAt)
+    }
+    val eof = cursor
+    require(eof <= Int.MaxValue,
+      s"writeSonataFrames: $eof bytes exceeds the 2 GiB single-buffer " +
+        "writer limit; frame reports at data scale stay in parquet (README)")
+
+    val out = bbuf(eof.toInt)
+    superblockV2(out, eof, rootOhdr)
+    def put(at: Long, bytes: Array[Byte]): Unit = {
+      out.position(at.toInt); out.put(bytes)
+    }
+    val byName = placed.map(p => p._1.name -> p).toMap
+    put(rootOhdr, ohdrV2(groupMsgs(Seq("report" -> reportOhdr))))
+    put(reportOhdr, ohdrV2(groupMsgs(Seq(population -> popOhdr))))
+    put(popOhdr, ohdrV2(groupMsgs(
+      Seq("data" -> byName("data")._2, "mapping" -> mappingOhdr))))
+    put(mappingOhdr, ohdrV2(groupMsgs(
+      mappingDs.map(ds => ds.name -> byName(ds.name)._2))))
+    placed.foreach { case (ds, ohdrAt, dataAt) =>
+      put(ohdrAt, ohdrV2(ds.msgs(dataAt)))
+      ds.write(out, dataAt)
+    }
+
+    val s = new BufferedOutputStream(new FileOutputStream(path))
+    try s.write(out.array()) finally s.close()
+  }
+
   /** Fixture writer for DENSE groups (h5py libver='latest' past 8 links):
     * the root group stores its links in a fractal heap (one root direct
     * block) indexed by a depth-0 link-name v2 B-tree; each link points at
