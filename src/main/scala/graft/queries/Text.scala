@@ -58,14 +58,24 @@ object Text {
   // rows explode map-side after — vs. an 8× crossJoin that would push 8×
   // the rows through the shuffle. Hash salt format matches the oracle
   // ("<j>|<shingle>").
-  private def lshBuckets(sh: DataFrame): DataFrame = {
-    val aggs = (0 until 8).map(j =>
+  /** MinHash banding. The oracle-locked t6 shape is 4 bands × 2 rows;
+    * `rowsPerBand` is the engine-side saturation knob — at corpus scale
+    * longer band keys cut chance bucket collisions exponentially
+    * (BASELINE.md x100 reading; TextLshDepthSpec measures the relief),
+    * the same lever as `Vectors.lshSimilarPairs(planesPerBand)`.
+    */
+  private[queries] def lshBuckets(
+      sh: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val aggs = (0 until bands * rowsPerBand).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
-    val bands = (0 until 4).map(b =>
-      s"struct($b as band, concat(mh${2 * b}, '|', mh${2 * b + 1}) as bkey)")
+    val bandExprs = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"mh${rowsPerBand * b + r}")
+        .mkString(", '|', ")
+      s"struct($b as band, concat($key) as bkey)"
+    }
     sh
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), explode(expr(s"array(${bands.mkString(", ")})")).as("b"))
+      .select(col("doc_id"), explode(expr(s"array(${bandExprs.mkString(", ")})")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
