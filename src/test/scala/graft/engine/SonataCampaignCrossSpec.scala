@@ -91,4 +91,55 @@ class SonataCampaignCrossSpec extends SparkSuite {
       assert(sortedRows(nf(k)) === sortedRows(cf(k)), s"feature frame '$k' differs")
     }
   }
+
+  test("sonata soma-report campaign == parquet frames campaign") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cross-soma").toString
+    val rnd = new scala.util.Random(99)
+    (0 until 2).foreach { i =>
+      val simDir = java.nio.file.Paths.get(s"$dir/sonata/sim$i")
+      java.nio.file.Files.createDirectories(simDir.resolve("reporting"))
+      // 200 frames × 3 nodes on the grid t = r * 0.5, values random f32
+      val data = Array.fill(200, 3)(rnd.nextFloat() * 10f)
+      Hdf5Writer.writeSonataFrames(
+        simDir.resolve("reporting/soma.h5").toString, "default",
+        nodeIds = Array(0L, 1L, 2L), start = 0.0, step = 0.5, data = data)
+      Hdf5Writer.writeSonataSpikes(
+        simDir.resolve("reporting/spikes.h5").toString, "default",
+        Array(1.0), Array(0L))
+      java.nio.file.Files.writeString(simDir.resolve("simulation_config.json"),
+        """{"output": {"output_dir": "reporting", "spikes_file": "spikes.h5"},
+          | "reports": {"soma": {"file_name": "soma"}}}""".stripMargin)
+      // identical long-form frames for the parquet side
+      val rows = for { r <- 0 until 200; c <- 0 until 3 }
+        yield (r * 0.5, c.toLong, data(r)(c).toDouble)
+      rows.toDF("time", "gid", "value")
+        .write.mode("overwrite").parquet(s"$dir/pq/sim$i")
+    }
+    new SonataAdapter(population = Some("default"))
+      .nodes(spark, circuitDir)
+      .write.mode("overwrite").parquet(s"$dir/pq/nodes")
+
+    val cfg = SingleAnalysisConfig(
+      name = "soma", reportType = "soma",
+      windows = Map(
+        "full" -> WindowSpec(bounds = (0.0, 100.0)),
+        // t_step subsampling exercises the grid filter on both paths
+        "coarse" -> WindowSpec(bounds = (10.0, 50.0), tStep = 2.0)),
+      neuronClasses = Map("all" -> NeuronClassSpec(query = QTrue)),
+      features = Nil)
+    def campaign(paths: Int => String, circuit: String) = Campaign(
+      name = "cross-soma", pathPrefix = "", attrs = Map.empty,
+      rows = (0 until 2).map(i => Map[String, Any](
+        "simulation_path" -> paths(i), "circuit_path" -> circuit)))
+    val native = new Analyzer(spark, cfg,
+      campaign(i => s"$dir/sonata/sim$i", circuitDir),
+      new SonataAdapter(population = Some("default")))
+    val converted = new Analyzer(spark, cfg,
+      campaign(i => s"$dir/pq/sim$i", s"$dir/pq/nodes"),
+      new ParquetAdapter)
+    val nr = sortedRows(native.df("report"))
+    assert(nr.nonEmpty)
+    assert(nr === sortedRows(converted.df("report")))
+  }
 }
