@@ -660,6 +660,40 @@ object Spikes {
             lit(2) * vrKernel("train1", "train2", tau)).as("vr2"))
     },
 
+    // ---- A16 at FULL-CLASS scale: the same Van Rossum metric over every
+    // gid in the window (no cohort bound — ~150 gids / ~11k pairs at
+    // sf0.01), oracle-gated: the blocked pair expansion and nested-
+    // aggregate kernels are hash-checked against DuckDB's theta-join
+    // formulation, not just spec'd (A16BlockedSpec covers 1k gids) ----
+    GQuery(
+      "a16c_van_rossum_class", {
+        val tau = "3600000000.0"
+        cte +
+          s""", ev AS (SELECT gid, time FROM assigned WHERE win = 'full'),
+             |selfk AS (
+             |  SELECT a.gid, sum(exp(-abs(a.time - b.time) / $tau)) AS kk
+             |  FROM ev a JOIN ev b ON a.gid = b.gid GROUP BY a.gid),
+             |crossk AS (
+             |  SELECT a.gid AS gid1, b.gid AS gid2,
+             |    sum(exp(-abs(a.time - b.time) / $tau)) AS kk
+             |  FROM ev a JOIN ev b ON a.gid < b.gid GROUP BY a.gid, b.gid)
+             |SELECT c.gid1, c.gid2, s1.kk + s2.kk - 2 * c.kk AS vr2
+             |FROM crossk c
+             |JOIN selfk s1 ON s1.gid = c.gid1 JOIN selfk s2 ON s2.gid = c.gid2""".stripMargin
+      }) { (s, dir) =>
+      val tau = 3600000000.0
+      val trains = assigned(s, dir)
+        .filter(col("win") === "full")
+        .groupBy("gid")
+        .agg(sort_array(collect_list(col("time").cast("double"))).as("train"))
+        .withColumn("kk", vrKernel("train", "train", tau))
+      blockedSelfPairs(trains, nBlocks = 8)
+        .select(
+          col("gid1"), col("gid2"),
+          (col("kk1") + col("kk2") -
+            lit(2) * vrKernel("train1", "train2", tau)).as("vr2"))
+    },
+
     // ---- A16 (other half): Victor-Purpura distance — imperative DP kernel
     // surfaced as the codegen vp_distance Expression over collected per-gid
     // trains (no boxed UDF in the plan). q = 1/(1h). The oracle runs the
