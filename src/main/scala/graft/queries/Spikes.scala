@@ -420,6 +420,31 @@ object Spikes {
       pairwiseCorrelation(c, nBins = 24, nBlocks = 2)
     },
 
+    // ---- A12 at FULL-CLASS scale: every gid in the window (~150 at
+    // sf0.01 → 11k pairs; 1500 at sf0.1 → 1.1M pairs), oracle-gated —
+    // the blocked Gram expansion is hash-checked against DuckDB's
+    // per-bin self-join corr, not just spec'd (CorrelationSpec: 1k gids) ----
+    GQuery(
+      "a12c_correlation_class",
+      cte +
+        """, c AS (
+          |  SELECT gid, CAST(time // 3600000000 AS INT) AS bin, count(*) AS cnt
+          |  FROM assigned WHERE win = 'day1' GROUP BY 1, 2),
+          |g AS (SELECT DISTINCT gid FROM c),
+          |b AS (SELECT CAST(x AS INT) AS bin FROM generate_series(0, 23) AS t(x)),
+          |dense AS (
+          |  SELECT g.gid, b.bin, COALESCE(c.cnt, 0) AS cnt
+          |  FROM g CROSS JOIN b LEFT JOIN c ON c.gid = g.gid AND c.bin = b.bin)
+          |SELECT d1.gid AS gid1, d2.gid AS gid2, corr(d1.cnt, d2.cnt) AS r
+          |FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
+          |GROUP BY d1.gid, d2.gid""".stripMargin) { (s, dir) =>
+      val c = assigned(s, dir)
+        .filter(col("win") === "day1")
+        .withColumn("bin", expr(s"time div $H").cast("int"))
+        .groupBy("gid", "bin").agg(count(lit(1)).as("cnt"))
+      pairwiseCorrelation(c, nBins = 24, nBlocks = 8)
+    },
+
     // ---- A14: complexity PDF — distribution of #simultaneously-active
     // gids per 1-min bin incl. empty bins (reference: bluecv/neuron_class.py:52-55) ----
     GQuery(
