@@ -395,7 +395,12 @@ object Spikes {
 
     // ---- A12: pairwise Pearson correlation of hourly-binned trains for a
     // bounded cohort (reference: external/bluecv/neuron_class.py:47-49;
-    // unbounded all-pairs is cartesian — cohort selection is the scale knob) ----
+    // unbounded all-pairs is cartesian — cohort selection is the scale knob).
+    // Oracle uses the SAME integer-moment closed form as the engine
+    // (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)): on count data every Σ
+    // is an exact BIGINT, so the double ops (×, √, ÷) round identically on
+    // both sides — bit-deterministic, unlike DuckDB's mean-centered corr()
+    // which disagrees with any closed form in the last ulp. ----
     GQuery(
       "a12_correlation_pairs",
       cte +
@@ -406,10 +411,22 @@ object Spikes {
           |b AS (SELECT CAST(x AS INT) AS bin FROM generate_series(0, 23) AS t(x)),
           |dense AS (
           |  SELECT g.gid, b.bin, COALESCE(c.cnt, 0) AS cnt
-          |  FROM g CROSS JOIN b LEFT JOIN c ON c.gid = g.gid AND c.bin = b.bin)
-          |SELECT d1.gid AS gid1, d2.gid AS gid2, corr(d1.cnt, d2.cnt) AS r
-          |FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
-          |GROUP BY d1.gid, d2.gid""".stripMargin) { (s, dir) =>
+          |  FROM g CROSS JOIN b LEFT JOIN c ON c.gid = g.gid AND c.bin = b.bin),
+          |stats AS (
+          |  SELECT gid, sum(cnt) AS sx, sum(cnt * cnt) AS qx FROM dense GROUP BY gid),
+          |dots AS (
+          |  SELECT d1.gid AS gid1, d2.gid AS gid2, sum(d1.cnt * d2.cnt) AS sxy
+          |  FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
+          |  GROUP BY 1, 2)
+          |SELECT p.gid1, p.gid2,
+          |  CASE WHEN 24 * s1.qx - s1.sx * s1.sx > 0 AND 24 * s2.qx - s2.sx * s2.sx > 0
+          |       THEN (24 * p.sxy - s1.sx * s2.sx)
+          |            / sqrt(CAST(24 * s1.qx - s1.sx * s1.sx AS DOUBLE)
+          |                 * CAST(24 * s2.qx - s2.sx * s2.sx AS DOUBLE))
+          |  END AS r
+          |FROM dots p
+          |JOIN stats s1 ON s1.gid = p.gid1
+          |JOIN stats s2 ON s2.gid = p.gid2""".stripMargin) { (s, dir) =>
       // the oracle-locked instance runs the SAME blocked engine path as a
       // full class would (nBlocks=2 exercises both the same-block and
       // cross-block pair branches); CorrelationSpec drives it at 1k gids
@@ -423,7 +440,9 @@ object Spikes {
     // ---- A12 at FULL-CLASS scale: every gid in the window (~150 at
     // sf0.01 → 11k pairs; 1500 at sf0.1 → 1.1M pairs), oracle-gated —
     // the blocked Gram expansion is hash-checked against DuckDB's
-    // per-bin self-join corr, not just spec'd (CorrelationSpec: 1k gids) ----
+    // per-bin self-join over the SAME integer-moment closed form (exact
+    // BIGINT Σ's → bit-deterministic; see a12), not just spec'd
+    // (CorrelationSpec: 1k gids) ----
     GQuery(
       "a12c_correlation_class",
       cte +
@@ -434,10 +453,22 @@ object Spikes {
           |b AS (SELECT CAST(x AS INT) AS bin FROM generate_series(0, 23) AS t(x)),
           |dense AS (
           |  SELECT g.gid, b.bin, COALESCE(c.cnt, 0) AS cnt
-          |  FROM g CROSS JOIN b LEFT JOIN c ON c.gid = g.gid AND c.bin = b.bin)
-          |SELECT d1.gid AS gid1, d2.gid AS gid2, corr(d1.cnt, d2.cnt) AS r
-          |FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
-          |GROUP BY d1.gid, d2.gid""".stripMargin) { (s, dir) =>
+          |  FROM g CROSS JOIN b LEFT JOIN c ON c.gid = g.gid AND c.bin = b.bin),
+          |stats AS (
+          |  SELECT gid, sum(cnt) AS sx, sum(cnt * cnt) AS qx FROM dense GROUP BY gid),
+          |dots AS (
+          |  SELECT d1.gid AS gid1, d2.gid AS gid2, sum(d1.cnt * d2.cnt) AS sxy
+          |  FROM dense d1 JOIN dense d2 ON d1.bin = d2.bin AND d1.gid < d2.gid
+          |  GROUP BY 1, 2)
+          |SELECT p.gid1, p.gid2,
+          |  CASE WHEN 24 * s1.qx - s1.sx * s1.sx > 0 AND 24 * s2.qx - s2.sx * s2.sx > 0
+          |       THEN (24 * p.sxy - s1.sx * s2.sx)
+          |            / sqrt(CAST(24 * s1.qx - s1.sx * s1.sx AS DOUBLE)
+          |                 * CAST(24 * s2.qx - s2.sx * s2.sx AS DOUBLE))
+          |  END AS r
+          |FROM dots p
+          |JOIN stats s1 ON s1.gid = p.gid1
+          |JOIN stats s2 ON s2.gid = p.gid2""".stripMargin) { (s, dir) =>
       val c = assigned(s, dir)
         .filter(col("win") === "day1")
         .withColumn("bin", expr(s"time div $H").cast("int"))
