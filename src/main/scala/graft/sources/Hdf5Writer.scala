@@ -388,6 +388,11 @@ object Hdf5Writer {
 
   private def linkMsg(name: String, addr: Long): Array[Byte] = {
     val nm = name.getBytes("UTF-8")
+    // flags byte 0 declares a 1-byte name length — longer names would
+    // silently truncate into a corrupt file, so refuse like the 2 GiB guards
+    require(nm.length <= 255,
+      s"hdf5 conversion contract: link name '${name.take(32)}…' is ${nm.length} " +
+        "UTF-8 bytes; this writer emits 1-byte link-name lengths (max 255)")
     val b = bbuf(3 + nm.length + 8)
     b.put(1.toByte) // version
     b.put(0.toByte) // flags: 1-byte name length, hard link, no extras
@@ -439,6 +444,13 @@ object Hdf5Writer {
 
   private def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
     val msgBytes = msgs.map(4 + _._2.length).sum
+    // flags byte 0x01 declares a 2-byte chunk0 size — a bigger message
+    // block (e.g. a compact group with very many links) would wrap the
+    // short and emit a corrupt file, so refuse with the contract error
+    require(msgBytes <= 0xFFFF,
+      s"hdf5 conversion contract: object-header message block is $msgBytes " +
+        "bytes; this writer emits 2-byte chunk0 sizes (max 65535) — " +
+        "use fewer/denser links or split the group")
     val b = bbuf(8 + msgBytes + 4)
     b.putInt(0x5244484f) // "OHDR"
     b.put(2.toByte)

@@ -274,52 +274,102 @@ class SonataFramesReader(p: SonataFrameSlice, filters: Array[Filter], required: 
   private val rowsPerBatch: Int =
     math.max(1, (DefaultSliceBytes / math.max(1, cols.length * 8)).toInt)
 
-  private val rows: Iterator[InternalRow] =
-    (p.r0 until p.r1 by rowsPerBatch).iterator.flatMap { b0 =>
-      val b1 = math.min(b0 + rowsPerBatch, p.r1)
-      // values for rows [b0,b1) at the selected columns, row-major
-      val vals: Array[Double] =
-        if (!needValue) null
-        else p.runs match {
-          case None => h5.readDoubles(s"$base/data", b0 * nCols, b1 * nCols)
-          case Some(rs) =>
-            val width = cols.length
-            val out = new Array[Double]((b1 - b0).toInt * width)
-            var r = b0
-            while (r < b1) {
-              var o = (r - b0).toInt * width
-              rs.foreach { case (c0, c1) =>
-                val run = h5.readDoubles(s"$base/data", r * nCols + c0, r * nCols + c1)
-                System.arraycopy(run, 0, out, o, run.length)
-                o += run.length
-              }
-              r += 1
+  // Hot-path prep, once per reader (this is the BIG table — hours × kHz ×
+  // millions of columns; nothing name-based may run per row):
+  //  - required fields resolve to an ordinal code array;
+  //  - residual filters split into row-level (time/population only,
+  //    evaluated once per frame row) and gid-level (once per column);
+  //  - one GenericInternalRow is reused across emits (downstream copies
+  //    when it buffers, per the DSv2 row-reader contract).
+  private val ords: Array[Int] = required.fieldNames.map {
+    case "population" => 0
+    case "time" => 1
+    case "gid" => 2
+    case "value" => 3
+    case "section" => 4
+  }
+  private val rowFilters: Array[Filter] = filters.filterNot(_.references.contains("gid"))
+  private val gidFilters: Array[Filter] = filters.filter(_.references.contains("gid"))
+  private val reuse = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(ords.length)
+
+  private val width = cols.length
+  private var r: Long = p.r0
+  private var ci: Int = 0
+  private var batchStart: Long = p.r0
+  private var batchEnd: Long = p.r0 // exclusive end of the loaded batch
+  private var vals: Array[Double] = null
+  private var t: Double = 0.0
+  private var rowOk: Boolean = false
+  private var rowEntered: Boolean = false
+
+  /** Positional-read values for rows [batchStart, batchEnd) at the
+    * selected columns, row-major — one read per run (or one whole slab).
+    */
+  private def loadBatch(): Unit = {
+    batchStart = r
+    batchEnd = math.min(r + rowsPerBatch, p.r1)
+    vals =
+      if (!needValue) null
+      else p.runs match {
+        case None => h5.readDoubles(s"$base/data", batchStart * nCols, batchEnd * nCols)
+        case Some(rs) =>
+          val out = new Array[Double]((batchEnd - batchStart).toInt * width)
+          var rr = batchStart
+          while (rr < batchEnd) {
+            var o = (rr - batchStart).toInt * width
+            rs.foreach { case (c0, c1) =>
+              val run = h5.readDoubles(s"$base/data", rr * nCols + c0, rr * nCols + c1)
+              System.arraycopy(run, 0, out, o, run.length)
+              o += run.length
             }
-            out
+            rr += 1
+          }
+          out
+      }
+  }
+
+  override def next(): Boolean = {
+    while (r < p.r1) {
+      if (r >= batchEnd) loadBatch()
+      if (!rowEntered) {
+        t = tStart + r * tStep
+        var i = 0
+        rowOk = true
+        while (rowOk && i < rowFilters.length) {
+          rowOk = eval(rowFilters(i), p.pop, t, 0L); i += 1
         }
-      (b0 until b1).iterator.flatMap { r =>
-        val t = tStart + r * tStep
-        cols.indices.iterator.flatMap { ci =>
-          val c = cols(ci).toInt
-          val gid = if (colNode ne null) colNode(c) else 0L
-          if (!filters.forall(eval(_, p.pop, t, gid))) None
-          else Some(InternalRow.fromSeq(required.fieldNames.toSeq.map {
-            case "population" => popUtf8
-            case "time" => t
-            case "gid" => gid
-            case "value" => vals((r - b0).toInt * cols.length + ci)
-            case "section" => colElem(c)
-          }))
+        rowEntered = true
+        ci = 0
+      }
+      if (!rowOk || ci >= width) { r += 1; rowEntered = false }
+      else {
+        val c = cols(ci).toInt
+        val gid = if (colNode ne null) colNode(c) else 0L
+        var pass = true
+        var i = 0
+        while (pass && i < gidFilters.length) {
+          pass = eval(gidFilters(i), p.pop, t, gid); i += 1
         }
+        if (pass) {
+          i = 0
+          while (i < ords.length) {
+            val v: Any = ords(i) match {
+              case 0 => popUtf8
+              case 1 => t
+              case 2 => gid
+              case 3 => vals((r - batchStart).toInt * width + ci)
+              case 4 => colElem(c)
+            }
+            reuse.update(i, v)
+            i += 1
+          }
+          ci += 1
+          return true
+        } else ci += 1
       }
     }
-
-  private var cur: InternalRow = _
-  override def next(): Boolean = {
-    val has = rows.hasNext
-    if (has) cur = rows.next()
-    has
+    false
   }
-  override def get(): InternalRow = cur
+  override def get(): InternalRow = reuse
   override def close(): Unit = h5.close()
 }

@@ -142,4 +142,67 @@ class SonataCampaignCrossSpec extends SparkSuite {
     assert(nr.nonEmpty)
     assert(nr === sortedRows(converted.df("report")))
   }
+
+  test("sonata compartment-report campaign == parquet frames campaign (section column)") {
+    // mirrors the reference's compartment analysis config
+    // (tests/functional/data/sonata/config/analysis_config_06.yaml: a
+    // report with per-section columns); writer → `sonata-frames` →
+    // Repository vs the long-form parquet path, section column included
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cross-comp").toString
+    val rnd = new scala.util.Random(7)
+    // 3 nodes fanning to 7 columns: gid 0 → sections {0,1}, gid 1 →
+    // {0,1}, gid 2 → {0,1,2} (index_pointers [0,2,4,7])
+    val idx = Array(0L, 2L, 4L, 7L)
+    val elems = Array(0L, 1L, 0L, 1L, 0L, 1L, 2L)
+    val colGid = Array(0L, 0L, 1L, 1L, 2L, 2L, 2L)
+    (0 until 2).foreach { i =>
+      val simDir = java.nio.file.Paths.get(s"$dir/sonata/sim$i")
+      java.nio.file.Files.createDirectories(simDir.resolve("reporting"))
+      val data = Array.fill(100, 7)(rnd.nextFloat() * 10f)
+      Hdf5Writer.writeSonataFrames(
+        simDir.resolve("reporting/comp.h5").toString, "default",
+        nodeIds = Array(0L, 1L, 2L), start = 0.0, step = 0.5, data = data,
+        indexPointers = Some(idx), elementIds = Some(elems))
+      Hdf5Writer.writeSonataSpikes(
+        simDir.resolve("reporting/spikes.h5").toString, "default",
+        Array(1.0), Array(0L))
+      java.nio.file.Files.writeString(simDir.resolve("simulation_config.json"),
+        """{"output": {"output_dir": "reporting", "spikes_file": "spikes.h5"},
+          | "reports": {"comp": {"file_name": "comp"}}}""".stripMargin)
+      val rows = for { r <- 0 until 100; c <- 0 until 7 }
+        yield (r * 0.5, colGid(c), data(r)(c).toDouble, elems(c))
+      rows.toDF("time", "gid", "value", "section")
+        .write.mode("overwrite").parquet(s"$dir/pq/sim$i")
+    }
+    new SonataAdapter(population = Some("default"))
+      .nodes(spark, circuitDir)
+      .write.mode("overwrite").parquet(s"$dir/pq/nodes")
+
+    val cfg = SingleAnalysisConfig(
+      name = "comp", reportType = "compartment",
+      windows = Map(
+        "full" -> WindowSpec(bounds = (0.0, 50.0)),
+        "coarse" -> WindowSpec(bounds = (5.0, 25.0), tStep = 2.0)),
+      neuronClasses = Map(
+        "all" -> NeuronClassSpec(query = QTrue),
+        "L2" -> NeuronClassSpec(query = QAnd("mtype" -> QCond(QEq("L2_X"))))),
+      features = Nil)
+    def campaign(paths: Int => String, circuit: String) = Campaign(
+      name = "cross-comp", pathPrefix = "", attrs = Map.empty,
+      rows = (0 until 2).map(i => Map[String, Any](
+        "simulation_path" -> paths(i), "circuit_path" -> circuit)))
+    val native = new Analyzer(spark, cfg,
+      campaign(i => s"$dir/sonata/sim$i", circuitDir),
+      new SonataAdapter(population = Some("default")))
+    val converted = new Analyzer(spark, cfg,
+      campaign(i => s"$dir/pq/sim$i", s"$dir/pq/nodes"),
+      new ParquetAdapter)
+    val nativeReport = native.df("report")
+    assert(nativeReport.columns.contains("section"),
+      s"native compartment report lost the section column: ${nativeReport.columns.toSeq}")
+    val nr = sortedRows(nativeReport)
+    assert(nr.nonEmpty)
+    assert(nr === sortedRows(converted.df("report")))
+  }
 }

@@ -116,6 +116,42 @@ class SonataFramesSourceSpec extends SparkSuite {
     assert(plan(somaH5, Array(EqualTo("population", "nope"))).isEmpty)
   }
 
+  test("gid run pruning shrinks planned byte volume; sections survive the pruned path") {
+    // compartment_named mapping: node_ids [0,1,2], index_pointers [0,2,4,7],
+    // element_ids give each column its section — read them straight from the
+    // file so the expectation can't drift from the fixture
+    val h5 = new Hdf5File(compH5)
+    val es = h5.elemSize("/report/default/data")
+    val idx = h5.readLongs("/report/default/mapping/index_pointers")
+    val elems = h5.readLongs("/report/default/mapping/element_ids")
+    val nCols = h5.dims("/report/default/data")(1)
+    h5.close()
+
+    def plannedBytes(slices: Seq[SonataFrameSlice]): Long =
+      slices.map(s => (s.r1 - s.r0) *
+        s.runs.map(_.map { case (a, b) => b - a }.sum).getOrElse(nCols) * es).sum
+
+    val full = plannedBytes(plan(compH5, Array.empty))
+    val narrow = plannedBytes(plan(compH5, Array(In("gid", Array(1L))), pruneRatio = 1))
+    // gid 1 owns 2 of 7 columns → byte volume must shrink by ≥ the same ratio
+    assert(narrow > 0 && narrow * 3 <= full,
+      s"narrow plan reads $narrow bytes vs full $full — runs not pruning bytes")
+
+    // the pruned read still fans columns to the right (gid, section, value)
+    def read() = spark.read.format("sonata-frames")
+      .option("population", "default").option("colpruneratio", "1").load(compH5)
+    val pruned = read().filter(col("gid") === 1)
+      .select("time", "section", "value").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSet
+    val expectSections = (idx(1) until idx(2)).map(c => elems(c.toInt)).toSet
+    assert(pruned.map(_._2) === expectSections)
+    assert(pruned.size === 20) // 10 frames × 2 owned columns
+    val unpruned = read().collect()
+      .filter(_.getLong(2) == 1L)
+      .map(r => (r.getDouble(1), r.getLong(4), r.getDouble(3))).toSet
+    assert(pruned === unpruned)
+  }
+
   test("run merging helper") {
     assert(SonataFramesSource.mergeRuns(Seq((4L, 7L), (0L, 2L), (2L, 4L))) ===
       Seq((0L, 7L)))
