@@ -22,13 +22,17 @@ import java.nio.file.{Paths, StandardOpenOption}
   *    signed/unsigned), IEEE float32/64, fixed strings, vlen strings
   *    (global heap), enums (decoded as their base integer)
   *  - data layouts: compact, contiguous (v3/v4), chunked via the v1
-  *    B-tree index and the v4 indexes (single chunk, implicit, fixed
-  *    array incl. paged), with optional shuffle + deflate filters
+  *    B-tree index and ALL FIVE v4 indexes: single chunk, implicit,
+  *    fixed array (incl. paged), extensible array (unlimited maxshape —
+  *    index/super/data blocks incl. paged; the format of an
+  *    incrementally grown spike log) and depth-0 v2 B-trees, with
+  *    optional shuffle + deflate filters
   *  - attribute messages v1-v3 (scalar string/number attributes)
   *
   * NOT supported (clear error, conversion contract in README.md is the
-  * fallback): multi-block fractal heaps, extensible-array / v2-B-tree
-  * chunk indexes, references, compounds, szip/lzf.
+  * fallback): multi-block fractal heaps, deep (non-leaf-root) v2-B-tree
+  * chunk indexes, partially-initialized paged extensible-array blocks,
+  * references, compounds, szip/lzf.
   *
   * Thread-safety: reads are positional (`FileChannel.read(dst, pos)`), so
   * one instance can serve concurrent partition readers.
@@ -425,15 +429,19 @@ final class Hdf5File(val path: String) extends AutoCloseable {
 
   // ---- dataspace ----------------------------------------------------------
 
-  private def parseDims(b: ByteBuffer): Seq[Long] = {
+  /** (current dims, max dims) — max dims equal current when the dataspace
+    * declares none; an unlimited max dim reads as -1 (H5S_UNLIMITED).
+    */
+  private def parseDims(b: ByteBuffer): (Seq[Long], Seq[Long]) = {
     val version = u8(b)
     val rank = u8(b)
     val flags = u8(b)
     if (version == 1) { u8(b); b.getInt } // reserved (5 bytes total)
     else u8(b) // v2: type
     val dims = (0 until rank).map(_ => b.getLong)
-    if ((flags & 1) != 0) (0 until rank).foreach(_ => b.getLong) // max dims
-    dims
+    val maxDims =
+      if ((flags & 1) != 0) (0 until rank).map(_ => b.getLong) else dims
+    (dims, maxDims)
   }
 
   // ---- layout + filters ---------------------------------------------------
@@ -443,8 +451,9 @@ final class Hdf5File(val path: String) extends AutoCloseable {
   private case class Chunked(btree: Long, chunkDims: Seq[Int]) extends Layout
   private case class Compact(data: Array[Byte]) extends Layout
   /** v4 chunked (h5py libver='latest'): `indexType` 1=single chunk,
-    * 2=implicit, 3=fixed array; `single` carries (storedSize, filterMask)
-    * for a filtered single chunk.
+    * 2=implicit, 3=fixed array, 4=extensible array (unlimited-maxshape),
+    * 5=v2 B-tree (2+ unlimited dims); `single` carries (storedSize,
+    * filterMask) for a filtered single chunk.
     */
   private case class ChunkedV4(
       indexType: Int, chunkDims: Seq[Int], addr: Long, pageBits: Int,
@@ -453,7 +462,8 @@ final class Hdf5File(val path: String) extends AutoCloseable {
   private case class Filter(id: Int, clientValues: Seq[Int])
 
   private case class Dataset(
-      dtype: Dtype, dims: Seq[Long], layout: Layout, filters: Seq[Filter])
+      dtype: Dtype, dims: Seq[Long], maxDims: Seq[Long], layout: Layout,
+      filters: Seq[Filter])
 
   private def parseLayout(b: ByteBuffer): Layout = {
     val version = u8(b)
@@ -497,9 +507,20 @@ final class Hdf5File(val path: String) extends AutoCloseable {
           case 3 =>
             val pageBits = u8(b)
             ChunkedV4(3, cd, b.getLong, pageBits, None) // fixed array
+          case 4 =>
+            // extensible array: 5 creation-parameter bytes (max-nelmts
+            // bits, index-block elements, min super-block pointers, min
+            // data-block elements, page bits) — re-stated authoritatively
+            // in the EAHD header, so only the address is kept here
+            u8(b); u8(b); u8(b); u8(b); u8(b)
+            ChunkedV4(4, cd, b.getLong, 0, None)
+          case 5 =>
+            // v2 B-tree: node size (4), split/merge percent (1+1)
+            b.getInt; u8(b); u8(b)
+            ChunkedV4(5, cd, b.getLong, 0, None)
           case other => throw new IllegalArgumentException(
-            s"$path: v4 chunk index type $other (extensible array / v2 " +
-              "B-tree) not supported; convert per the SONATA interop contract (README.md)")
+            s"$path: v4 chunk index type $other not supported; convert per " +
+              "the SONATA interop contract (README.md)")
         }
       case other => throw new IllegalArgumentException(s"$path: layout class $other")
     }
@@ -530,11 +551,11 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     def one(typ: Int, what: String): ByteBuffer =
       msgs.find(_.typ == typ).map(_.body).getOrElse(
         throw new IllegalArgumentException(s"$path: $p has no $what message"))
-    val dims = parseDims(one(0x0001, "dataspace"))
+    val (dims, maxDims) = parseDims(one(0x0001, "dataspace"))
     val dtype = parseDtype(one(0x0003, "datatype"))
     val layout = parseLayout(one(0x0008, "layout"))
     val filters = msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body)).getOrElse(Nil)
-    Dataset(dtype, dims, layout, filters)
+    Dataset(dtype, dims, maxDims, layout, filters)
   })
 
   def dims(p: String): Seq[Long] = dataset(p).dims
@@ -713,9 +734,11 @@ final class Hdf5File(val path: String) extends AutoCloseable {
   }
 
   /** Chunk list of a v4-layout dataset: single chunk, implicit (contiguous
-    * chunk grid), or a Fixed Array index ("FAHD" header + "FADB" data
-    * block, optionally paged) — what h5py libver='latest' writes for
-    * fixed-shape chunked datasets. Unallocated chunks are skipped.
+    * chunk grid), a Fixed Array index ("FAHD"/"FADB", optionally paged) for
+    * fixed-shape chunked datasets, an Extensible Array index
+    * ("EAHD"/"EAIB"/"EASB"/"EADB") for one-unlimited-dim datasets (h5py
+    * `maxshape=(None, …)` — an incrementally grown spike log), or a v2
+    * B-tree (2+ unlimited dims). Unallocated chunks are skipped.
     */
   private def chunksV4(ds: Dataset, l: ChunkedV4): Seq[(Seq[Long], Long, Int)] = {
     val rank = ds.dims.length
@@ -788,7 +811,205 @@ final class Hdf5File(val path: String) extends AutoCloseable {
             } else chunkBytes.toInt
           if (addr == Undef) Nil else Seq((offsets(i.toInt), addr, stored))
         }
+      case 4 => // extensible array
+        // the element order is the chunk grid linearized with the
+        // unlimited dimension FIRST ("swizzled"); for a 1-D log or a 2-D
+        // report grown along dim 0 that equals the row-major grid — a
+        // trailing unlimited dim would reorder, so refuse it
+        require(rank == 1 || (ds.maxDims(0) == Undef && ds.maxDims(1) != Undef),
+          s"$path: extensible-array chunk index with a non-leading unlimited " +
+            "dimension not supported; convert per the SONATA interop contract (README.md)")
+        if (l.addr == Undef) Nil
+        else readExtensibleArray(l.addr, grid.toIndexedSeq, chunkBytes)
+      case 5 => // v2 B-tree chunk index (2+ unlimited max dims)
+        if (l.addr == Undef) Nil
+        else {
+          val bt = readAt(l.addr, 34)
+          require(bt.getInt == 0x44485442, s"$path: bad v2 B-tree signature") // "BTHD"
+          u8(bt) // version
+          val btType = u8(bt)
+          require(btType == 10 || btType == 11,
+            s"$path: v2 B-tree type $btType where chunk index expected")
+          bt.getInt // node size
+          val recordSize = u16(bt)
+          val depth = u16(bt)
+          require(depth == 0,
+            s"$path: chunk v2 B-tree depth $depth not supported (leaf root " +
+              "only); convert per the SONATA interop contract (README.md)")
+          u8(bt); u8(bt) // split / merge percent
+          val rootNode = bt.getLong
+          val rootNRec = u16(bt)
+          val leaf = readAt(rootNode, 6 + rootNRec * recordSize)
+          require(leaf.getInt == 0x464c5442, s"$path: bad B-tree leaf signature") // "BTLF"
+          u8(leaf); u8(leaf) // version, type
+          (0 until rootNRec).map { _ =>
+            val start = leaf.position()
+            val addr = leaf.getLong
+            val stored =
+              if (btType == 11) { // filtered: variable-size chunk size + mask
+                val szLen = recordSize - 8 - 4 - rank * 8
+                var sz = 0L
+                (0 until szLen).foreach(k => sz |= (leaf.get() & 0xffL) << (8 * k))
+                leaf.getInt // filter mask
+                sz.toInt
+              } else chunkBytes.toInt
+            // records carry SCALED offsets (chunk-grid coordinates)
+            val offs = (0 until rank).map(i => leaf.getLong * l.chunkDims(i))
+            leaf.position(start + recordSize)
+            (offs, addr, stored)
+          }
+        }
     }
+  }
+
+  /** Chunk elements of an Extensible Array index: "EAHD" header → "EAIB"
+    * index block (a few inline elements + direct data-block pointers +
+    * super-block pointers) → "EASB" super blocks → "EADB" data blocks
+    * (paged past 2^pageBits elements). Element i is chunk i of the grid;
+    * unallocated (undefined-address) elements are skipped. Geometry per
+    * the public format spec: super block u holds 2^(u/2) data blocks of
+    * 2^((u+1)/2)·minElmts elements; the index block points directly at
+    * the data blocks of the first 2·log2(minPtrs) super blocks.
+    */
+  private def readExtensibleArray(
+      hdrAddr: Long, grid: IndexedSeq[Seq[Long]],
+      chunkBytes: Long): Seq[(Seq[Long], Long, Int)] = {
+    val h = readAt(hdrAddr, 72)
+    require(h.getInt == 0x44484145, s"$path: bad EAHD signature") // "EAHD"
+    u8(h) // version
+    val clientId = u8(h)
+    require(clientId <= 1, s"$path: extensible-array client $clientId")
+    val elmtSize = u8(h)
+    val maxNelmtsBits = u8(h)
+    val idxBlkElmts = u8(h)
+    val dataBlkMinElmts = u8(h)
+    val supBlkMinDataPtrs = u8(h)
+    val pageBits = u8(h)
+    h.position(h.position() + 48) // stats: 6 × 8-byte counters
+    val idxBlkAddr = h.getLong
+
+    def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+    val pageNelmts = 1L << pageBits
+    val arrOffSize = (maxNelmtsBits + 7) / 8
+    val nsblks = 1 + (maxNelmtsBits - log2(dataBlkMinElmts))
+    // super block u: 2^(u/2) data blocks of 2^((u+1)/2)·minElmts elements
+    def sblkNdblks(u: Int): Int = 1 << (u / 2)
+    def sblkDblkNelmts(u: Int): Long = (1L << ((u + 1) / 2)) * dataBlkMinElmts
+    val iblkNsblks = 2 * log2(supBlkMinDataPtrs)
+    val ndblkAddrs = 2 * (supBlkMinDataPtrs - 1)
+    val nsblkAddrs = nsblks - iblkNsblks
+
+    def elem(b: ByteBuffer): (Long, Int) =
+      if (clientId == 1) { // filtered: addr + size (elmtSize-12 bytes) + mask
+        val addr = b.getLong
+        var sz = 0L
+        (0 until elmtSize - 12).foreach(k => sz |= (b.get() & 0xffL) << (8 * k))
+        b.getInt // filter mask
+        (addr, sz.toInt)
+      } else (b.getLong, chunkBytes.toInt)
+
+    val dblkHdrLen = 6 + 8 + arrOffSize // sig/ver/client + hdr addr + block offset
+
+    /** Elements of one UNPAGED data block (undef addr → unallocated fill). */
+    def dataBlock(addr: Long, nelmts: Long): Seq[(Long, Int)] =
+      if (addr == Undef) Seq.fill(nelmts.toInt)((Undef, 0))
+      else {
+        val b = readAt(addr, dblkHdrLen + (nelmts * elmtSize).toInt + 4)
+        require(b.getInt == 0x42444145, s"$path: bad EADB signature") // "EADB"
+        b.position(dblkHdrLen)
+        (0 until nelmts.toInt).map(_ => elem(b))
+      }
+
+    /** Elements of a PAGED data block: header + checksum, then pages of
+      * (2^pageBits elements + checksum). The super block's page-init
+      * bitmap must mark every page initialized — all-set reads the same
+      * under either bit-order convention, anything partial would be a
+      * guess, so refuse it.
+      */
+    def pagedDataBlock(addr: Long, nelmts: Long, bitmap: Array[Byte],
+        bitmapOff: Int): Seq[(Long, Int)] =
+      if (addr == Undef) Seq.fill(nelmts.toInt)((Undef, 0))
+      else {
+        val nPages = (nelmts / pageNelmts).toInt
+        val full = nPages / 8
+        val rem = nPages % 8
+        val allInit = (0 until full).forall(i => (bitmap(bitmapOff + i) & 0xff) == 0xff) &&
+          (rem == 0 || {
+            val last = bitmap(bitmapOff + full) & 0xff
+            last == ((1 << rem) - 1) || last == ((0xff << (8 - rem)) & 0xff)
+          })
+        require(allInit,
+          s"$path: partially-initialized paged extensible-array data block " +
+            "not supported; convert per the SONATA interop contract (README.md)")
+        val sig = readAt(addr, 4)
+        require(sig.getInt == 0x42444145, s"$path: bad EADB signature")
+        var pos = addr + dblkHdrLen + 4
+        (0 until nPages).flatMap { _ =>
+          val b = readAt(pos, (pageNelmts * elmtSize).toInt)
+          pos += pageNelmts * elmtSize + 4
+          (0 until pageNelmts.toInt).map(_ => elem(b))
+        }
+      }
+
+    /** All elements of super block u (undef addr → unallocated fill). */
+    def superBlock(addr: Long, u: Int): Seq[(Long, Int)] = {
+      val ndblks = sblkNdblks(u)
+      val dblkNelmts = sblkDblkNelmts(u)
+      if (addr == Undef) return Seq.fill((ndblks * dblkNelmts).toInt)((Undef, 0))
+      val nPages = if (dblkNelmts > pageNelmts) (dblkNelmts / pageNelmts).toInt else 0
+      val perDblkBitmap = if (nPages > 0) (nPages + 7) / 8 else 0
+      val b = readAt(addr,
+        dblkHdrLen + ndblks * perDblkBitmap + ndblks * 8 + 4)
+      require(b.getInt == 0x42534145, s"$path: bad EASB signature") // "EASB"
+      b.position(dblkHdrLen)
+      val bitmap = new Array[Byte](ndblks * perDblkBitmap)
+      b.get(bitmap)
+      val addrs = (0 until ndblks).map(_ => b.getLong)
+      addrs.zipWithIndex.flatMap { case (a, d) =>
+        if (nPages > 0) pagedDataBlock(a, dblkNelmts, bitmap, d * perDblkBitmap)
+        else dataBlock(a, dblkNelmts)
+      }
+    }
+
+    // ---- index block ----
+    val ib = readAt(idxBlkAddr,
+      6 + 8 + idxBlkElmts * elmtSize + (ndblkAddrs + nsblkAddrs) * 8 + 4)
+    require(ib.getInt == 0x42494145, s"$path: bad EAIB signature") // "EAIB"
+    ib.position(6 + 8) // sig/ver/client + header back-pointer
+    val inline = (0 until idxBlkElmts).map(_ => elem(ib))
+    val directDblkAddrs = (0 until ndblkAddrs).map(_ => ib.getLong)
+    val sblkAddrs = (0 until nsblkAddrs).map(_ => ib.getLong)
+
+    // assemble elements in index order, stopping once the grid is covered
+    val needed = grid.length
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    all ++= inline
+    var u = 0
+    var dblkCursor = 0
+    while (all.length < needed && u < nsblks) {
+      if (u < iblkNsblks) {
+        require(sblkDblkNelmts(u) <= pageNelmts,
+          s"$path: paged index-block data block not supported; convert per " +
+            "the SONATA interop contract (README.md)")
+        var d = 0
+        while (d < sblkNdblks(u)) {
+          if (all.length < needed)
+            all ++= dataBlock(directDblkAddrs(dblkCursor), sblkDblkNelmts(u))
+          dblkCursor += 1
+          d += 1
+        }
+      } else {
+        val a = sblkAddrs(u - iblkNsblks)
+        val count = sblkNdblks(u) * sblkDblkNelmts(u)
+        if (a == Undef) // unallocated: fill only what the grid still needs
+          all ++= Seq.fill(math.min(count, (needed - all.length).toLong).toInt)((Undef, 0))
+        else all ++= superBlock(a, u)
+      }
+      u += 1
+    }
+    all.take(needed).zipWithIndex.collect {
+      case ((addr, stored), i) if addr != Undef => (grid(i), addr, stored)
+    }.toSeq
   }
 
   // ---- typed reads --------------------------------------------------------
@@ -931,7 +1152,7 @@ final class Hdf5File(val path: String) extends AutoCloseable {
       if (aName != name) None
       else {
         val dt = parseDtype(dtBuf)
-        val nElems = parseDims(dsBuf).product max 1L
+        val nElems = parseDims(dsBuf)._1.product max 1L
         dt.cls match {
           case 3 =>
             val raw = new Array[Byte](dt.size)

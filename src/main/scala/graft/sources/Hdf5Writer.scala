@@ -381,6 +381,261 @@ object Hdf5Writer {
     try s.write(out.array()) finally s.close()
   }
 
+  /** Extensible-Array geometry (public format spec): super block u holds
+    * 2^(u/2) data blocks of 2^((u+1)/2)·minElems elements; the index block
+    * stores `idxElmts` elements inline and points directly at the data
+    * blocks of the first 2·log2(minPtrs) super blocks.
+    */
+  private final case class EaGeom(
+      maxBits: Int, idxElmts: Int, minPtrs: Int, minElems: Int, pageBits: Int) {
+    private def log2(x: Int) = 31 - Integer.numberOfLeadingZeros(x)
+    val arrOffSize: Int = (maxBits + 7) / 8
+    val pageNelmts: Long = 1L << pageBits
+    val nsblks: Int = 1 + (maxBits - log2(minElems))
+    val iblkNsblks: Int = 2 * log2(minPtrs)
+    val ndblkAddrs: Int = 2 * (minPtrs - 1)
+    val nsblkAddrs: Int = nsblks - iblkNsblks
+    def ndblks(u: Int): Int = 1 << (u / 2)
+    def dblkNelmts(u: Int): Long = (1L << ((u + 1) / 2)) * minElems
+    def startIdx(u: Int): Long =
+      (0 until u).map(v => ndblks(v) * dblkNelmts(v)).sum
+    def dblkPages(u: Int): Int =
+      if (dblkNelmts(u) > pageNelmts) (dblkNelmts(u) / pageNelmts).toInt else 0
+    def dblkSize(u: Int): Long = {
+      val p = dblkPages(u)
+      14L + arrOffSize +
+        (if (p == 0) dblkNelmts(u) * 8 + 4 else 4L + p * (pageNelmts * 8 + 4))
+    }
+    def easbSize(u: Int): Long =
+      14L + arrOffSize + ndblks(u) * ((dblkPages(u) + 7) / 8).toLong +
+        ndblks(u) * 8 + 4
+    val eaibSize: Long = 14L + idxElmts * 8 + (ndblkAddrs + nsblkAddrs) * 8 + 4
+  }
+
+  /** Like [[writeSonataSpikesV2]] but the datasets declare an UNLIMITED max
+    * dimension and are chunked under a v4 layout with an Extensible Array
+    * chunk index ("EAHD"/"EAIB"/"EASB"/"EADB") — what h5py emits for an
+    * incrementally grown spike log (`maxshape=(None,)`). Default creation
+    * parameters match the library's chunk-index defaults; the spec
+    * overrides them to force super blocks and paged data blocks at small
+    * fixture sizes.
+    */
+  def writeSonataSpikesEA(
+      path: String, population: String,
+      timestamps: Array[Double], nodeIds: Array[Long],
+      sorting: Int = SortByTime, units: String = "ms",
+      chunkRows: Int = 16,
+      maxNelmtsBits: Int = 32, idxBlkElmts: Int = 4,
+      supBlkMinDataPtrs: Int = 4, dataBlkMinElmts: Int = 16,
+      pageBits: Int = 10): Unit = {
+    require(timestamps.length == nodeIds.length, "timestamps/node_ids length mismatch")
+    require(chunkRows > 0, "EA layout requires chunked storage")
+    val n = timestamps.length
+    val g = EaGeom(maxNelmtsBits, idxBlkElmts, supBlkMinDataPtrs, dataBlkMinElmts, pageBits)
+    val nChunks = (n + chunkRows - 1) / chunkRows
+    val chunkBytes = 8L * chunkRows
+    val rest = math.max(0, nChunks - g.idxElmts) // elements past the inline ones
+
+    // blocks needed to cover `rest` elements, in element order
+    def dblkAllocated(u: Int, d: Int): Boolean = g.startIdx(u) + d * g.dblkNelmts(u) < rest
+    val usedSblks = (g.iblkNsblks until g.nsblks).takeWhile(u => g.startIdx(u) < rest)
+    val directSize = (0 until g.iblkNsblks).map { u =>
+      (0 until g.ndblks(u)).count(dblkAllocated(u, _)) * g.dblkSize(u)
+    }.sum
+    val superSize = usedSblks.map { u =>
+      g.easbSize(u) + (0 until g.ndblks(u)).count(dblkAllocated(u, _)) * g.dblkSize(u)
+    }.sum
+    val eaRegion = 72L + g.eaibSize + directSize + superSize
+    val dataRegion = eaRegion + nChunks * chunkBytes
+
+    def dataspaceUnlimited(len: Long): Array[Byte] = {
+      val b = bbuf(20)
+      b.put(2.toByte); b.put(1.toByte); b.put(1.toByte); b.put(1.toByte) // v2 rank1 +maxdims
+      b.putLong(len)
+      b.putLong(-1L) // H5S_UNLIMITED
+      b.array()
+    }
+    def layoutEA(eahd: Long): Array[Byte] = {
+      val b = bbuf(27)
+      b.put(4.toByte); b.put(2.toByte) // version 4, chunked
+      b.put(0.toByte) // flags
+      b.put(1.toByte) // rank
+      b.put(8.toByte) // dim sizes encoded in 8 bytes
+      b.putLong(chunkRows.toLong)
+      b.put(4.toByte) // chunk index: extensible array
+      // layout-message cparam order: max bits, index elements, min
+      // POINTERS, min ELEMENTS, page bits (differs from the EAHD order)
+      b.put(maxNelmtsBits.toByte); b.put(idxBlkElmts.toByte)
+      b.put(supBlkMinDataPtrs.toByte); b.put(dataBlkMinElmts.toByte)
+      b.put(pageBits.toByte)
+      b.putLong(eahd)
+      b.array()
+    }
+
+    val sortAttr = attrMessageV3("sorting", Left(sorting))
+    val unitsAttr = attrMessageV3("units", Right(units))
+    def rootMsgs(spikes: Long) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo, 0x06 -> linkMsg("spikes", spikes))
+    def spikesMsgs(pop: Long) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo, 0x06 -> linkMsg(population, pop))
+    def popMsgs(ids: Long, ts: Long) = Seq(
+      0x02 -> linkInfo, 0x0A -> groupInfo,
+      0x06 -> linkMsg("node_ids", ids), 0x06 -> linkMsg("timestamps", ts),
+      0x0C -> sortAttr)
+    def tsMsgs(eahd: Long) = Seq(
+      0x01 -> dataspaceUnlimited(n), 0x03 -> dtype64(float = true),
+      0x08 -> layoutEA(eahd), 0x0C -> unitsAttr)
+    def idsMsgs(eahd: Long) = Seq(
+      0x01 -> dataspaceUnlimited(n), 0x03 -> dtype64(float = false),
+      0x08 -> layoutEA(eahd))
+
+    val rootOhdr = 48L
+    val spikesOhdr = rootOhdr + ohdrSize(rootMsgs(0))
+    val popOhdr = spikesOhdr + ohdrSize(spikesMsgs(0))
+    val tsOhdr = popOhdr + ohdrSize(popMsgs(0, 0))
+    val idsOhdr = tsOhdr + ohdrSize(tsMsgs(0))
+    val tsData = idsOhdr + ohdrSize(idsMsgs(0))
+    val idsData = tsData + dataRegion
+    val eof = idsData + dataRegion
+    require(eof <= Int.MaxValue,
+      s"writeSonataSpikesEA: $n spikes -> $eof bytes exceeds the 2 GiB " +
+        "single-file writer limit; keep spikes in parquet and convert " +
+        "per-simulation chunks instead")
+
+    val out = bbuf(eof.toInt)
+    superblockV2(out, eof, rootOhdr)
+    out.position(rootOhdr.toInt); out.put(ohdrV2(rootMsgs(spikesOhdr)))
+    out.position(spikesOhdr.toInt); out.put(ohdrV2(spikesMsgs(popOhdr)))
+    out.position(popOhdr.toInt); out.put(ohdrV2(popMsgs(idsOhdr, tsOhdr)))
+    out.position(tsOhdr.toInt); out.put(ohdrV2(tsMsgs(tsData)))
+    out.position(idsOhdr.toInt); out.put(ohdrV2(idsMsgs(idsData)))
+
+    def cksum(from: Long): Unit = out.putInt(lookup3(
+      java.util.Arrays.copyOfRange(out.array(), from.toInt, out.position())))
+    def putVarOff(off: Long): Unit =
+      (0 until g.arrOffSize).foreach(k => out.put(((off >> (8 * k)) & 0xff).toByte))
+
+    /** EAHD + EAIB + data blocks + super blocks + packed chunks at `at`. */
+    def writeExtArray(at: Long, putElem: Long => Unit): Unit = {
+      // ---- address layout (sequential after the index block) ----
+      val eaibAt = at + 72
+      var cursor = eaibAt + g.eaibSize
+      val directAddrs = (0 until g.iblkNsblks).flatMap { u =>
+        (0 until g.ndblks(u)).map { d =>
+          if (dblkAllocated(u, d)) { val a = cursor; cursor += g.dblkSize(u); (u, d, a) }
+          else (u, d, -1L)
+        }
+      }
+      val sblkAt = usedSblks.map { u =>
+        val a = cursor; cursor += g.easbSize(u)
+        val dblks = (0 until g.ndblks(u)).map { d =>
+          if (dblkAllocated(u, d)) { val x = cursor; cursor += g.dblkSize(u); x } else -1L
+        }
+        (u, a, dblks)
+      }
+      val chunksAt = cursor
+      def chunkAddr(i: Long): Long = if (i < nChunks) chunksAt + i * chunkBytes else -1L
+
+      // ---- EAHD ----
+      out.position(at.toInt)
+      out.putInt(0x44484145) // "EAHD"
+      out.put(0.toByte); out.put(0.toByte) // version, client 0 (unfiltered chunks)
+      // header cparam order: elmt size, max bits, index elmts, min
+      // ELEMENTS, min POINTERS, page bits
+      out.put(8.toByte); out.put(maxNelmtsBits.toByte); out.put(idxBlkElmts.toByte)
+      out.put(dataBlkMinElmts.toByte); out.put(supBlkMinDataPtrs.toByte)
+      out.put(pageBits.toByte)
+      out.putLong(usedSblks.length.toLong) // stats: nsuper_blks
+      out.putLong(usedSblks.map(g.easbSize).sum) // super_blk_size
+      out.putLong(directAddrs.count(_._3 != -1L) +
+        sblkAt.map(_._3.count(_ != -1L)).sum.toLong) // ndata_blks
+      out.putLong(directSize + sblkAt.map { case (u, _, ds) =>
+        ds.count(_ != -1L) * g.dblkSize(u) }.sum) // data_blk_size
+      out.putLong(nChunks.toLong) // max_idx_set
+      out.putLong(nChunks.toLong) // nelmts
+      out.putLong(eaibAt)
+      cksum(at)
+
+      // ---- EAIB ----
+      out.position(eaibAt.toInt)
+      out.putInt(0x42494145) // "EAIB"
+      out.put(0.toByte); out.put(0.toByte)
+      out.putLong(at)
+      (0 until g.idxElmts).foreach(i => out.putLong(chunkAddr(i)))
+      directAddrs.foreach { case (_, _, a) => out.putLong(a) }
+      val sblkAddrByU = sblkAt.map(s => s._1 -> s._2).toMap
+      (g.iblkNsblks until g.nsblks).foreach(u =>
+        out.putLong(sblkAddrByU.getOrElse(u, -1L)))
+      cksum(eaibAt)
+
+      // ---- data blocks (shared by direct and super-block paths) ----
+      // firstElem is the GLOBAL element index of the block's first slot
+      // (inline index-block elements included — chunk i is element i)
+      def writeDblk(u: Int, dblkAt: Long, firstElem: Long): Unit = {
+        val nelmts = g.dblkNelmts(u)
+        val p = g.dblkPages(u)
+        out.position(dblkAt.toInt)
+        out.putInt(0x42444145) // "EADB"
+        out.put(0.toByte); out.put(0.toByte)
+        out.putLong(at) // header back-pointer (the EAHD address)
+        putVarOff(firstElem)
+        if (p == 0) {
+          (0L until nelmts).foreach(k => out.putLong(chunkAddr(firstElem + k)))
+          cksum(dblkAt)
+        } else {
+          cksum(dblkAt) // paged: the block checksum covers the header only
+          (0 until p).foreach { pg =>
+            val pStart = out.position().toLong
+            (0L until g.pageNelmts).foreach(k =>
+              out.putLong(chunkAddr(firstElem + pg * g.pageNelmts + k)))
+            cksum(pStart)
+          }
+        }
+      }
+      directAddrs.foreach { case (u, d, a) =>
+        if (a != -1L)
+          writeDblk(u, a, g.idxElmts + g.startIdx(u) + d.toLong * g.dblkNelmts(u))
+      }
+
+      // ---- super blocks ----
+      sblkAt.foreach { case (u, sAt, dblks) =>
+        val p = g.dblkPages(u)
+        val perDblkBitmap = (p + 7) / 8
+        out.position(sAt.toInt)
+        out.putInt(0x42534145) // "EASB"
+        out.put(0.toByte); out.put(0.toByte)
+        out.putLong(at)
+        putVarOff(g.idxElmts + g.startIdx(u))
+        // page-init bitmap: all pages of allocated blocks initialized
+        // (full bytes 0xFF, remainder in the high bits), zero otherwise
+        dblks.foreach { a =>
+          (0 until perDblkBitmap).foreach { i =>
+            val bitsHere = math.min(8, p - i * 8)
+            out.put(if (a == -1L) 0.toByte
+              else ((0xff << (8 - bitsHere)) & 0xff).toByte)
+          }
+        }
+        dblks.foreach(out.putLong)
+        cksum(sAt)
+        dblks.zipWithIndex.foreach { case (a, d) =>
+          if (a != -1L)
+            writeDblk(u, a, g.idxElmts + g.startIdx(u) + d.toLong * g.dblkNelmts(u))
+        }
+      }
+
+      // ---- chunk data: full-size chunks, zero padding past n ----
+      out.position(chunksAt.toInt)
+      (0L until nChunks.toLong * chunkRows).foreach(i =>
+        putElem(if (i < n) i else -1L))
+    }
+
+    writeExtArray(tsData, i => out.putDouble(if (i < 0) 0.0 else timestamps(i.toInt)))
+    writeExtArray(idsData, i => out.putLong(if (i < 0) 0L else nodeIds(i.toInt)))
+
+    val s = new BufferedOutputStream(new FileOutputStream(path))
+    try s.write(out.array()) finally s.close()
+  }
+
   // ---- shared v2 building blocks (OHDR headers, messages) ------------------
 
   private def bbuf(size: Int) =

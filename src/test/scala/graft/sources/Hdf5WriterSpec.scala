@@ -120,6 +120,60 @@ class Hdf5WriterSpec extends SparkSuite {
       Set((1.25, 1L), (2.0, 4L), (2.0, 1L)))
   }
 
+  test("v4 chunked layout: extensible-array index (unlimited maxshape)") {
+    // default library cparams (idx 4, minPtrs 4, minElems 16): 500 rows /
+    // chunkRows 2 → 250 chunks = 4 inline + 240 across the six
+    // index-block-direct data blocks + 6 more in super block u=4 — every
+    // structural tier short of paging is on the read path
+    val n = 500
+    val ts2 = Array.tabulate(n)(_ * 0.5)
+    val ids2 = Array.tabulate(n)(i => (i % 7).toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5ea")
+    val p = dir.resolve("ea.h5").toString
+    Hdf5Writer.writeSonataSpikesEA(p, "synthetic", ts2, ids2, chunkRows = 2)
+    val bytes = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "ISO-8859-1")
+    for (sig <- Seq("EAHD", "EAIB", "EASB", "EADB"))
+      assert(bytes.contains(sig), s"file should contain an $sig block")
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.dims("/spikes/synthetic/timestamps") === Seq(n.toLong))
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts2.toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids2.toSeq)
+      // ranges crossing the inline→direct boundary (element 8) and into
+      // the super-block region (element 488)
+      assert(h5.readDoubles("/spikes/synthetic/timestamps", 7, 13).toSeq ===
+        ts2.slice(7, 13).toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids", 486, 500).toSeq ===
+        ids2.slice(486, 500).toSeq)
+    } finally h5.close()
+    // the engine reads the grown-log format end-to-end
+    val df = spark.read.format("sonata-spikes").load(p)
+      .filter(col("time") >= 4.0 && col("time") < 6.0)
+    assert(df.count() === 4)
+  }
+
+  test("extensible array: PAGED data blocks inside a super block") {
+    // shrunk cparams (minPtrs 2, minElems 4, pageBits 3 → 8-element
+    // pages): super block u=3 holds 16-element data blocks split into two
+    // pages each, exercising the paged element walk + page-init bitmap
+    val n = 52
+    val ts2 = Array.tabulate(n)(_ * 1.5)
+    val ids2 = Array.tabulate(n)(i => (i % 5).toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5eap")
+    val p = dir.resolve("ea_paged.h5").toString
+    Hdf5Writer.writeSonataSpikesEA(p, "synthetic", ts2, ids2, chunkRows = 1,
+      supBlkMinDataPtrs = 2, dataBlkMinElmts = 4, pageBits = 3)
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts2.toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids2.toSeq)
+      // ranges landing inside the paged blocks (elements 28+ live in u=3)
+      assert(h5.readDoubles("/spikes/synthetic/timestamps", 30, 49).toSeq ===
+        ts2.slice(30, 49).toSeq)
+    } finally h5.close()
+  }
+
   test("dense (fractal-heap) group: 12 links through heap + name B-tree") {
     // h5py libver='latest' switches groups from compact links to dense
     // storage past 8 links — a node table with many properties hits this
