@@ -47,7 +47,9 @@ object FeatureFns {
     "spike_stats" -> SpikeStats,
     "histograms" -> Histograms,
     "smoothed_histograms" -> SmoothedHistograms,
-    "soma_stats" -> SomaStats)
+    "soma_stats" -> SomaStats,
+    "pairwise_correlation" -> PairwiseCorrelationFeature,
+    "pairwise_distances" -> PairwiseDistanceFeature)
 
   /** Escape hatch for opaque per-group logic: groupByKey on the configured
     * keys + flatMapGroups, with an explicit output schema. Rows arrive
@@ -230,6 +232,78 @@ object SomaStats extends FeatureFn {
       .agg(avg("value").as("mean"), stddev("value").as("std"),
         min("value").as("min"), max("value").as("max"))
     Map("by_group" -> byClass)
+  }
+}
+
+/** Class-level pairwise Pearson correlation of binned spike counts — the
+  * reference computes full-class correlation matrices as a feature per
+  * neuron_class (external/bluecv/neuron_class.py:47-49, wired through
+  * features.py:392-446); here it is the blocked Gram expansion of
+  * [[graft.queries.Spikes.pairwiseCorrelation]] grouped by the configured
+  * keys, so one distributed plan covers every class/window at once.
+  *
+  * Params: `bin_size` (time units per bin), `n_bins`, `n_blocks` (the
+  * per-task memory knob of the blocked expansion). Multi-trial windows
+  * should include `trial` in `groupby` to correlate within trials.
+  */
+object PairwiseCorrelationFeature extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    def num(name: String, dflt: Double): Double =
+      ctx.params.get(name).map(_.toString.toDouble).getOrElse(dflt)
+    val binSize = num("bin_size", 3600000000.0)
+    val nBins = num("n_bins", 24).toInt
+    val nBlocks = num("n_blocks", 8).toInt
+    val binned = ctx.report
+      .withColumn("bin", floor(col("time") / lit(binSize)).cast("int"))
+      .filter(col("bin") >= 0 && col("bin") < nBins)
+      .groupBy(keys.map(col) :+ col("gid") :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    Map("by_pair" -> graft.queries.Spikes.pairwiseCorrelation(
+      binned, nBins = nBins, nBlocks = nBlocks, keys = keys))
+  }
+}
+
+/** Class-level Van Rossum / Victor-Purpura distance matrices as features
+  * (reference: external/bluecv/comparison.py:11-21 per neuron_class) —
+  * per-gid sorted trains aggregated once, then the blocked equi-join pair
+  * expansion grouped by the configured keys; VR self-kernels are computed
+  * once per gid, VP runs the codegen `vp_distance` Expression.
+  *
+  * Params: `metric` ("van_rossum" | "victor_purpura"), `tau` (VR kernel
+  * width), `q` (VP shift cost), `n_blocks`.
+  */
+object PairwiseDistanceFeature extends FeatureFn {
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    graft.functions.GraftFunctions.register(ctx.spark)
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    def num(name: String, dflt: Double): Double =
+      ctx.params.get(name).map(_.toString.toDouble).getOrElse(dflt)
+    val nBlocks = num("n_blocks", 8).toInt
+    val metric = ctx.params.getOrElse("metric", "van_rossum").toString
+    val trains0 = ctx.report
+      .groupBy(keys.map(col) :+ col("gid"): _*)
+      .agg(sort_array(collect_list(col("time").cast("double"))).as("train"))
+    metric match {
+      case "van_rossum" =>
+        val tau = num("tau", 3600000000.0)
+        val trains = trains0.withColumn(
+          "kk", graft.queries.Spikes.vrKernel("train", "train", tau))
+        Map("by_pair" -> graft.queries.Spikes
+          .blockedSelfPairs(trains, nBlocks = nBlocks, keys = keys)
+          .select(keys.map(col) :+ col("gid1") :+ col("gid2") :+
+            (col("kk1") + col("kk2") -
+              lit(2) * graft.queries.Spikes.vrKernel("train1", "train2", tau)).as("vr2"): _*))
+      case "victor_purpura" =>
+        val q = num("q", 1.0 / 3600000000.0)
+        Map("by_pair" -> graft.queries.Spikes
+          .blockedSelfPairs(trains0, nBlocks = nBlocks, keys = keys)
+          .select(keys.map(col) :+ col("gid1") :+ col("gid2") :+
+            expr(s"vp_distance(train1, train2, ${q}d)").as("vp"): _*))
+      case other => throw new IllegalArgumentException(
+        s"pairwise_distances: unknown metric '$other' " +
+          "(van_rossum | victor_purpura)")
+    }
   }
 }
 

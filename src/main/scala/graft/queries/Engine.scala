@@ -177,6 +177,66 @@ object Engine {
         .calculateFeatures()("by_group")
     },
 
+    // X1 registry: class-level pairwise correlation as a FEATURE — the
+    // blocked Gram expansion running inside calculate_features per
+    // (class, window), oracle-gated with the same integer-moment closed
+    // form as a12/a12c (exact BIGINT Σ's → bit-deterministic)
+    GQuery(
+      "e6_engine_correlation_feature",
+      oracleCte +
+        // NB: report time is DOUBLE here — `//` on DOUBLE is plain division
+        // in DuckDB and CAST(...AS INT) would ROUND, so floor explicitly
+        // (the a12 oracles divide BIGINT micros, where // already floors)
+        s""", c AS (
+           |  SELECT neuron_class, gid, CAST(FLOOR(time / $H) AS INT) AS bin, count(*) AS cnt
+           |  FROM assigned WHERE win = 'w2' GROUP BY 1, 2, 3),
+           |g AS (SELECT DISTINCT neuron_class, gid FROM c),
+           |b AS (SELECT CAST(x AS INT) AS bin FROM generate_series(0, 167) AS t(x)),
+           |dense AS (
+           |  SELECT g.neuron_class, g.gid, b.bin, COALESCE(c.cnt, 0) AS cnt
+           |  FROM g CROSS JOIN b
+           |  LEFT JOIN c ON c.neuron_class = g.neuron_class AND c.gid = g.gid AND c.bin = b.bin),
+           |stats AS (
+           |  SELECT neuron_class, gid, sum(cnt) AS sx, sum(cnt * cnt) AS qx
+           |  FROM dense GROUP BY 1, 2),
+           |dots AS (
+           |  SELECT d1.neuron_class, d1.gid AS gid1, d2.gid AS gid2,
+           |    sum(d1.cnt * d2.cnt) AS sxy
+           |  FROM dense d1 JOIN dense d2 ON d1.neuron_class = d2.neuron_class
+           |    AND d1.bin = d2.bin AND d1.gid < d2.gid
+           |  GROUP BY 1, 2, 3)
+           |SELECT 0 AS simulation_id, 0 AS circuit_id, p.neuron_class, 'w2' AS window,
+           |  p.gid1, p.gid2,
+           |  CASE WHEN 168 * s1.qx - s1.sx * s1.sx > 0 AND 168 * s2.qx - s2.sx * s2.sx > 0
+           |       THEN (168 * p.sxy - s1.sx * s2.sx)
+           |            / sqrt(CAST(168 * s1.qx - s1.sx * s1.sx AS DOUBLE)
+           |                 * CAST(168 * s2.qx - s2.sx * s2.sx AS DOUBLE))
+           |  END AS r
+           |FROM dots p
+           |JOIN stats s1 ON s1.neuron_class = p.neuron_class AND s1.gid = p.gid1
+           |JOIN stats s2 ON s2.neuron_class = p.neuron_class AND s2.gid = p.gid2""".stripMargin) { (s, dir) =>
+      val cfg = SingleAnalysisConfig(
+        name = "corr",
+        reportType = "spikes",
+        windows = Map("w2" -> WindowSpec(bounds = (0.0, 7.0 * D))),
+        neuronClasses = Map(
+          "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+          "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+        features = Seq(
+          FeaturesSpec(
+            groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+            function = "pairwise_correlation",
+            params = Map(
+              "bin_size" -> H.toDouble, "n_bins" -> 168, "n_blocks" -> 8))))
+      val campaign = Campaign(
+        name = "testdata", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(Map(
+          "simulation_path" -> "events.parquet",
+          "circuit_path" -> s"$dir/events.parquet")))
+      new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None)
+        .calculateFeatures()("by_pair")
+    },
+
     // trial_steps_list windows + a named trial-steps function
     // (mean_first_spike): the full facade with explicit per-trial offsets
     // and a per-simulation dynamic offset, both replicated by the oracle

@@ -135,30 +135,31 @@ object Spikes {
     */
   def pairwiseCorrelation(
       binned: DataFrame, nBins: Int, nBlocks: Int = 16,
-      gidCol: String = "gid", binCol: String = "bin", cntCol: String = "cnt"): DataFrame = {
+      gidCol: String = "gid", binCol: String = "bin", cntCol: String = "cnt",
+      keys: Seq[String] = Nil): DataFrame = {
     val s = binned.sparkSession
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     require(nBins > 0 && nBlocks > 0)
     val vec = binned
-      .groupBy(col(gidCol).as("g"))
+      .groupBy(keys.map(col) :+ col(gidCol).as("g"): _*)
       .agg(map_from_entries(collect_list(struct(
         col(binCol).cast("int"), col(cntCol).cast("double")))).as("m"))
       .select(
-        col("g"),
-        expr(s"transform(sequence(0, ${nBins - 1}), b -> coalesce(element_at(m, b), 0D))")
-          .as("v"))
+        keys.map(col) :+ col("g") :+
+          expr(s"transform(sequence(0, ${nBins - 1}), b -> coalesce(element_at(m, b), 0D))")
+            .as("v"): _*)
       .withColumn("sx", expr("aggregate(v, 0D, (acc, x) -> acc + x)"))
       .withColumn("qx", expr("array_dot(v, v)"))
       .withColumn("blk", pmod(hash(col("g")), lit(nBlocks)).cast("int"))
     val blockPairs = broadcast(
       (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toDF("bi", "bj"))
     val a = vec.select(
-      col("blk").as("bi"), col("g").as("g1"), col("v").as("v1"),
-      col("sx").as("s1"), col("qx").as("q1"))
+      keys.map(col) :+ col("blk").as("bi") :+ col("g").as("g1") :+ col("v").as("v1") :+
+        col("sx").as("s1") :+ col("qx").as("q1"): _*)
     val b = vec.select(
-      col("blk").as("bj"), col("g").as("g2"), col("v").as("v2"),
-      col("sx").as("s2"), col("qx").as("q2"))
+      keys.map(col) :+ col("blk").as("bj") :+ col("g").as("g2") :+ col("v").as("v2") :+
+        col("sx").as("s2") :+ col("qx").as("q2"): _*)
     val n = lit(nBins.toDouble)
     val dot = expr("array_dot(v1, v2)")
     val cov = n * dot - col("s1") * col("s2")
@@ -166,14 +167,16 @@ object Spikes {
     val var2 = n * col("q2") - col("s2") * col("s2")
     blockPairs
       .join(a, "bi")
-      .join(b, "bj")
+      // group keys join with the block id: pairs form only within a group
+      .join(b, "bj" +: keys)
       // {x,y} surfaces exactly once: ordered cross-block pair, or same
       // block with the gid order as the tiebreak
       .filter(col("bi") < col("bj") || col("g1") < col("g2"))
       .select(
-        least(col("g1"), col("g2")).as("gid1"),
-        greatest(col("g1"), col("g2")).as("gid2"),
-        when(var1 > 0 && var2 > 0, cov / sqrt(var1 * var2)).as("r"))
+        keys.map(col) :+
+          least(col("g1"), col("g2")).as("gid1") :+
+          greatest(col("g1"), col("g2")).as("gid2") :+
+          when(var1 > 0 && var2 > 0, cov / sqrt(var1 * var2)).as("r"): _*)
   }
 
   /** Blocked all-unordered-pairs expansion of a per-gid frame — the same
@@ -190,19 +193,21 @@ object Spikes {
     * payload columns suffixed 1/2, normalized to gid1 < gid2.
     */
   def blockedSelfPairs(
-      perGid: DataFrame, nBlocks: Int, gidCol: String = "gid"): DataFrame = {
+      perGid: DataFrame, nBlocks: Int, gidCol: String = "gid",
+      keys: Seq[String] = Nil): DataFrame = {
     val s = perGid.sparkSession
     import s.implicits._
     require(nBlocks > 0)
-    val others = perGid.columns.filterNot(_ == gidCol).toSeq
+    val others = perGid.columns.filterNot(c => c == gidCol || keys.contains(c)).toSeq
     val t = perGid.withColumn("_blk", pmod(hash(col(gidCol)), lit(nBlocks)).cast("int"))
     val blockPairs = broadcast(
       (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j)).toDF("_bi", "_bj"))
-    val a = t.select(col("_blk").as("_bi") +: col(gidCol).as("_g1") +:
-      others.map(c => col(c).as(s"${c}1")): _*)
-    val b = t.select(col("_blk").as("_bj") +: col(gidCol).as("_g2") +:
-      others.map(c => col(c).as(s"${c}2")): _*)
-    val joined = blockPairs.join(a, "_bi").join(b, "_bj")
+    val a = t.select(keys.map(col) ++ (col("_blk").as("_bi") +: col(gidCol).as("_g1") +:
+      others.map(c => col(c).as(s"${c}1"))): _*)
+    val b = t.select(keys.map(col) ++ (col("_blk").as("_bj") +: col(gidCol).as("_g2") +:
+      others.map(c => col(c).as(s"${c}2"))): _*)
+    // group keys join with the block id: pairs form only within a group
+    val joined = blockPairs.join(a, "_bi").join(b, "_bj" +: keys)
       // {x,y} surfaces exactly once: ordered cross-block pair, or same
       // block with the gid order as the tiebreak
       .filter(col("_bi") < col("_bj") || col("_g1") < col("_g2"))
@@ -210,18 +215,19 @@ object Spikes {
     // payload together with the gids to normalize to gid1 < gid2
     val swap = col("_g1") > col("_g2")
     joined.select(
-      when(swap, col("_g2")).otherwise(col("_g1")).as(s"${gidCol}1") +:
-        when(swap, col("_g1")).otherwise(col("_g2")).as(s"${gidCol}2") +:
-        others.flatMap(c => Seq(
-          when(swap, col(s"${c}2")).otherwise(col(s"${c}1")).as(s"${c}1"),
-          when(swap, col(s"${c}1")).otherwise(col(s"${c}2")).as(s"${c}2"))): _*)
+      keys.map(col) ++
+        (when(swap, col("_g2")).otherwise(col("_g1")).as(s"${gidCol}1") +:
+          when(swap, col("_g1")).otherwise(col("_g2")).as(s"${gidCol}2") +:
+          others.flatMap(c => Seq(
+            when(swap, col(s"${c}2")).otherwise(col(s"${c}1")).as(s"${c}1"),
+            when(swap, col(s"${c}1")).otherwise(col(s"${c}2")).as(s"${c}2")))): _*)
   }
 
   /** Van Rossum exponential-kernel inner product of two sorted trains as a
     * pure-codegen nested `aggregate` — O(|t1|·|t2|) per pair, no
     * intermediate arrays.
     */
-  private def vrKernel(t1: String, t2: String, tau: Double): org.apache.spark.sql.Column =
+  private[graft] def vrKernel(t1: String, t2: String, tau: Double): org.apache.spark.sql.Column =
     expr(s"aggregate($t1, 0D, (acc, x) -> acc + " +
       s"aggregate($t2, 0D, (a2, y) -> a2 + exp(-abs(x - y) / ${tau}D)))")
 
