@@ -29,6 +29,31 @@ object Lsh {
     */
   val DefaultBucketCap = 128
 
+  /** Default CHANCE-occupancy target for [[autoDepth]]: 8× under the
+    * bucket cap, so the cap's headroom absorbs skew and genuine near-dup
+    * clusters while chance collisions stay ≈ 0.
+    */
+  val DefaultTargetOccupancy: Int = DefaultBucketCap / 8
+
+  /** Smallest band depth whose EXPECTED chance occupancy
+    * `corpusSize / keySpacePerRow^depth` is ≤ `target` — the self-
+    * correcting default for the saturation knob both LSH families expose
+    * (BASELINE.md: fixed shallow depths saturate at 100× corpus growth).
+    * `keySpacePerRow` is the per-row key-space multiplier: exactly 2 for
+    * a hyperplane bit, the measured per-slot minhash key space for text.
+    */
+  def autoDepth(
+      corpusSize: Long, keySpacePerRow: Double,
+      target: Int = DefaultTargetOccupancy,
+      minDepth: Int = 2, maxDepth: Int = 24): Int = {
+    require(keySpacePerRow > 1.0, s"key space per row must exceed 1 ($keySpacePerRow)")
+    require(target > 0 && minDepth > 0 && maxDepth >= minDepth)
+    var d = minDepth
+    var occ = corpusSize.toDouble / math.pow(keySpacePerRow, d)
+    while (d < maxDepth && occ > target) { d += 1; occ /= keySpacePerRow }
+    d
+  }
+
   /** Distinct within-bucket candidate pairs (`out1` < `out2`) from a
     * (band, bkey, `idCol`) bucket assignment, with per-bucket occupancy
     * bounded by `cap`. `metricName` names the observe row carrying

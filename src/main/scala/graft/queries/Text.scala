@@ -64,6 +64,28 @@ object Text {
     * (BASELINE.md x100 reading; TextLshDepthSpec measures the relief),
     * the same lever as `Vectors.lshSimilarPairs(planesPerBand)`.
     */
+  /** Self-correcting default for `rowsPerBand`: measure how often a
+    * minhash slot's MODE value recurs (min-stats are skewed — with a small
+    * vocabulary the globally-smallest shingle hash belongs to a large doc
+    * fraction p₁, and the biggest chance bucket shrinks ≈ p₁ per extra
+    * row, NOT 1/|key space| — distinct-count models overshoot badly) and
+    * pick the smallest depth with `n · p₁^depth` ≤ the target (default
+    * cap/8), i.e. autoDepth with multiplier 1/p₁ = n/modeCount. A rich
+    * vocabulary gives modeCount ≈ 1 → the shallow minimum. One cheap
+    * two-stage aggregate over the shingle frame; at 100 TB run it on a
+    * doc sample — an over-estimated p₁ only deepens bands (safe).
+    */
+  private[queries] def autoRowsPerBand(
+      sh: DataFrame, target: Int = Lsh.DefaultTargetOccupancy): Int = {
+    val row = sh
+      .groupBy("doc_id").agg(min(md5(concat(lit("0|"), col("shingle")))).as("mh0"))
+      .groupBy("mh0").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("mode"), sum("c").as("n"))
+      .head()
+    val (mode, n) = (row.getLong(0), row.getLong(1))
+    Lsh.autoDepth(n, math.max(n.toDouble / mode, 2.0), target)
+  }
+
   private[queries] def lshBuckets(
       sh: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val aggs = (0 until bands * rowsPerBand).map(j =>

@@ -59,6 +59,17 @@ object Vectors {
     * instance stays at 4×4, VectorsLshDepthSpec drives 50k vectors at
     * depth 10.
     */
+  /** Self-correcting default for `planesPerBand`: a b-plane band has
+    * exactly 2^b buckets, so the smallest depth with expected chance
+    * occupancy `n / 2^depth` ≤ target (default cap/8) needs only the
+    * corpus size — ⌈log2(n/target)⌉, clamped. The fixed shallow depth
+    * BASELINE.md shows saturating at 100× growth picks itself correctly
+    * at any scale through this.
+    */
+  def autoPlanesPerBand(
+      corpusSize: Long, target: Int = Lsh.DefaultTargetOccupancy): Int =
+    Lsh.autoDepth(corpusSize, 2.0, target)
+
   private[queries] def lshSignatures(
       emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
     registered(emb.sparkSession)
