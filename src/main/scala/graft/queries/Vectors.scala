@@ -119,18 +119,109 @@ object Vectors {
       .select("v1", "v2", "cos")
   }
 
+  /** Cell count above which [[routeQueries]] switches from the flat
+    * broadcast argmax to hierarchical (two-level) routing. The flat path
+    * is bit-identical to the v5/v7 oracles; every gate scale (≤ ~600
+    * cells at sf0.1) stays flat, so the hierarchy changes nothing the
+    * driver hash-checks.
+    */
+  val HierarchicalRoutingThreshold: Long = 1024L
+
+  /** Route each query embedding to ONE cell.
+    *
+    * Flat (cells ≤ [[HierarchicalRoutingThreshold]]): queries × cells
+    * fused `array_dot`s against the broadcast centroid table, map-side
+    * `max_by` argmax with the oracle's exact tiebreak — the r8 plan.
+    *
+    * Hierarchical: the same IVF pattern ONE LEVEL UP — the coarse
+    * quantizer over cells promised by the x1000 scaling study, built the
+    * way FAISS builds one: √cells SEED centroids (deterministic unbiased
+    * sample — smallest md5(cell)), every cell Voronoi-assigned to its
+    * nearest seed (one Lloyd step, a one-time cells × √cells map-side
+    * pass against the broadcast seeds), super-centroid = member mean.
+    * Each query scores the √cells super-centroids (broadcast, map-side
+    * argmax), then only the chosen super's cells — work per query
+    * ≈ 2·√cells fused dots instead of `cells`. The cell-stage join keys
+    * on `super` WITHOUT a broadcast hint: at 100k+ cells the
+    * (cell, centroid) frame outgrows broadcast, and a hash join shuffles
+    * queries (narrow rows) and cells once each; AQE's skew split covers
+    * a hot super-cell.
+    *
+    * Routing above the threshold is approximate (a query whose best
+    * cell's super loses the super-argmax re-ranks inside a neighbor) and
+    * assumes the centroids themselves have geometric structure — true
+    * for k-means-derived cells tiling a real embedding manifold.
+    * RoutingHierarchySpec measures the agreement on manifold-shaped
+    * cells (and documents that isotropic random centroids are
+    * information-theoretically unroutable through √cells probes).
+    *
+    * @param queries   (q_id, q_emb)
+    * @param centroids (cell, centroid)
+    * @param nCells    centroid count (caller knows it cheaply: distinct
+    *                  labels or the persisted index's footer count)
+    */
+  private[graft] def routeQueries(
+      queries: DataFrame, centroids: DataFrame, nCells: Long): DataFrame = {
+    registered(queries.sparkSession)
+    if (nCells <= HierarchicalRoutingThreshold) {
+      queries
+        .crossJoin(broadcast(centroids))
+        .select(col("q_id"), col("cell"),
+          expr(dotExpr("q_emb", "centroid")).as("dp"))
+        .groupBy("q_id")
+        .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
+    } else {
+      val nSupers = math.max(2L, math.ceil(math.sqrt(nCells.toDouble)).toLong)
+      val seeds = centroids
+        .select(col("cell"), col("centroid"), md5(col("cell").cast("string")).as("_h"))
+        .orderBy("_h").limit(nSupers.toInt)
+        .select(col("cell").as("super"), col("centroid").as("seed"),
+          expr("array_dot(centroid, centroid)").as("snorm2"))
+      // Voronoi: nearest seed by L2 ⇔ argmax(c·s − ‖s‖²/2)
+      val cellSuper = centroids.crossJoin(broadcast(seeds))
+        .select(col("cell"), col("centroid"), col("super"),
+          (expr(dotExpr("centroid", "seed")) - col("snorm2") / 2).as("aff"))
+        .groupBy("cell")
+        .agg(
+          max_by(col("super"), struct(col("aff"), -col("super"))).as("super"),
+          first(col("centroid")).as("centroid"))
+      val superCent = cellSuper
+        .select(col("super"), posexplode(col("centroid")).as(Seq("d", "x")))
+        .groupBy("super", "d").agg(avg("x").as("c"))
+        .groupBy("super")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+          .as("scent"))
+      // probe the TOP-2 super-cells per query (IVF nprobe): a boundary
+      // query whose best cell sits just across a Voronoi face re-ranks
+      // the neighbor too. Two map-side max_by passes keep the no-
+      // scored-row-shuffle invariant (a window top-k would shuffle
+      // queries × √cells rows).
+      val score = queries
+        .crossJoin(broadcast(superCent))
+        .select(col("q_id"), col("super"),
+          expr(dotExpr("q_emb", "scent")).as("dp"))
+      val s1 = score.groupBy("q_id")
+        .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
+      val s2 = score.join(s1.withColumnRenamed("super", "_s1"), "q_id")
+        .filter(col("super") =!= col("_s1"))
+        .groupBy("q_id")
+        .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
+      val qsuper = s1.unionByName(s2)
+      queries.join(qsuper, "q_id")
+        .join(cellSuper.select("super", "cell", "centroid"), "super")
+        .select(col("q_id"), col("cell"),
+          expr(dotExpr("q_emb", "centroid")).as("dp"))
+        .groupBy("q_id")
+        .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
+    }
+  }
+
   /** Build (once per session+dir) the persisted IVF index: a small
     * centroid table (cell → centroid array) plus the corpus vectors with
     * precomputed norms, laid out in CELL-PARTITIONED parquet — so a probe
     * that joins on `cell` touches only the probed cells' files (dynamic
     * partition pruning). Cells are the label clusters, matching v5's
     * coarse quantizer.
-    *
-    * Scale note (x1000 decade, BASELINE.md): routing cost is
-    * queries × cells; past ~100k cells the design fix is HIERARCHICAL
-    * routing — the same IVF pattern one level up, a coarse quantizer over
-    * the cell centroids so each query scores √cells super-cells and then
-    * only the chosen super-cell's centroids.
     */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -332,16 +423,13 @@ object Vectors {
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val cent = s.read.parquet(s"$idx/centroids")
-      // map-side argmax routing: a row_number window here would shuffle
-      // every (query × cell) scored row — at the x1000 decade that stage
-      // dominated the whole probe; max_by partial-aggregates to one row
-      // per query before any exchange
-      val route = q.select(col("q_id"), col("q_emb"))
-        .crossJoin(broadcast(cent))
-        .select(col("q_id"), col("cell"),
-          expr(dotExpr("q_emb", "centroid")).as("dp"))
-        .groupBy("q_id")
-        .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
+      // map-side argmax routing (max_by partial-aggregates before any
+      // exchange — a row_number window here dominated the x1000 probe);
+      // past the threshold routeQueries switches to the hierarchical
+      // √cells path. Counting the persisted centroid table is a footer
+      // read, not a corpus scan.
+      val route = routeQueries(
+        q.select(col("q_id"), col("q_emb")), cent, cent.count())
       val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
       // stage 2: exact re-rank against ONLY the probed cells — the filter
       // on the partition column prunes every other cell's files
@@ -444,15 +532,15 @@ object Vectors {
         .groupBy("cell")
         .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
           .as("centroid"))
-      val qcell = Tables.embeddings(s, dir)
-        .filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(centArr))
-        .select(col("q_id"), col("cell"),
-          expr(dotExpr("q_emb", "centroid")).as("dp"))
-        .groupBy("q_id")
-        // argmax with the oracle's exact tiebreak (dp DESC, cell ASC)
-        .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
+      // routeQueries: flat broadcast argmax with the oracle's exact
+      // tiebreak (dp DESC, cell ASC) at this cell count; hierarchical
+      // √cells routing past the threshold
+      val nCells = Tables.embeddings(s, dir).select("label").distinct().count()
+      val qcell = routeQueries(
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        centArr, nCells)
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val c = e.select(
