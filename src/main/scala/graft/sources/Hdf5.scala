@@ -16,8 +16,9 @@ import java.nio.file.{Paths, StandardOpenOption}
   *    and v2 "OHDR" headers (+ "OCHK" continuations)
   *  - symbol-table groups (v1 B-tree + SNOD + local heap), new-style
   *    compact groups (link messages), and dense groups (fractal heap +
-  *    link-name v2 B-tree; root-direct-block heaps / depth-0 indexes —
-  *    hundreds of links)
+  *    link-name v2 B-tree) of ANY link count: root direct blocks,
+  *    root/nested indirect blocks through the doubling table, and
+  *    multi-level ("BTIN" internal node) link-name B-trees
   *  - dataspace v1/v2 (rank ≤ 2), datatypes: fixed-point (1/2/4/8 bytes,
   *    signed/unsigned), IEEE float32/64, fixed strings, vlen strings
   *    (global heap), enums (decoded as their base integer)
@@ -25,14 +26,13 @@ import java.nio.file.{Paths, StandardOpenOption}
   *    B-tree index and ALL FIVE v4 indexes: single chunk, implicit,
   *    fixed array (incl. paged), extensible array (unlimited maxshape —
   *    index/super/data blocks incl. paged; the format of an
-  *    incrementally grown spike log) and depth-0 v2 B-trees, with
+  *    incrementally grown spike log) and v2 B-trees of any depth, with
   *    optional shuffle + deflate filters
   *  - attribute messages v1-v3 (scalar string/number attributes)
   *
   * NOT supported (clear error, conversion contract in README.md is the
-  * fallback): multi-block fractal heaps, deep (non-leaf-root) v2-B-tree
-  * chunk indexes, partially-initialized paged extensible-array blocks,
-  * references, compounds, szip/lzf.
+  * fallback): filtered fractal heaps, partially-initialized paged
+  * extensible-array blocks, references, compounds, szip/lzf.
   *
   * Thread-safety: reads are positional (`FileChannel.read(dst, pos)`), so
   * one instance can serve concurrent partition readers.
@@ -313,10 +313,11 @@ final class Hdf5File(val path: String) extends AutoCloseable {
 
   /** Links of a DENSE group: heap IDs come from the link-name v2 B-tree
     * (type 5 records: name hash + heap ID), each resolving to a link
-    * message body inside the fractal heap. Supported heap shape: a root
-    * DIRECT block (covers dense groups up to the starting-block-size of
-    * links — hundreds); root indirect blocks and deeper B-trees fail with
-    * the conversion-contract error.
+    * message body inside the fractal heap. Heap shapes supported: a root
+    * DIRECT block, and a root INDIRECT block whose doubling-table rows
+    * hold direct blocks and, recursively, nested indirect blocks — i.e.
+    * dense groups of any link count. Filtered heaps refuse with the
+    * conversion-contract error.
     */
   private def denseLinks(fheapAddr: Long, btreeAddr: Long): Seq[(String, SymbolEntry)] = {
     // ---- fractal heap header ("FRHP") ----
@@ -329,17 +330,13 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     u8(h) // flags (bit1 = checksum direct blocks — irrelevant to reads)
     val maxObjSize = u32(h)
     (0 until 12).foreach(_ => h.getLong) // huge/free/managed statistics
-    u16(h) // table width
-    h.getLong // starting block size
-    h.getLong // maximum direct block size
+    val tableWidth = u16(h)
+    val startBlockSize = h.getLong
+    val maxDirectBlockSize = h.getLong
     val maxHeapBits = u16(h)
     u16(h) // starting rows in root indirect block
     val rootBlock = h.getLong
     val curRowsRootIndirect = u16(h)
-    require(curRowsRootIndirect == 0,
-      s"$path: fractal heap with a root INDIRECT block not supported " +
-        "(dense group larger than one direct block); convert per the " +
-        "SONATA interop contract (README.md)")
     val offSize = (maxHeapBits + 7) / 8
     val lenSize =
       if (maxObjSize < 0x100) 1 else if (maxObjSize < 0x10000) 2
@@ -347,40 +344,144 @@ final class Hdf5File(val path: String) extends AutoCloseable {
     // sanity: managed heap IDs are 1 (version/type) + offset + length bytes
     require(heapIdLen == 1 + offSize + lenSize,
       s"$path: unexpected heap id length $heapIdLen (offSize=$offSize lenSize=$lenSize)")
-    val dbSig = readAt(rootBlock, 4)
-    require(dbSig.getInt == 0x42444846, s"$path: bad direct block signature") // "FHDB"
 
-    // ---- link-name v2 B-tree ("BTHD" + depth-0 "BTLF" leaf) ----
+    // Doubling-table geometry (public format spec): rows 0 and 1 hold
+    // `tableWidth` blocks of the starting size, row r>=2 width blocks of
+    // start*2^(r-1); rows at/past maxDirectRows hold INDIRECT blocks
+    // whose own table restarts at the starting size and spans the row's
+    // block size. Heap offsets count every byte from block 0's header on.
+    def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val maxDirectRows = log2(maxDirectBlockSize) - log2(startBlockSize) + 2
+    def rowBlockSize(r: Int): Long =
+      if (r < 2) startBlockSize else startBlockSize << (r - 1)
+
+    // every direct block, in heap-offset order: (heap offset, file addr)
+    val directBlocks: IndexedSeq[(Long, Long)] =
+      if (curRowsRootIndirect == 0) IndexedSeq((0L, rootBlock))
+      else {
+        val acc = IndexedSeq.newBuilder[(Long, Long)]
+        def walkIndirect(addr: Long, heapOff: Long, nrows: Int): Unit = {
+          val b = readAt(addr, 4 + 1 + 8 + offSize + nrows * tableWidth * 8 + 4)
+          require(b.getInt == 0x42494846, s"$path: bad indirect block signature") // "FHIB"
+          u8(b) // version
+          b.getLong // heap header address (back-pointer)
+          b.position(b.position() + offSize) // stored block offset (recomputed)
+          var off = heapOff
+          for (r <- 0 until nrows; _ <- 0 until tableWidth) {
+            val child = b.getLong
+            if (child != Undef) {
+              if (r < maxDirectRows) acc += ((off, child))
+              else walkIndirect(child, off,
+                log2(rowBlockSize(r)) - log2(startBlockSize * tableWidth) + 1)
+            }
+            off += rowBlockSize(r)
+          }
+        }
+        walkIndirect(rootBlock, 0L, curRowsRootIndirect)
+        acc.result()
+      }
+    // heap offsets include each block's header bytes, so an object's file
+    // address is its containing block's file address plus the in-block
+    // delta; directBlocks is in ascending heap-offset order by traversal
+    def heapObject(off: Long, len: Int): ByteBuffer = {
+      var lo = 0; var hi = directBlocks.length - 1
+      while (lo < hi) {
+        val m = (lo + hi + 1) >>> 1
+        if (directBlocks(m)._1 <= off) lo = m else hi = m - 1
+      }
+      val (blockOff, fileAddr) = directBlocks(lo)
+      readAt(fileAddr + (off - blockOff), len)
+    }
+
+    // ---- link-name v2 B-tree (any depth) ----
+    val (_, recordSize, records) = v2BtreeRecords(btreeAddr, Set(5), "link-name index")
+    records.map { rec =>
+      rec.getInt // name hash
+      // managed heap ID: version/type byte, heap offset, object length
+      u8(rec)
+      var off = 0L
+      (0 until offSize).foreach(k => off |= (rec.get() & 0xffL) << (8 * k))
+      var len = 0L
+      (0 until lenSize).foreach(k => len |= (rec.get() & 0xffL) << (8 * k))
+      rec.position(rec.position() + (recordSize - 4 - heapIdLen)) // any padding
+      parseLink(heapObject(off, len.toInt))
+    }
+  }
+
+  /** All records of a v2 B-tree ("BTHD"), any depth, in key order.
+    * Internal ("BTIN") nodes hold nrec records then nrec+1 child
+    * pointers, visited child0, rec0, child1, …, recN-1, childN. The
+    * child record-count pointer field is sized by the LEAF capacity (the
+    * largest node type) and the depth>1 subtree-total field by the
+    * cumulative capacity at the child's depth — the same node-capacity
+    * derivation the library makes from node size and record size, so the
+    * on-disk field widths are reproduced exactly. Returns
+    * (tree type, record size, record slices).
+    */
+  private def v2BtreeRecords(
+      btreeAddr: Long, okTypes: Set[Int],
+      what: String): (Int, Int, IndexedSeq[ByteBuffer]) = {
     val bt = readAt(btreeAddr, 34)
     require(bt.getInt == 0x44485442, s"$path: bad v2 B-tree signature") // "BTHD"
     u8(bt) // version
     val btType = u8(bt)
-    require(btType == 5, s"$path: v2 B-tree type $btType where link-name index expected")
-    bt.getInt // node size
+    require(okTypes(btType), s"$path: v2 B-tree type $btType where $what expected")
+    val nodeSize = bt.getInt
     val recordSize = u16(bt)
     val depth = u16(bt)
-    require(depth == 0,
-      s"$path: link-name B-tree depth $depth not supported (leaf root only); " +
-        "convert per the SONATA interop contract (README.md)")
     u8(bt); u8(bt) // split / merge percent
     val rootNode = bt.getLong
     val rootNRec = u16(bt)
-    val leaf = readAt(rootNode, 6 + rootNRec * recordSize)
-    require(leaf.getInt == 0x464c5442, s"$path: bad B-tree leaf signature") // "BTLF"
-    u8(leaf); u8(leaf) // version, type
-    (0 until rootNRec).map { _ =>
-      leaf.getInt // name hash
-      // managed heap ID: version/type byte, heap offset, object length
-      u8(leaf)
-      var off = 0L
-      (0 until offSize).foreach(k => off |= (leaf.get() & 0xffL) << (8 * k))
-      var len = 0L
-      (0 until lenSize).foreach(k => len |= (leaf.get() & 0xffL) << (8 * k))
-      leaf.position(leaf.position() + (recordSize - 4 - heapIdLen)) // any padding
-      // the root direct block starts at heap offset 0, so the object's
-      // heap offset is a direct file offset from the block start
-      parseLink(readAt(rootBlock + off, len.toInt))
+
+    def encSize(n: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))) / 8 + 1
+    val leafMaxRec = (nodeSize - 10) / recordSize // 10 = sig+ver+type+checksum
+    val maxNRecSize = encSize(leafMaxRec.toLong)
+    // cumMaxSize(d): width of the depth>1 "records in subtree" field
+    val cumMaxSize = new Array[Int](depth + 1)
+    var cumMax = leafMaxRec.toLong
+    for (d <- 1 to depth) {
+      val ptr = 8 + maxNRecSize + (if (d > 1) cumMaxSize(d - 1) else 0)
+      val intMax = (nodeSize - 10 - ptr) / (recordSize + ptr)
+      cumMax = (intMax + 1).toLong * cumMax + intMax
+      cumMaxSize(d) = encSize(cumMax)
     }
+
+    val acc = IndexedSeq.newBuilder[ByteBuffer]
+    def record(node: ByteBuffer): Unit = {
+      val a = new Array[Byte](recordSize)
+      node.get(a)
+      acc += ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    def walk(addr: Long, nrec: Int, d: Int): Unit =
+      if (d == 0) {
+        val leaf = readAt(addr, 6 + nrec * recordSize)
+        require(leaf.getInt == 0x464c5442, s"$path: bad B-tree leaf signature") // "BTLF"
+        u8(leaf); u8(leaf) // version, type
+        (0 until nrec).foreach(_ => record(leaf))
+      } else {
+        val ptrSize = 8 + maxNRecSize + (if (d > 1) cumMaxSize(d - 1) else 0)
+        val node = readAt(addr, 6 + nrec * recordSize + (nrec + 1) * ptrSize)
+        require(node.getInt == 0x4e495442, s"$path: bad B-tree internal signature") // "BTIN"
+        u8(node); u8(node) // version, type
+        val recPos = node.position()
+        node.position(recPos + nrec * recordSize)
+        val children = (0 to nrec).map { _ =>
+          val cAddr = node.getLong
+          var cNRec = 0L
+          (0 until maxNRecSize).foreach(k => cNRec |= (node.get() & 0xffL) << (8 * k))
+          if (d > 1) node.position(node.position() + cumMaxSize(d - 1))
+          (cAddr, cNRec.toInt)
+        }
+        for (i <- 0 until nrec) {
+          walk(children(i)._1, children(i)._2, d - 1)
+          node.position(recPos + i * recordSize)
+          record(node)
+        }
+        walk(children(nrec)._1, children(nrec)._2, d - 1)
+      }
+    walk(rootNode, rootNRec, depth)
+    (btType, recordSize, acc.result())
   }
 
   private def resolve(p: String): SymbolEntry =
@@ -821,41 +922,23 @@ final class Hdf5File(val path: String) extends AutoCloseable {
             "dimension not supported; convert per the SONATA interop contract (README.md)")
         if (l.addr == Undef) Nil
         else readExtensibleArray(l.addr, grid.toIndexedSeq, chunkBytes)
-      case 5 => // v2 B-tree chunk index (2+ unlimited max dims)
+      case 5 => // v2 B-tree chunk index (2+ unlimited max dims), any depth
         if (l.addr == Undef) Nil
         else {
-          val bt = readAt(l.addr, 34)
-          require(bt.getInt == 0x44485442, s"$path: bad v2 B-tree signature") // "BTHD"
-          u8(bt) // version
-          val btType = u8(bt)
-          require(btType == 10 || btType == 11,
-            s"$path: v2 B-tree type $btType where chunk index expected")
-          bt.getInt // node size
-          val recordSize = u16(bt)
-          val depth = u16(bt)
-          require(depth == 0,
-            s"$path: chunk v2 B-tree depth $depth not supported (leaf root " +
-              "only); convert per the SONATA interop contract (README.md)")
-          u8(bt); u8(bt) // split / merge percent
-          val rootNode = bt.getLong
-          val rootNRec = u16(bt)
-          val leaf = readAt(rootNode, 6 + rootNRec * recordSize)
-          require(leaf.getInt == 0x464c5442, s"$path: bad B-tree leaf signature") // "BTLF"
-          u8(leaf); u8(leaf) // version, type
-          (0 until rootNRec).map { _ =>
-            val start = leaf.position()
-            val addr = leaf.getLong
+          val (btType, recordSize, recs) =
+            v2BtreeRecords(l.addr, Set(10, 11), "chunk index")
+          recs.map { rec =>
+            val addr = rec.getLong
             val stored =
               if (btType == 11) { // filtered: variable-size chunk size + mask
                 val szLen = recordSize - 8 - 4 - rank * 8
                 var sz = 0L
-                (0 until szLen).foreach(k => sz |= (leaf.get() & 0xffL) << (8 * k))
-                leaf.getInt // filter mask
+                (0 until szLen).foreach(k => sz |= (rec.get() & 0xffL) << (8 * k))
+                rec.getInt // filter mask
                 sz.toInt
               } else chunkBytes.toInt
             // records carry SCALED offsets (chunk-grid coordinates)
-            val offs = (0 until rank).map(i => leaf.getLong * l.chunkDims(i))
-            leaf.position(start + recordSize)
+            val offs = (0 until rank).map(i => rec.getLong * l.chunkDims(i))
             (offs, addr, stored)
           }
         }

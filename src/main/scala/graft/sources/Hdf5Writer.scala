@@ -381,6 +381,167 @@ object Hdf5Writer {
     try s.write(out.array()) finally s.close()
   }
 
+  /** Like [[writeSonataSpikesV2]] but the chunked datasets are indexed by
+    * a v2 B-TREE chunk index (v4 layout index type 5 — what the library
+    * emits for datasets with 2+ unlimited dimensions; the fixture keeps
+    * rank 1, which the reader accepts since only the index structure
+    * differs). `nodeSize` controls tree shape: a small node forces a
+    * depth-1 tree (internal "BTIN" root over several leaves) at fixture
+    * chunk counts; the default stays a depth-0 single-leaf root. Record
+    * type 10: chunk address + scaled offset, field widths from the same
+    * node-capacity math the reader derives.
+    */
+  def writeSonataSpikesBT(
+      path: String, population: String,
+      timestamps: Array[Double], nodeIds: Array[Long],
+      sorting: Int = SortByTime, units: String = "ms",
+      chunkRows: Int = 16, nodeSize: Int = 512): Unit = {
+    require(timestamps.length == nodeIds.length, "timestamps/node_ids length mismatch")
+    require(chunkRows > 0, "chunkRows must be positive")
+    val n = timestamps.length
+    def bb(size: Int) = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    val nChunks = math.max(1, (n + chunkRows - 1) / chunkRows)
+    val chunkBytes = 8L * chunkRows
+    val recordSize = 16 // type 10: chunk address + one scaled offset (rank 1)
+
+    def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val leafMax = (nodeSize - 10) / recordSize
+    val maxNRecSize = log2(leafMax.toLong) / 8 + 1
+    val depth1 = nChunks > leafMax
+    val nLeaves = if (depth1) ((nChunks + 1) + leafMax) / (leafMax + 1) else 1
+    val ptrSize = 8 + maxNRecSize
+    val intMax = (nodeSize - 10 - ptrSize) / (recordSize + ptrSize)
+    require(!depth1 || nLeaves - 1 <= intMax,
+      s"writeSonataSpikesBT: $nChunks chunks need B-tree depth 2 at node size $nodeSize")
+    val leafSizes: Seq[Int] =
+      if (!depth1) Seq(nChunks)
+      else {
+        val total = nChunks - (nLeaves - 1)
+        val base = total / nLeaves; val rem = total % nLeaves
+        (0 until nLeaves).map(i => base + (if (i < rem) 1 else 0))
+      }
+    val leavesBytes = leafSizes.map(6L + _ * recordSize + 4).sum
+    val intBytes =
+      if (depth1) 6L + (nLeaves - 1) * recordSize + nLeaves.toLong * ptrSize + 4 else 0L
+    // one dataset's storage region: BTHD, internal root, leaves, chunks
+    val dataRegion = 38L + intBytes + leavesBytes + nChunks * chunkBytes
+
+    def layoutBT(bthd: Long): Array[Byte] = {
+      val b = bb(28)
+      b.put(4.toByte); b.put(2.toByte) // version 4, chunked
+      b.put(0.toByte) // flags
+      b.put(1.toByte) // rank
+      b.put(8.toByte) // dim sizes encoded in 8 bytes
+      b.putLong(chunkRows.toLong)
+      b.put(5.toByte) // chunk index: v2 B-tree
+      b.putInt(nodeSize)
+      b.put(100.toByte); b.put(40.toByte) // split / merge percent
+      b.putLong(bthd)
+      b.array()
+    }
+
+    val sortAttr = attrMessageV3("sorting", Left(sorting))
+    val unitsAttr = attrMessageV3("units", Right(units))
+    def rootMsgs(spikes: Long) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo, 0x06 -> linkMsg("spikes", spikes))
+    def spikesMsgs(pop: Long) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo, 0x06 -> linkMsg(population, pop))
+    def popMsgs(ids: Long, ts: Long) = Seq(
+      0x02 -> linkInfo, 0x0A -> groupInfo,
+      0x06 -> linkMsg("node_ids", ids), 0x06 -> linkMsg("timestamps", ts),
+      0x0C -> sortAttr)
+    def tsMsgs(bthd: Long) = Seq(
+      0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = true),
+      0x08 -> layoutBT(bthd), 0x0C -> unitsAttr)
+    def idsMsgs(bthd: Long) = Seq(
+      0x01 -> dataspaceV2(n), 0x03 -> dtype64(float = false),
+      0x08 -> layoutBT(bthd))
+
+    val rootOhdr = 48L
+    val spikesOhdr = rootOhdr + ohdrSize(rootMsgs(0))
+    val popOhdr = spikesOhdr + ohdrSize(spikesMsgs(0))
+    val tsOhdr = popOhdr + ohdrSize(popMsgs(0, 0))
+    val idsOhdr = tsOhdr + ohdrSize(tsMsgs(0))
+    val tsData = idsOhdr + ohdrSize(idsMsgs(0))
+    val idsData = tsData + dataRegion
+    val eof = idsData + dataRegion
+    require(eof <= Int.MaxValue,
+      s"writeSonataSpikesBT: $n spikes -> $eof bytes exceeds the 2 GiB " +
+        "single-file writer limit; keep spikes in parquet and convert " +
+        "per-simulation chunks instead")
+
+    val out = bb(eof.toInt)
+    superblockV2(out, eof, rootOhdr)
+    out.position(rootOhdr.toInt); out.put(ohdrV2(rootMsgs(spikesOhdr)))
+    out.position(spikesOhdr.toInt); out.put(ohdrV2(spikesMsgs(popOhdr)))
+    out.position(popOhdr.toInt); out.put(ohdrV2(popMsgs(idsOhdr, tsOhdr)))
+    out.position(tsOhdr.toInt); out.put(ohdrV2(tsMsgs(tsData)))
+    out.position(idsOhdr.toInt); out.put(ohdrV2(idsMsgs(idsData)))
+
+    /** BTHD + ("BTIN" +) "BTLF" leaves + packed full-size chunks. */
+    def writeBtreeRegion(at: Long, putElem: Long => Unit): Unit = {
+      def cksumFrom(start: Long): Unit = out.putInt(lookup3(
+        java.util.Arrays.copyOfRange(out.array(), start.toInt, out.position())))
+      val intAt = at + 38
+      val leafAt = leafSizes
+        .scanLeft(intAt + intBytes)((p, s) => p + 6 + s * recordSize + 4).init
+      val chunksAt = at + 38 + intBytes + leavesBytes
+      // chunk runs per leaf; the record after each run separates in the root
+      val leafIdx: Seq[Seq[Int]] = {
+        var pos = 0
+        leafSizes.map { s =>
+          val r = pos until (pos + s); pos += s + (if (depth1) 1 else 0); r
+        }
+      }
+      def putRec(i: Int): Unit = {
+        out.putLong(chunksAt + i * chunkBytes)
+        out.putLong(i.toLong) // scaled offset
+      }
+      out.position(at.toInt)
+      out.putInt(0x44485442) // "BTHD"
+      out.put(0.toByte)
+      out.put(10.toByte) // type: unfiltered chunk index
+      out.putInt(nodeSize)
+      out.putShort(recordSize.toShort)
+      out.putShort(if (depth1) 1 else 0)
+      out.put(100.toByte); out.put(40.toByte) // split / merge percent
+      out.putLong(if (depth1) intAt else leafAt.head)
+      out.putShort((if (depth1) nLeaves - 1 else nChunks).toShort)
+      out.putLong(nChunks.toLong)
+      cksumFrom(at)
+      for ((idx, a) <- leafIdx.zip(leafAt)) {
+        out.position(a.toInt)
+        out.putInt(0x464c5442) // "BTLF"
+        out.put(0.toByte)
+        out.put(10.toByte)
+        idx.foreach(putRec)
+        cksumFrom(a)
+      }
+      if (depth1) {
+        out.position(intAt.toInt)
+        out.putInt(0x4e495442) // "BTIN"
+        out.put(0.toByte)
+        out.put(10.toByte)
+        leafIdx.init.foreach(idx => putRec(idx.last + 1)) // separators
+        for ((a, s) <- leafAt.zip(leafSizes)) {
+          out.putLong(a)
+          (0 until maxNRecSize).foreach(k => out.put(((s.toLong >> (8 * k)) & 0xff).toByte))
+        }
+        cksumFrom(intAt)
+      }
+      // chunk data: full-size chunks, zero padding past n in the last one
+      out.position(chunksAt.toInt)
+      (0L until nChunks.toLong * chunkRows).foreach(i =>
+        putElem(if (i < n) i else -1L))
+    }
+
+    writeBtreeRegion(tsData, i => out.putDouble(if (i < 0) 0.0 else timestamps(i.toInt)))
+    writeBtreeRegion(idsData, i => out.putLong(if (i < 0) 0L else nodeIds(i.toInt)))
+
+    val s = new BufferedOutputStream(new FileOutputStream(path))
+    try s.write(out.array()) finally s.close()
+  }
+
   /** Extensible-Array geometry (public format spec): super block u holds
     * 2^(u/2) data blocks of 2^((u+1)/2)·minElems elements; the index block
     * stores `idxElmts` elements inline and points directly at the data
@@ -841,19 +1002,27 @@ object Hdf5Writer {
   }
 
   /** Fixture writer for DENSE groups (h5py libver='latest' past 8 links):
-    * the root group stores its links in a fractal heap (one root direct
-    * block) indexed by a depth-0 link-name v2 B-tree; each link points at
-    * a small contiguous u64 dataset. Exists to pin `Hdf5File.denseLinks`
-    * against a real on-disk instance of the structures.
+    * the root group stores its links in a fractal heap indexed by a
+    * link-name v2 B-tree; each link points at a small contiguous u64
+    * dataset. Exists to pin `Hdf5File.denseLinks` against real on-disk
+    * instances of the structures. With the default geometry and few
+    * links the heap is one root DIRECT block and the B-tree a single
+    * leaf; shrinking `startBlockSize`/`maxDirectBlockSize`/`btNodeSize`
+    * forces root INDIRECT blocks, nested indirect rows past
+    * maxDirectRows, and a depth-1 B-tree (internal "BTIN" root) at
+    * fixture sizes — the shapes a large h5py dense group produces.
     */
-  def writeDenseGroupFixture(path: String, datasets: Seq[(String, Array[Long])]): Unit = {
+  def writeDenseGroupFixture(
+      path: String, datasets: Seq[(String, Array[Long])],
+      startBlockSize: Int = 4096, maxDirectBlockSize: Int = 65536,
+      tableWidth: Int = 4, btNodeSize: Int = 512): Unit = {
     require(datasets.nonEmpty)
     val names = datasets.map(_._1)
     // heap geometry: 32-bit heap offsets, 4096-max objects → 7-byte ids
     val OffSize = 4; val LenSize = 2
     val heapIdLen = 1 + OffSize + LenSize
     val recordSize = 4 + heapIdLen
-    val FhdbHeader = 4 + 1 + 8 + OffSize
+    val DbHeader = 4 + 1 + 8 + OffSize // FHDB header (unchecksummed blocks)
 
     def dsMsgs(name: String, data: Long) = {
       val n = datasets.find(_._1 == name).get._2.length
@@ -861,7 +1030,7 @@ object Hdf5Writer {
         0x08 -> layoutC(data, 8L * n))
     }
     // layout: superblock, root OHDR, per-dataset (OHDR + data), FRHP,
-    // FHDB (+ link bodies), BTHD, BTLF
+    // direct blocks in heap order, nested FHIBs, root FHIB, B-tree nodes
     val rootMsgs0 = Seq(0x02 -> linkInfoMsg(0L, 0L), 0x0A -> groupInfo)
     val rootOhdr = 48L
     var cursor = rootOhdr + ohdrSize(rootMsgs0)
@@ -872,14 +1041,111 @@ object Hdf5Writer {
       (name, ohdrAt, dataAt)
     }
     val linkBodies = dsAddrs.map { case (name, ohdrAt, _) => linkMsg(name, ohdrAt) }
+
+    // ---- pack link bodies into doubling-table direct blocks ----
+    def log2(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    require(Integer.bitCount(startBlockSize) == 1 &&
+      Integer.bitCount(maxDirectBlockSize) == 1 &&
+      Integer.bitCount(tableWidth) == 1 && maxDirectBlockSize >= startBlockSize,
+      "heap geometry must be powers of two")
+    val maxDirectRows = log2(maxDirectBlockSize) - log2(startBlockSize) + 2
+    def rowBlockSize(r: Int): Long =
+      if (r < 2) startBlockSize.toLong else startBlockSize.toLong << (r - 1)
+    def rowStart(r: Int): Long =
+      (0 until r).map(q => tableWidth * rowBlockSize(q)).sum
+    // direct-block slots in heap order; key = (root row, root col,
+    // nested row, nested col); nested rows expand one level (fixture
+    // scope — the reader recurses arbitrarily)
+    case class Slot(rr: Int, rc: Int, nr: Int, nc: Int, heapOff: Long, size: Long)
+    def slots: Iterator[Slot] = Iterator.from(0).flatMap { r =>
+      (0 until tableWidth).iterator.flatMap { c =>
+        val base = rowStart(r) + c * rowBlockSize(r)
+        if (r < maxDirectRows) Iterator(Slot(r, c, -1, -1, base, rowBlockSize(r)))
+        else {
+          val childRows = log2(rowBlockSize(r)) - log2(startBlockSize.toLong * tableWidth) + 1
+          require(childRows <= maxDirectRows,
+            "fixture geometry would doubly nest indirect blocks")
+          (0 until childRows).iterator.flatMap { cr =>
+            (0 until tableWidth).iterator.map { cc =>
+              Slot(r, c, cr, cc,
+                base + rowStart(cr) + cc * rowBlockSize(cr), rowBlockSize(cr))
+            }
+          }
+        }
+      }
+    }
+    // greedy fill: body i → first slot with room; bodies are far smaller
+    // than a block so every slot up to the last is used
+    val slotIt = slots
+    val used = scala.collection.mutable.ArrayBuffer.empty[(Slot, scala.collection.mutable.ArrayBuffer[Int])]
+    val heapOffsets = new Array[Long](linkBodies.length)
+    for (i <- linkBodies.indices) {
+      val len = linkBodies(i).length
+      require(len <= startBlockSize - DbHeader, s"link body $len too big for a block")
+      if (used.isEmpty ||
+          heapOffsets(used.last._2.last) + linkBodies(used.last._2.last).length + len >
+            used.last._1.heapOff + used.last._1.size) {
+        used += ((slotIt.next(), scala.collection.mutable.ArrayBuffer.empty[Int]))
+        heapOffsets(i) = used.last._1.heapOff + DbHeader
+      } else {
+        heapOffsets(i) = heapOffsets(used.last._2.last) + linkBodies(used.last._2.last).length
+      }
+      used.last._2 += i
+    }
+    val rootDirect = used.length == 1 && used.head._1.rr == 0
+    val curRows = if (rootDirect) 0 else used.map(s => s._1.rr).max + 1
+    val usedNested = used.map(_._1).filter(_.nr >= 0).map(s => (s.rr, s.rc)).distinct
+
+    // ---- file layout past the datasets ----
     val fheapAt = cursor
-    val fhdbAt = fheapAt + 146
-    val heapOffsets = linkBodies.scanLeft(FhdbHeader.toLong)(_ + _.length)
-    val fhdbSize = heapOffsets.last
-    val bthdAt = fhdbAt + fhdbSize
-    val btlfAt = bthdAt + 38
-    val btlfSize = 6L + names.length * recordSize + 4
-    val eof = btlfAt + btlfSize
+    cursor += 146
+    val blockFileAt = used.map { case (s, bodies) =>
+      val at = cursor
+      cursor += DbHeader + bodies.map(linkBodies(_).length).sum
+      ((s.rr, s.rc, s.nr, s.nc), at)
+    }.toMap
+    def fhibSize(nrows: Int): Long = 4 + 1 + 8 + OffSize + nrows.toLong * tableWidth * 8 + 4
+    val nestedAt = usedNested.map { case (rr, rc) =>
+      val childRows = log2(rowBlockSize(rr)) - log2(startBlockSize.toLong * tableWidth) + 1
+      val at = cursor; cursor += fhibSize(childRows); ((rr, rc), (at, childRows))
+    }.toMap
+    val rootFhibAt = if (rootDirect) -1L else { val a = cursor; cursor += fhibSize(curRows); a }
+    val heapRootAddr = if (rootDirect) blockFileAt(used.head._1.rr, used.head._1.rc, -1, -1) else rootFhibAt
+
+    // ---- B-tree shape: depth 0 (single leaf) or depth 1 ----
+    val sortedRecs = names.zipWithIndex.map { case (nm, i) =>
+      (lookup3(nm.getBytes("UTF-8")) & 0xffffffffL, i)
+    }.sortBy(_._1)
+    val leafMax = (btNodeSize - 10) / recordSize
+    val maxNRecSize = log2(leafMax.toLong) / 8 + 1
+    val depth1 = sortedRecs.length > leafMax
+    // smallest leaf count whose leaves hold all records minus separators
+    val nLeaves =
+      if (!depth1) 1 else ((sortedRecs.length + 1) + leafMax) / (leafMax + 1)
+    val ptrSize = 8 + maxNRecSize
+    val intMax = (btNodeSize - 10 - ptrSize) / (recordSize + ptrSize)
+    require(nLeaves - 1 <= intMax,
+      s"fixture needs B-tree depth 2 (${sortedRecs.length} links, node $btNodeSize)")
+    // leaves get even shares of (records - separators)
+    val leafRecs: Seq[Seq[(Long, Int)]] =
+      if (!depth1) Seq(sortedRecs)
+      else {
+        val total = sortedRecs.length - (nLeaves - 1)
+        val base = total / nLeaves; val rem = total % nLeaves
+        val sizes = (0 until nLeaves).map(i => base + (if (i < rem) 1 else 0))
+        val out = Seq.newBuilder[Seq[(Long, Int)]]
+        var pos = 0
+        for (s <- sizes) { out += sortedRecs.slice(pos, pos + s); pos += s + 1 }
+        out.result()
+      }
+    val separators = // record after each leaf's share
+      if (!depth1) Nil
+      else leafRecs.init.scanLeft(0)((p, l) => p + l.length + 1).zip(leafRecs.init)
+        .map { case (start, l) => sortedRecs(start + l.length) }
+    val bthdAt = cursor; cursor += 38
+    val leafAt = leafRecs.map { l => val a = cursor; cursor += 6L + l.length * recordSize + 4; a }
+    val intAt = if (depth1) { val a = cursor; cursor += 6L + separators.length * recordSize + nLeaves.toLong * ptrSize + 4; a } else -1L
+    val eof = cursor
 
     val out = bbuf(eof.toInt)
     superblockV2(out, eof, rootOhdr)
@@ -891,7 +1157,11 @@ object Hdf5Writer {
       out.position(dataAt.toInt)
       vals.foreach(out.putLong)
     }
+    def cksumFrom(start: Long): Unit = out.putInt(lookup3(
+      java.util.Arrays.copyOfRange(out.array(), start.toInt, out.position())))
     // ---- fractal heap header ----
+    val managed = used.map { case (s, bodies) =>
+      DbHeader.toLong + bodies.map(linkBodies(_).length).sum }.sum
     out.position(fheapAt.toInt)
     out.putInt(0x50485246) // "FRHP"
     out.put(0.toByte)
@@ -901,57 +1171,88 @@ object Hdf5Writer {
     out.putInt(4096) // max managed object size
     out.putLong(0L); out.putLong(-1L) // next huge id / huge btree
     out.putLong(0L); out.putLong(-1L) // free space / manager
-    out.putLong(fhdbSize); out.putLong(fhdbSize) // managed / allocated space
-    out.putLong(fhdbSize) // iterator offset
+    out.putLong(managed); out.putLong(managed) // managed / allocated space
+    out.putLong(managed) // iterator offset
     out.putLong(names.length.toLong) // managed objects
     out.putLong(0L); out.putLong(0L); out.putLong(0L); out.putLong(0L) // huge/tiny
-    out.putShort(4) // table width
-    out.putLong(4096L) // starting block size
-    out.putLong(65536L) // max direct block size
+    out.putShort(tableWidth.toShort)
+    out.putLong(startBlockSize.toLong)
+    out.putLong(maxDirectBlockSize.toLong)
     out.putShort(32) // max heap size (bits)
-    out.putShort(0) // starting rows in root indirect block
-    out.putLong(fhdbAt)
-    out.putShort(0) // current rows in root indirect block → root is DIRECT
-    out.putInt(lookup3(
-      java.util.Arrays.copyOfRange(out.array(), fheapAt.toInt, out.position())))
-    // ---- root direct block + link bodies ----
-    out.position(fhdbAt.toInt)
-    out.putInt(0x42444846) // "FHDB"
-    out.put(0.toByte)
-    out.putLong(fheapAt)
-    out.putInt(0) // block offset (heap offset space starts at this block)
-    linkBodies.foreach(out.put)
-    // ---- link-name v2 B-tree: header + one leaf, records sorted by hash ----
+    out.putShort(if (rootDirect) 0 else 1) // starting rows in root indirect
+    out.putLong(heapRootAddr)
+    out.putShort(curRows.toShort) // 0 → root is DIRECT
+    cksumFrom(fheapAt)
+    // ---- direct blocks + link bodies ----
+    for ((s, bodies) <- used) {
+      out.position(blockFileAt((s.rr, s.rc, s.nr, s.nc)).toInt)
+      out.putInt(0x42444846) // "FHDB"
+      out.put(0.toByte)
+      out.putLong(fheapAt)
+      (0 until OffSize).foreach(k => out.put(((s.heapOff >> (8 * k)) & 0xff).toByte))
+      bodies.foreach(i => out.put(linkBodies(i)))
+    }
+    // ---- indirect blocks: nested tables first, then the root ----
+    def writeFhib(at: Long, blockOff: Long, nrows: Int,
+        child: (Int, Int) => Long): Unit = {
+      out.position(at.toInt)
+      out.putInt(0x42494846) // "FHIB"
+      out.put(0.toByte)
+      out.putLong(fheapAt)
+      (0 until OffSize).foreach(k => out.put(((blockOff >> (8 * k)) & 0xff).toByte))
+      for (r <- 0 until nrows; c <- 0 until tableWidth) out.putLong(child(r, c))
+      cksumFrom(at)
+    }
+    for (((rr, rc), (at, childRows)) <- nestedAt.toSeq.sortBy(_._2._1)) {
+      val base = rowStart(rr) + rc * rowBlockSize(rr)
+      writeFhib(at, base, childRows,
+        (r, c) => blockFileAt.getOrElse((rr, rc, r, c), -1L))
+    }
+    if (!rootDirect) writeFhib(rootFhibAt, 0L, curRows, (r, c) =>
+      if (r < maxDirectRows) blockFileAt.getOrElse((r, c, -1, -1), -1L)
+      else nestedAt.get((r, c)).map(_._1).getOrElse(-1L))
+    // ---- link-name v2 B-tree ----
     out.position(bthdAt.toInt)
     out.putInt(0x44485442) // "BTHD"
     out.put(0.toByte)
     out.put(5.toByte) // type: link-name index
-    out.putInt(512) // node size
+    out.putInt(btNodeSize)
     out.putShort(recordSize.toShort)
-    out.putShort(0) // depth
+    out.putShort(if (depth1) 1 else 0)
     out.put(100.toByte); out.put(40.toByte) // split / merge percent
-    out.putLong(btlfAt)
-    out.putShort(names.length.toShort)
-    out.putLong(names.length.toLong)
-    out.putInt(lookup3(
-      java.util.Arrays.copyOfRange(out.array(), bthdAt.toInt, out.position())))
-    out.position(btlfAt.toInt)
-    out.putInt(0x464c5442) // "BTLF"
-    out.put(0.toByte)
-    out.put(5.toByte)
-    val records = names.zipWithIndex.map { case (nm, i) =>
-      (lookup3(nm.getBytes("UTF-8")) & 0xffffffffL, i)
-    }.sortBy(_._1)
-    records.foreach { case (hash, i) =>
-      out.putInt(hash.toInt)
+    out.putLong(if (depth1) intAt else leafAt.head)
+    out.putShort((if (depth1) separators.length else sortedRecs.length).toShort)
+    out.putLong(sortedRecs.length.toLong)
+    cksumFrom(bthdAt)
+    def putRecord(rec: (Long, Int)): Unit = {
+      out.putInt(rec._1.toInt)
       out.put(0.toByte) // managed heap id, version 0
-      val off = heapOffsets(i)
+      val off = heapOffsets(rec._2)
       (0 until OffSize).foreach(k => out.put(((off >> (8 * k)) & 0xff).toByte))
-      val len = linkBodies(i).length.toLong
+      val len = linkBodies(rec._2).length.toLong
       (0 until LenSize).foreach(k => out.put(((len >> (8 * k)) & 0xff).toByte))
     }
-    out.putInt(lookup3(
-      java.util.Arrays.copyOfRange(out.array(), btlfAt.toInt, out.position())))
+    for ((recs, at) <- leafRecs.zip(leafAt)) {
+      out.position(at.toInt)
+      out.putInt(0x464c5442) // "BTLF"
+      out.put(0.toByte)
+      out.put(5.toByte)
+      recs.foreach(putRecord)
+      cksumFrom(at)
+    }
+    if (depth1) {
+      out.position(intAt.toInt)
+      out.putInt(0x4e495442) // "BTIN"
+      out.put(0.toByte)
+      out.put(5.toByte)
+      separators.foreach(putRecord)
+      for (i <- 0 until nLeaves) {
+        out.putLong(leafAt(i))
+        val n = leafRecs(i).length.toLong
+        (0 until maxNRecSize).foreach(k => out.put(((n >> (8 * k)) & 0xff).toByte))
+      }
+      cksumFrom(intAt)
+    }
 
     val s = new BufferedOutputStream(new FileOutputStream(path))
     try s.write(out.array()) finally s.close()

@@ -192,6 +192,94 @@ class Hdf5WriterSpec extends SparkSuite {
     } finally h5.close()
   }
 
+  /** Occurrences of a 4-byte structure signature in the file — proves a
+    * fixture actually contains the shape the test claims to exercise.
+    */
+  private def countSig(p: String, sig: String): Int = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val s = sig.getBytes("US-ASCII")
+    (0 to bytes.length - 4).count(i =>
+      bytes(i) == s(0) && bytes(i + 1) == s(1) && bytes(i + 2) == s(2) && bytes(i + 3) == s(3))
+  }
+
+  test("dense group at 120 links: root INDIRECT heap + depth-1 name B-tree") {
+    // shrunken doubling-table geometry so fixture-size groups produce the
+    // multi-block shapes of a real many-thousand-link h5py dense group
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5dense-ind")
+    val p = dir.resolve("dense_ind.h5").toString
+    val sets = (0 until 120).map(i => (f"prop$i%03d", Array(i.toLong, i * 7L)))
+    Hdf5Writer.writeDenseGroupFixture(p, sets,
+      startBlockSize = 512, maxDirectBlockSize = 1024, btNodeSize = 512)
+    assert(countSig(p, "FHIB") === 1, "expected a root indirect block")
+    assert(countSig(p, "FHDB") >= 3, "expected several direct blocks")
+    assert(countSig(p, "BTIN") === 1, "expected a depth-1 B-tree root")
+    assert(countSig(p, "BTLF") >= 2, "expected several B-tree leaves")
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.ls("/") === sets.map(_._1).sorted)
+      for ((name, vals) <- sets)
+        assert(h5.readLongs(s"/$name").toSeq === vals.toSeq, s"dataset $name")
+    } finally h5.close()
+  }
+
+  test("dense group at 600 links: NESTED indirect rows past maxDirectRows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5dense-nest")
+    val p = dir.resolve("dense_nest.h5").toString
+    val sets = (0 until 600).map(i => (f"p$i%03d", Array(i.toLong)))
+    Hdf5Writer.writeDenseGroupFixture(p, sets,
+      startBlockSize = 512, maxDirectBlockSize = 1024, btNodeSize = 512)
+    // root indirect + at least one child indirect block in a row >= maxDirectRows
+    assert(countSig(p, "FHIB") >= 2, "expected root + nested indirect blocks")
+    assert(countSig(p, "BTIN") === 1)
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.ls("/").length === 600)
+      assert(h5.readLongs("/p000").toSeq === Seq(0L))
+      assert(h5.readLongs("/p599").toSeq === Seq(599L))
+      assert(h5.readLongs("/p311").toSeq === Seq(311L))
+      assert(h5.exists("/p042") && !h5.exists("/p600"))
+    } finally h5.close()
+  }
+
+  test("v2 B-tree chunk index, depth 0: values and ranges round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5bt0")
+    val p = dir.resolve("bt0.h5").toString
+    Hdf5Writer.writeSonataSpikesBT(p, "synthetic", ts, ids, chunkRows = 2)
+    assert(countSig(p, "BTHD") === 2 && countSig(p, "BTIN") === 0)
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts.toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids.toSeq)
+      assert(h5.readDoubles("/spikes/synthetic/timestamps", 1, 4).toSeq === ts.slice(1, 4).toSeq)
+    } finally h5.close()
+  }
+
+  test("v2 B-tree chunk index, DEPTH 1: internal root over several leaves") {
+    val n = 52
+    val ts2 = Array.tabulate(n)(_ * 0.75)
+    val ids2 = Array.tabulate(n)(i => (i % 7).toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-h5bt1")
+    val p = dir.resolve("bt1.h5").toString
+    // node size 128 -> 7 records/leaf; 26 chunks -> depth-1 tree, 4 leaves
+    Hdf5Writer.writeSonataSpikesBT(p, "synthetic", ts2, ids2,
+      chunkRows = 2, nodeSize = 128)
+    assert(countSig(p, "BTIN") === 2, "expected a depth-1 root per dataset")
+    assert(countSig(p, "BTLF") >= 8)
+    val h5 = new Hdf5File(p)
+    try {
+      assert(h5.readDoubles("/spikes/synthetic/timestamps").toSeq === ts2.toSeq)
+      assert(h5.readLongs("/spikes/synthetic/node_ids").toSeq === ids2.toSeq)
+      // range reads crossing leaf boundaries (chunks 6..8 span leaves)
+      assert(h5.readDoubles("/spikes/synthetic/timestamps", 11, 37).toSeq ===
+        ts2.slice(11, 37).toSeq)
+    } finally h5.close()
+    // and through the DSv2 source end-to-end
+    val df = spark.read.format("sonata-spikes").load(p)
+      .filter(col("time") >= 9.0 && col("time") < 12.0)
+    assert(df.collect().map(_.getDouble(1)).sorted.toSeq ===
+      ts2.filter(t => t >= 9.0 && t < 12.0).toSeq)
+  }
+
   test("lookup3 checksum: empty input and length sensitivity") {
     assert(Hdf5Writer.lookup3(Array.empty[Byte]) === 0xdeadbeef)
     // 13 bytes exercises the >12 mix loop + tail; must differ from 12
