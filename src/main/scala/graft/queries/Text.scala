@@ -555,6 +555,99 @@ object Text {
         .groupBy("doc_id")
         .agg(expr("array_join(transform(sort_array(collect_list(struct(p, bit))), x -> cast(x.bit as string)), '')")
           .as("simhash"))
+    },
+
+    // ---- PII scrubbing (training-data redaction): emails, NANP phone
+    // numbers and IPv4 addresses replaced by type tags, with per-type
+    // counts. The synthetic corpus carries no PII, so both engines append
+    // a deterministic doc_id-derived contact line first — the operator
+    // under test is the scrub, and the counts prove it fired on every
+    // row. Pure map-side codegen'd regexes (patterns chosen to mean the
+    // same thing in Java regex and RE2); zero shuffles. ----
+    GQuery(
+      "t15_pii_scrub",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com tel: 415-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM aug""".stripMargin) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat(
+          col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com tel: 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"), lit(".7")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).as("n_emails"),
+          regexp_count(col("t"), lit(phone)).as("n_phones"),
+          regexp_count(col("t"), lit(ip)).as("n_ips"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
+    },
+
+    // ---- Sequence packing (pack-and-chunk): concatenate each source
+    // shard's documents in doc_id order and split at a fixed context
+    // length — every doc gets the sequence index and in-sequence offset
+    // where it starts. One window per SHARD (partitionBy source), the
+    // way web-scale pipelines pack per input shard: parallelism = shard
+    // count, no global sort, no driver loop. ----
+    GQuery(
+      "t16_sequence_pack",
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS start_off
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(start_off // 256 AS BIGINT) AS seq_id,
+        |  CAST(start_off % 256 AS BIGINT) AS seq_off
+        |FROM c""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("start_off div 256").as("seq_id"),
+          (col("start_off") % 256).as("seq_off"))
+    },
+
+    // ---- Deterministic mixture sampling: admit each document with a
+    // per-source probability (the Pile/Dolma-style source-weighting
+    // step), decided by a doc_id hash both engines compute identically —
+    // reproducible across runs and engines, map-side only, no shuffle,
+    // no RNG state. Source srcN gets weight (N mod 5 + 1)/5. ----
+    GQuery(
+      "t17_mixture_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 1000000 AS u,
+        |    (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000 AS cut
+        |  FROM documents)
+        |WHERE u < cut""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") * lit(2654435761L) % 1000000L).as("u"),
+          ((substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L).as("cut"))
+        .filter(col("u") < col("cut"))
+        .select("doc_id", "source")
     }
   )
 }

@@ -43,6 +43,20 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(p).length == 1, p)
   }
 
+  test("t15 pii scrub + t17 mixture sample: map-only plans (no exchange)") {
+    for (q <- Seq("t15_pii_scrub", "t17_mixture_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(p.contains("*("), s"$q should stay codegen'd:\n$p") // codegen stage marker
+    }
+  }
+
+  test("t16 sequence pack: exactly one exchange (the per-shard window)") {
+    val p = plan("t16_sequence_pack")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"shard packing is one hash-partition by source, nothing else:\n$p")
+  }
+
   test("a2 per-gid means: whole-stage codegen spans the aggregation") {
     // AQE prints codegen spans only in the final (post-execution) plan
     val df = SparkEntry.queries("a2_mean_rate_per_gid")(spark, sf0001)
