@@ -26,7 +26,12 @@ object Profile {
       val runs = sys.env.get("GRAFT_PROFILE_RUNS").map(_.toInt).getOrElse(2)
       for (i <- 1 to runs) {
         val t0 = System.nanoTime()
-        val cnt = fn(spark, sfDir).count()
+        // count() lets the optimizer drop a map-only query's projections
+        // entirely; FORCE materializes every output row instead
+        val cnt =
+          if (sys.env.get("GRAFT_PROFILE_FORCE").contains("1"))
+            fn(spark, sfDir).queryExecution.toRdd.count()
+          else fn(spark, sfDir).count()
         println(f"[profile] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$cnt")
       }
     }
