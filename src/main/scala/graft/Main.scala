@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
 /** CLI (reference surface: `blueetl run | validate-config | migrate`,
   * src/blueetl/apps/{run,migrate}.py, plus the convert-spikes tool):
   *
-  *   runMain graft.Main run <analysis.yaml> [--adapter=events|sonata]
+  *   runMain graft.Main run <analysis.yaml> [--adapter=events|sonata|bluepy]
   *       [--population=<pop>]                extract + features; sonata =
-  *                                           native .h5 campaigns
+  *                                           native .h5 campaigns, bluepy =
+  *                                           legacy BlueConfig campaigns
   *   runMain graft.Main validate-config <yaml>     parse + summarize
   *   runMain graft.Main migrate <old> <new> [--no-sort]  v1-v3 → v4 config
   *   runMain graft.Main convert-spikes <csv> <out> [--bare]
@@ -24,6 +25,7 @@ object Main {
       val adapter: DataAdapter =
         if (rest.contains("--adapter=events")) new EventsAdapter
         else if (rest.contains("--adapter=sonata")) new SonataAdapter(population)
+        else if (rest.contains("--adapter=bluepy")) new BlueConfigAdapter()
         else new ParquetAdapter
       val ma = MultiAnalyzer.fromFile(spark, cfgPath, adapter)
       try {

@@ -1001,6 +1001,89 @@ object Hdf5Writer {
     try s.write(out.array()) finally s.close()
   }
 
+  /** Legacy BBP frame report (the pre-SONATA flat layout bluepy reads,
+    * reference via adapters/impl/bluepy/simulation.py:39-51): root-level
+    * `/data` [n_frames × n_cols] float32 plus `/mapping/{gids,
+    * index_pointer, element_id, time}` — gids are 1-based bluepy GIDs,
+    * `index_pointer` holds per-gid column START offsets only (length ==
+    * nGids; run k ends at the next start, the last at n_cols), and
+    * `time` is the `(start, stop, step)` triple. Used by the bluepy-tier
+    * campaign cross-checks; matches the shape of the reference's own
+    * tests/unit/data/simulation/bbp/reporting/soma.h5 fixture.
+    */
+  def writeBbpReport(
+      path: String, gids: Array[Long], start: Double, step: Double,
+      data: Array[Array[Float]],
+      indexPointer: Option[Array[Long]] = None,
+      elementId: Option[Array[Long]] = None): Unit = {
+    val nFrames = data.length.toLong
+    val nCols = if (data.isEmpty) 0L else data(0).length.toLong
+    require(data.forall(_.length == nCols), "ragged frame rows")
+    require(indexPointer.forall(_.length == gids.length),
+      "legacy index_pointer holds start offsets only: length == gids.length")
+    val timeArr = Array(start, start + nFrames * step, step)
+
+    case class Ds(name: String, size: Long, msgs: Long => Seq[(Int, Array[Byte])],
+        write: (ByteBuffer, Long) => Unit)
+    def u64Ds(name: String, vals: Array[Long]) = Ds(
+      name, 8L * vals.length,
+      a => Seq(0x01 -> dataspaceV2(vals.length), 0x03 -> dtype64(float = false),
+        0x08 -> layoutC(a, 8L * vals.length)),
+      (out, a) => { out.position(a.toInt); vals.foreach(out.putLong) })
+    def f64Ds(name: String, vals: Array[Double]) = Ds(
+      name, 8L * vals.length,
+      a => Seq(0x01 -> dataspaceV2(vals.length), 0x03 -> dtype64(float = true),
+        0x08 -> layoutC(a, 8L * vals.length)),
+      (out, a) => { out.position(a.toInt); vals.foreach(out.putDouble) })
+    val dataDs = Ds(
+      "data", 4L * nFrames * nCols,
+      a => Seq(0x01 -> dataspace2d(nFrames, nCols), 0x03 -> dtypeF32,
+        0x08 -> layoutC(a, 4L * nFrames * nCols)),
+      (out, a) => { out.position(a.toInt); data.foreach(_.foreach(out.putFloat)) })
+    val mappingDs = Seq(u64Ds("gids", gids)) ++
+      indexPointer.map(u64Ds("index_pointer", _)) ++
+      elementId.map(u64Ds("element_id", _)) ++
+      Seq(f64Ds("time", timeArr))
+
+    def groupMsgs(links: Seq[(String, Long)]) =
+      Seq(0x02 -> linkInfo, 0x0A -> groupInfo) ++
+        links.map { case (nm, a) => 0x06 -> linkMsg(nm, a) }
+
+    val rootOhdr = 48L
+    val mappingOhdr = rootOhdr +
+      ohdrSize(groupMsgs(Seq("data" -> 0L, "mapping" -> 0L)))
+    var cursor = mappingOhdr +
+      ohdrSize(groupMsgs(mappingDs.map(_.name -> 0L)))
+    val placed = (dataDs +: mappingDs).map { ds =>
+      val ohdrAt = cursor
+      val dataAt = ohdrAt + ohdrSize(ds.msgs(0L))
+      cursor = dataAt + ds.size
+      (ds, ohdrAt, dataAt)
+    }
+    val eof = cursor
+    require(eof <= Int.MaxValue,
+      s"writeBbpReport: $eof bytes exceeds the 2 GiB single-buffer " +
+        "writer limit; frame reports at data scale stay in parquet (README)")
+
+    val out = bbuf(eof.toInt)
+    superblockV2(out, eof, rootOhdr)
+    def put(at: Long, bytes: Array[Byte]): Unit = {
+      out.position(at.toInt); out.put(bytes)
+    }
+    val byName = placed.map(p => p._1.name -> p).toMap
+    put(rootOhdr, ohdrV2(groupMsgs(
+      Seq("data" -> byName("data")._2, "mapping" -> mappingOhdr))))
+    put(mappingOhdr, ohdrV2(groupMsgs(
+      mappingDs.map(ds => ds.name -> byName(ds.name)._2))))
+    placed.foreach { case (ds, ohdrAt, dataAt) =>
+      put(ohdrAt, ohdrV2(ds.msgs(dataAt)))
+      ds.write(out, dataAt)
+    }
+
+    val s = new BufferedOutputStream(new FileOutputStream(path))
+    try s.write(out.array()) finally s.close()
+  }
+
   /** Fixture writer for DENSE groups (h5py libver='latest' past 8 links):
     * the root group stores its links in a fractal heap indexed by a
     * link-name v2 B-tree; each link points at a small contiguous u64

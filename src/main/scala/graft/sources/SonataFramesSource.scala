@@ -101,6 +101,52 @@ object SonataFramesSource {
 
   private[sources] def eval(f: Filter, pop: String, time: Double, gid: Long): Boolean =
     SonataSpikesSource.eval(f, pop, time, gid)
+
+  /** Resolved dataset paths of one population's frame report. Two on-disk
+    * layouts map onto the same plan: the SONATA layout
+    * (`/report/<pop>/{data, mapping/{node_ids, index_pointers,
+    * element_ids, time}}`) and the legacy BBP flat layout written by
+    * pre-SONATA report writers and read by bluepy
+    * (`/data` + `/mapping/{gids, index_pointer, element_id, time}` at the
+    * root, no population level — reference reaches it through
+    * bluepy.impl.compartment_report via adapters/impl/bluepy/
+    * simulation.py:39-51). Legacy reports surface as population
+    * "default"; both keep the implicit time grid `(start, stop, step)`.
+    */
+  private[sources] final case class FramesLayout(
+      pop: String, data: String, nodeIds: String,
+      indexPointers: Option[String], elementIds: Option[String], time: String)
+
+  private[sources] def layouts(h5: Hdf5File): Seq[FramesLayout] =
+    if (h5.exists("/report"))
+      h5.ls("/report").map { p =>
+        val m = s"/report/$p/mapping"
+        FramesLayout(p, s"/report/$p/data", s"$m/node_ids",
+          Some(s"$m/index_pointers").filter(h5.exists),
+          Some(s"$m/element_ids").filter(h5.exists), s"$m/time")
+      }
+    else if (h5.exists("/data") && h5.exists("/mapping/gids"))
+      Seq(FramesLayout("default", "/data", "/mapping/gids",
+        Some("/mapping/index_pointer").filter(h5.exists),
+        Some("/mapping/element_id").filter(h5.exists), "/mapping/time"))
+    else throw new IllegalArgumentException(
+      "not a frame report: neither /report/<pop> (SONATA) nor /data + " +
+        "/mapping/gids (legacy BBP) present")
+
+  /** Column-start offsets normalized to nGids+1 entries: SONATA
+    * index_pointers already carry the closing offset; legacy
+    * index_pointer holds starts only (run k ends at the next start, the
+    * last at nCols); absent → one column per gid.
+    */
+  private[sources] def colStarts(
+      idx: Option[Array[Long]], nGids: Int, nCols: Long): Array[Long] =
+    idx match {
+      case Some(a) if a.length == nGids + 1 => a
+      case Some(a) if a.length == nGids => a :+ nCols
+      case Some(a) => throw new IllegalArgumentException(
+        s"index pointer length ${a.length} matches neither $nGids nor ${nGids + 1}")
+      case None => Array.tabulate(nGids + 1)(_.toLong)
+    }
 }
 
 class SonataFramesTable(path: String) extends Table with SupportsRead {
@@ -155,16 +201,16 @@ class SonataFramesScan(
     val h5 = new Hdf5File(path)
     try {
       val admitted = SonataSpikesSource.popFilter(filters.toSeq)
-      val pops = h5.ls("/report")
-        .filter(p => population.forall(_ == p))
-        .filter(p => admitted.forall(_.contains(p)))
+      val pops = layouts(h5)
+        .filter(l => population.forall(_ == l.pop))
+        .filter(l => admitted.forall(_.contains(l.pop)))
       val (tLo, tHi) = SonataSpikesSource.timeWindow(filters.toSeq)
       val gids = gidFilter(filters.toSeq)
-      pops.flatMap { pop =>
-        val base = s"/report/$pop"
-        val dims = h5.dims(s"$base/data")
+      pops.flatMap { layout =>
+        val pop = layout.pop
+        val dims = h5.dims(layout.data)
         val (nFrames, nCols) = (dims(0), dims(1))
-        val Array(start, _, step) = h5.readDoubles(s"$base/mapping/time")
+        val Array(start, _, step) = h5.readDoubles(layout.time)
         // pushed time bounds → frame-row range via the implicit grid, with
         // a one-row margin each side; reader-side residual eval keeps the
         // boundary exact, so the bounds only need to be conservative
@@ -183,11 +229,9 @@ class SonataFramesScan(
         // pushed gid equality/In → column runs; only worth the per-row
         // positional reads when the admitted width is a small fraction
         val runs: Option[Seq[(Long, Long)]] = gids.map { admit =>
-          val nodeIds = h5.readLongs(s"$base/mapping/node_ids")
-          val idx =
-            if (h5.exists(s"$base/mapping/index_pointers"))
-              h5.readLongs(s"$base/mapping/index_pointers")
-            else (0L to nodeIds.length.toLong).toArray
+          val nodeIds = h5.readLongs(layout.nodeIds)
+          val idx = colStarts(
+            layout.indexPointers.map(h5.readLongs(_)), nodeIds.length, nCols)
           mergeRuns(nodeIds.indices.collect {
             case k if admit.contains(nodeIds(k)) => (idx(k), idx(k + 1))
           }.toSeq)
@@ -199,7 +243,7 @@ class SonataFramesScan(
         }
         if (runs.contains(Nil)) Nil
         else {
-          val es = h5.elemSize(s"$base/data")
+          val es = h5.elemSize(layout.data)
           val bytesPerRow =
             runs.map(_.map { case (s, e) => e - s }.sum).getOrElse(nCols) * es
           val rowsPerSlice = math.max(1L, sliceBytes / math.max(1L, bytesPerRow))
@@ -230,10 +274,11 @@ class SonataFramesReader(p: SonataFrameSlice, filters: Array[Filter], required: 
   import SonataFramesSource._
 
   private val h5 = new Hdf5File(p.file)
-  private val base = s"/report/${p.pop}"
-  private val dims = h5.dims(s"$base/data")
+  private val layout = layouts(h5).find(_.pop == p.pop).getOrElse(
+    throw new IllegalStateException(s"population ${p.pop} vanished from ${p.file}"))
+  private val dims = h5.dims(layout.data)
   private val nCols = dims(1).toInt
-  private val Array(tStart, _, tStep) = h5.readDoubles(s"$base/mapping/time")
+  private val Array(tStart, _, tStep) = h5.readDoubles(layout.time)
 
   private val need = required.fieldNames.toSet
   private val filterCols = filters.flatMap(_.references).toSet
@@ -245,11 +290,9 @@ class SonataFramesReader(p: SonataFrameSlice, filters: Array[Filter], required: 
   // the data matrix is O(nFrames × nCols) — metadata stays the small side)
   private val (colNode, colElem): (Array[Long], Array[Long]) =
     if (needGid || needSection) {
-      val nodeIds = h5.readLongs(s"$base/mapping/node_ids")
-      val idx =
-        if (h5.exists(s"$base/mapping/index_pointers"))
-          h5.readLongs(s"$base/mapping/index_pointers")
-        else (0L to nodeIds.length.toLong).toArray
+      val nodeIds = h5.readLongs(layout.nodeIds)
+      val idx = colStarts(
+        layout.indexPointers.map(h5.readLongs(_)), nodeIds.length, nCols)
       val cn = new Array[Long](nCols)
       var k = 0
       while (k < nodeIds.length) {
@@ -258,8 +301,8 @@ class SonataFramesReader(p: SonataFrameSlice, filters: Array[Filter], required: 
         k += 1
       }
       val ce =
-        if (needSection && h5.exists(s"$base/mapping/element_ids"))
-          h5.readLongs(s"$base/mapping/element_ids")
+        if (needSection && layout.elementIds.isDefined)
+          h5.readLongs(layout.elementIds.get)
         else new Array[Long](nCols)
       (cn, ce)
     } else (null, null)
@@ -311,14 +354,14 @@ class SonataFramesReader(p: SonataFrameSlice, filters: Array[Filter], required: 
     vals =
       if (!needValue) null
       else p.runs match {
-        case None => h5.readDoubles(s"$base/data", batchStart * nCols, batchEnd * nCols)
+        case None => h5.readDoubles(layout.data, batchStart * nCols, batchEnd * nCols)
         case Some(rs) =>
           val out = new Array[Double]((batchEnd - batchStart).toInt * width)
           var rr = batchStart
           while (rr < batchEnd) {
             var o = (rr - batchStart).toInt * width
             rs.foreach { case (c0, c1) =>
-              val run = h5.readDoubles(s"$base/data", rr * nCols + c0, rr * nCols + c1)
+              val run = h5.readDoubles(layout.data, rr * nCols + c0, rr * nCols + c1)
               System.arraycopy(run, 0, out, o, run.length)
               o += run.length
             }
