@@ -89,7 +89,8 @@ object Describe {
 final class CacheManager(
     val spark: SparkSession, val dir: String, readonly: Boolean = false,
     storeType: String = "parquet") {
-  require(storeType == "parquet" || storeType == "feather", s"bad store: $storeType")
+  require(storeType == "parquet" || storeType == "feather" || storeType == "hdf",
+    s"bad store: $storeType")
   private val manifestPath = Paths.get(dir, "manifest.json")
   Files.createDirectories(Paths.get(dir, "repo"))
   Files.createDirectories(Paths.get(dir, "features"))
@@ -125,7 +126,9 @@ final class CacheManager(
     Files.writeString(manifestPath, json)
   }
 
-  private def path(kind: String, name: String) = s"$dir/$kind/$name.$storeType"
+  // the hdf store keeps the reference's .h5 extension (store/hdf.py:24-25)
+  private val ext = if (storeType == "hdf") "h5" else storeType
+  private def path(kind: String, name: String) = s"$dir/$kind/$name.$ext"
 
   /** Digest of the stored files (C4 — reference checksums each stored
     * file, cache.py:412-476): md5 over sorted (name, size, md5) triples so
@@ -165,9 +168,11 @@ final class CacheManager(
       store: Boolean = true): DataFrame = {
     val key = s"$kind/$name"
     val p = path(kind, name)
-    def load(): DataFrame =
-      if (storeType == "feather") graft.sources.FeatherIO.read(spark, p)
-      else spark.read.parquet(p)
+    def load(): DataFrame = storeType match {
+      case "feather" => graft.sources.FeatherIO.read(spark, p)
+      case "hdf" => graft.sources.PandasHdf.read(spark, p, Some(name))
+      case _ => spark.read.parquet(p)
+    }
     val fresh = manifest.get(key).contains(chain) && Files.exists(Paths.get(p)) &&
       manifest.get(s"$key#files").forall(_ == filesDigest(p))
     if (fresh)
@@ -175,8 +180,11 @@ final class CacheManager(
     else {
       val df = compute
       if (!readonly && store) {
-        if (storeType == "feather") graft.sources.FeatherIO.write(df, p)
-        else df.write.mode("overwrite").parquet(p)
+        storeType match {
+          case "feather" => graft.sources.FeatherIO.write(df, p)
+          case "hdf" => graft.sources.PandasHdf.write(df, p, name)
+          case _ => df.write.mode("overwrite").parquet(p)
+        }
         manifest += key -> chain
         manifest += s"$key#files" -> filesDigest(p)
         saveManifest()

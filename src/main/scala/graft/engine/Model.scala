@@ -110,8 +110,9 @@ final case class SingleAnalysisConfig(
 
 /** The `cache:` block (reference: analysis_model.py:57-71 CacheConfig).
   * `storeType` selects the on-disk frame format: parquet (default,
-  * dataset-scale) or feather (Arrow IPC — the reference's
-  * store/feather.py, interoperable with an existing blueetl cache).
+  * dataset-scale), feather (Arrow IPC — the reference's
+  * store/feather.py, interoperable with an existing blueetl cache), or
+  * hdf (pandas-HDFStore fixed format — store/hdf.py).
   */
 final case class CacheSettings(
     path: String = "",
@@ -120,8 +121,8 @@ final case class CacheSettings(
     skipFeatures: Boolean = false,
     storeType: String = "parquet") {
   require(!(clear && readonly), "clear and readonly cannot be both True at the same time")
-  require(storeType == "parquet" || storeType == "feather",
-    s"store_type must be parquet or feather, got $storeType")
+  require(storeType == "parquet" || storeType == "feather" || storeType == "hdf",
+    s"store_type must be parquet, feather, or hdf, got $storeType")
 }
 
 final case class MultiAnalysisConfig(

@@ -799,10 +799,10 @@ object Hdf5Writer {
 
   // ---- shared v2 building blocks (OHDR headers, messages) ------------------
 
-  private def bbuf(size: Int) =
+  private[sources] def bbuf(size: Int) =
     ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
 
-  private def linkMsg(name: String, addr: Long): Array[Byte] = {
+  private[sources] def linkMsg(name: String, addr: Long): Array[Byte] = {
     val nm = name.getBytes("UTF-8")
     // flags byte 0 declares a 1-byte name length — longer names would
     // silently truncate into a corrupt file, so refuse like the 2 GiB guards
@@ -820,23 +820,23 @@ object Hdf5Writer {
   /** Link Info message: compact (no heap) by default; dense groups pass
     * their fractal heap + name-index addresses.
     */
-  private def linkInfoMsg(fheap: Long = -1L, nameBtree: Long = -1L): Array[Byte] = {
+  private[sources] def linkInfoMsg(fheap: Long = -1L, nameBtree: Long = -1L): Array[Byte] = {
     val b = bbuf(18)
     b.put(0.toByte); b.put(0.toByte) // v0, no creation order
     b.putLong(fheap); b.putLong(nameBtree)
     b.array()
   }
-  private def linkInfo: Array[Byte] = linkInfoMsg()
-  private val groupInfo = Array[Byte](0, 0) // v0, no flags
+  private[sources] def linkInfo: Array[Byte] = linkInfoMsg()
+  private[sources] val groupInfo = Array[Byte](0, 0) // v0, no flags
 
-  private def dataspaceV2(len: Long): Array[Byte] = {
+  private[sources] def dataspaceV2(len: Long): Array[Byte] = {
     val b = bbuf(12)
     b.put(2.toByte); b.put(1.toByte); b.put(0.toByte); b.put(1.toByte) // v2 rank1 simple
     b.putLong(len)
     b.array()
   }
 
-  private def dtype64(float: Boolean): Array[Byte] = {
+  private[sources] def dtype64(float: Boolean): Array[Byte] = {
     val b = bbuf(24)
     if (float) {
       b.put(0x11.toByte); b.put(0x20.toByte); b.put(0x3f.toByte); b.put(0.toByte)
@@ -851,14 +851,14 @@ object Hdf5Writer {
     b.array()
   }
 
-  private def layoutC(addr: Long, size: Long): Array[Byte] = {
+  private[sources] def layoutC(addr: Long, size: Long): Array[Byte] = {
     val b = bbuf(18)
     b.put(3.toByte); b.put(1.toByte)
     b.putLong(addr); b.putLong(size)
     b.array()
   }
 
-  private def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+  private[sources] def ohdrV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
     val msgBytes = msgs.map(4 + _._2.length).sum
     // flags byte 0x01 declares a 2-byte chunk0 size — a bigger message
     // block (e.g. a compact group with very many links) would wrap the
@@ -879,10 +879,10 @@ object Hdf5Writer {
     b.putInt(lookup3(java.util.Arrays.copyOfRange(b.array(), 0, 8 + msgBytes)))
     b.array()
   }
-  private def ohdrSize(msgs: Seq[(Int, Array[Byte])]): Long =
+  private[sources] def ohdrSize(msgs: Seq[(Int, Array[Byte])]): Long =
     8L + msgs.map(4 + _._2.length).sum + 4
 
-  private def superblockV2(out: ByteBuffer, eof: Long, rootOhdr: Long): Unit = {
+  private[sources] def superblockV2(out: ByteBuffer, eof: Long, rootOhdr: Long): Unit = {
     out.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
     out.put(2.toByte) // superblock v2
     out.put(8.toByte); out.put(8.toByte) // offset/length sizes
@@ -894,14 +894,14 @@ object Hdf5Writer {
     out.putInt(lookup3(java.util.Arrays.copyOfRange(out.array(), 0, 44)))
   }
 
-  private def dataspace2d(rows: Long, cols: Long): Array[Byte] = {
+  private[sources] def dataspace2d(rows: Long, cols: Long): Array[Byte] = {
     val b = bbuf(20)
     b.put(2.toByte); b.put(2.toByte); b.put(0.toByte); b.put(1.toByte) // v2 rank2 simple
     b.putLong(rows); b.putLong(cols)
     b.array()
   }
 
-  private def dtypeF32: Array[Byte] = {
+  private[sources] def dtypeF32: Array[Byte] = {
     val b = bbuf(20)
     b.put(0x11.toByte) // v1, class 1 (float)
     b.put(0x20.toByte); b.put(0x1f.toByte); b.put(0.toByte) // LE IEEE, sign bit 31
