@@ -83,4 +83,47 @@ object Lsh {
       .select(col(s"p.$out1").as(out1), col(s"p.$out2").as(out2))
       .distinct()
   }
+
+  /** Smallest band depth whose MEASURED max bucket occupancy meets
+    * `target` — or, if no probed depth reaches it, the depth with the
+    * smallest occupancy seen.
+    *
+    * [[autoDepth]]'s closed form assumes bucket keys compose independently
+    * per row; real signatures don't — partially-overlapping documents
+    * correlate their minhash slots, clustered embeddings correlate their
+    * hyperplane bits — and the x100 profile (BASELINE.md) measured the
+    * analytic depth leaving thousands of capped drops that two extra rows
+    * eliminate. So: measure instead of model. `maxBucketAt(d)` must return
+    * the max bucket occupancy over ALL bands of the depth-`d` banding
+    * (band `b` keys on its OWN slot range `[d·b, d·b+d)`, which redraws as
+    * `d` grows — a single band's nested prefix under-measures the band
+    * that happens to draw popular slots). One probe is one count-by-key
+    * aggregate over the n-item signature frame — cheap next to the bucket
+    * shuffle it tunes, and at 100 TB it runs on a doc sample like the
+    * analytic seed it replaces.
+    *
+    * Escalation starts at `seed` (the analytic estimate — a floor in
+    * practice, since slot correlation only ever INCREASES occupancy over
+    * the independence model). Because the per-band slot redraw makes the
+    * curve noisy rather than monotone, the walk keeps the argmin and stops
+    * at `target`, at `maxDepth`, or after `patience` consecutive probes
+    * without improvement — the plateau that marks genuine near-dup mass
+    * sharing its whole signature, which no depth can split and the
+    * occupancy cap + observed-drop metric are designed to absorb.
+    */
+  private[graft] def measuredDepth(
+      seed: Int, maxDepth: Int = 24,
+      target: Int = DefaultTargetOccupancy, patience: Int = 2)(
+      maxBucketAt: Int => Long): Int = {
+    var d = math.min(seed, maxDepth)
+    var best = maxBucketAt(d)
+    var bestD = d
+    var stale = 0
+    while (d < maxDepth && best > target && stale < patience) {
+      d += 1
+      val m = maxBucketAt(d)
+      if (m < best) { best = m; bestD = d; stale = 0 } else stale += 1
+    }
+    bestD
+  }
 }

@@ -31,7 +31,7 @@ object Text {
   /** Distinct word n-gram shingles per doc (map-side explode, then
     * distinct on (doc_id, shingle)).
     */
-  private def shingles(s: SparkSession, dir: String, n: Int): DataFrame = {
+  private[graft] def shingles(s: SparkSession, dir: String, n: Int): DataFrame = {
     val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
     toks(s, dir)
       .filter(size(col("ts")) >= n)
@@ -64,29 +64,49 @@ object Text {
     * (BASELINE.md x100 reading; TextLshDepthSpec measures the relief),
     * the same lever as `Vectors.lshSimilarPairs(planesPerBand)`.
     */
-  /** Self-correcting default for `rowsPerBand`: measure how often a
-    * minhash slot's MODE value recurs (min-stats are skewed — with a small
-    * vocabulary the globally-smallest shingle hash belongs to a large doc
-    * fraction p₁, and the biggest chance bucket shrinks ≈ p₁ per extra
-    * row, NOT 1/|key space| — distinct-count models overshoot badly) and
-    * pick the smallest depth with `n · p₁^depth` ≤ the target (default
-    * cap/8), i.e. autoDepth with multiplier 1/p₁ = n/modeCount. A rich
-    * vocabulary gives modeCount ≈ 1 → the shallow minimum. One cheap
-    * two-stage aggregate over the shingle frame; at 100 TB run it on a
-    * doc sample — an over-estimated p₁ only deepens bands (safe).
+  /** Self-correcting default for `rowsPerBand`, chosen by MEASUREMENT
+    * ([[Lsh.measuredDepth]]): one minhash-signature aggregate over the
+    * shingle frame (the same shuffle [[lshBuckets]] pays anyway), then
+    * cheap per-depth max-bucket probes over the n-doc signature frame.
+    * Seeded by the analytic mode model — how often slot-0's MODE value
+    * recurs bounds the per-extra-row shrink p₁ = mode/n under
+    * independence — but NOT trusted to stop there: partially-overlapping
+    * docs correlate their minhash slots, and the x100 profile showed the
+    * mode model leaving thousands of capped drops that two extra measured
+    * rows eliminate (BASELINE.md). At 100 TB run it on a doc sample — an
+    * over-deep estimate only lengthens band keys (safe).
     */
-  private[queries] def autoRowsPerBand(
-      sh: DataFrame, target: Int = Lsh.DefaultTargetOccupancy): Int = {
-    val row = sh
-      .groupBy("doc_id").agg(min(md5(concat(lit("0|"), col("shingle")))).as("mh0"))
-      .groupBy("mh0").agg(count(lit(1)).as("c"))
-      .agg(max("c").as("mode"), sum("c").as("n"))
-      .head()
-    val (mode, n) = (row.getLong(0), row.getLong(1))
-    Lsh.autoDepth(n, math.max(n.toDouble / mode, 2.0), target)
+  private[graft] def autoRowsPerBand(
+      sh: DataFrame, target: Int = Lsh.DefaultTargetOccupancy,
+      bands: Int = 4): Int = {
+    val maxDepth = 12
+    // one signature pass covering every slot any probed banding can use
+    // (band b at depth d keys on slots [d·b, d·b+d), same as lshBuckets)
+    val aggs = (0 until bands * maxDepth).map(j =>
+      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
+    try {
+      val row = sigs.groupBy("mh0").agg(count(lit(1)).as("c"))
+        .agg(max("c").as("mode"), sum("c").as("n"))
+        .head()
+      val (mode, n) = (row.getLong(0), row.getLong(1))
+      val seed =
+        Lsh.autoDepth(n, math.max(n.toDouble / mode, 2.0), target, maxDepth = maxDepth)
+      Lsh.measuredDepth(seed, maxDepth, target) { d =>
+        val bandExprs = (0 until bands).map { b =>
+          val key = (0 until d).map(r => s"mh${d * b + r}").mkString(", '|', ")
+          s"concat($key)"
+        }
+        // md5 value spaces are disjoint across slots, so keys from
+        // different bands cannot collide — no band tag needed
+        sigs.select(explode(expr(s"array(${bandExprs.mkString(", ")})")).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(max("c")).head().getLong(0)
+      }
+    } finally { sigs.unpersist(); () }
   }
 
-  private[queries] def lshBuckets(
+  private[graft] def lshBuckets(
       sh: DataFrame, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val aggs = (0 until bands * rowsPerBand).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))

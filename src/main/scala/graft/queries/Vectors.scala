@@ -70,7 +70,35 @@ object Vectors {
       corpusSize: Long, target: Int = Lsh.DefaultTargetOccupancy): Int =
     Lsh.autoDepth(corpusSize, 2.0, target)
 
-  private[queries] def lshSignatures(
+  /** Measured variant ([[Lsh.measuredDepth]]): the ⌈log2⌉ closed form
+    * above assumes each hyperplane halves every bucket, but clustered
+    * embeddings (the normal case — that's what makes ANN work) correlate
+    * their bits, and the x100 profile measured 20× the modeled occupancy
+    * at the analytic depth (BASELINE.md). Computes one bit signature wide
+    * enough for every probed banding (map-side `array_dot`s against
+    * broadcast planes), then probes each candidate depth's ACTUAL band
+    * keys — band `b` at depth `d` is bits `[d·b, d·b+d)`, exactly what
+    * [[lshSignatures]] at that depth emits — over the one-row-per-vector
+    * frame, stopping at the target or on the plateau that marks genuinely
+    * co-located vectors no hyperplane can split (the occupancy cap's job).
+    */
+  private[graft] def autoPlanesPerBand(
+      emb: DataFrame, corpusSize: Long, target: Int, bands: Int): Int = {
+    val maxDepth = 24
+    val seed = Lsh.autoDepth(corpusSize, 2.0, target, maxDepth = maxDepth)
+    val sigs = lshSignatures(emb, bands = 1, planesPerBand = bands * maxDepth)
+      .select("vec_id", "bkey").persist()
+    try Lsh.measuredDepth(seed, maxDepth, target) { d =>
+      // bit prefixes DO collide across bands — tag the band into the key
+      val keys = (0 until bands).map(b =>
+        s"concat('$b:', substring(bkey, ${d * b + 1}, $d))")
+      sigs.select(explode(expr(s"array(${keys.mkString(", ")})")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+    } finally { sigs.unpersist(); () }
+  }
+
+  private[graft] def lshSignatures(
       emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
     registered(emb.sparkSession)
     require(bands > 0 && planesPerBand > 0)

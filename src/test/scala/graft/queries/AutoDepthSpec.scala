@@ -21,6 +21,33 @@ class AutoDepthSpec extends SparkSuite {
     assert(Lsh.autoDepth(1000000, 10.0) === 5) // 10^5 >= 1e6/16
   }
 
+  test("measuredDepth escalates until the MEASURED max bucket meets target") {
+    // max bucket exactly halves per extra row: ceil(1000/2^d) ≤ 16 first
+    // at d = 6, regardless of what the analytic seed modeled
+    val d = Lsh.measuredDepth(seed = 2)(d => math.ceil(1000.0 / (1L << d)).toLong)
+    assert(d === 6, s"ceil(1000/2^6)=16 needs depth 6, got $d")
+  }
+
+  test("measuredDepth stops on a plateau instead of chasing dup mass") {
+    // 100 items share ONE key at every depth (a true near-dup cluster no
+    // depth can split); the other 1900 halve per extra row. The walk must
+    // escalate 3→4→5 while chance collisions dominate (238→119→100) and
+    // then STOP once the dup cluster is the max bucket — deepening can't
+    // shrink it, that's the occupancy cap's job.
+    val d = Lsh.measuredDepth(seed = 3)(
+      d => math.max(math.ceil(1900.0 / (1L << d)).toLong, 100L))
+    assert(d === 5, s"must stop where the irreducible 100-id cluster plateaus, got $d")
+  }
+
+  test("measuredDepth rides out single-probe noise to a deeper argmin") {
+    // per-band slot ranges redraw at every depth, so the real curve is
+    // noisy (the 20k-doc corpus below measures 128→83→136→19): one bad
+    // probe must not end the walk while the next finds a new minimum
+    val curve = Map(8 -> 128L, 9 -> 83L, 10 -> 136L, 11 -> 19L, 12 -> 9L)
+    val d = Lsh.measuredDepth(seed = 8, maxDepth = 12)(curve)
+    assert(d === 12, s"argmin across the noisy tail is 12, got $d")
+  }
+
   // --- text: the TextLshDepthSpec 20k small-vocab corpus --------------------
 
   private val nDocs = 20000
@@ -66,8 +93,12 @@ class AutoDepthSpec extends SparkSuite {
         .as("embedding"))
 
   test("50k vectors: auto planes-per-band keeps drops ~ 0") {
-    val depth = Vectors.autoPlanesPerBand(nVecs)
-    assert(depth === 12) // ⌈log2(50000/16)⌉
+    assert(Vectors.autoPlanesPerBand(nVecs) === 12) // ⌈log2(50000/16)⌉
+    // uniform vectors = independent bits, so the measured probe should
+    // confirm (not inflate) the analytic seed — it deepens only when the
+    // corpus's cluster structure actually correlates the bits
+    val depth = Vectors.autoPlanesPerBand(emb, nVecs, Lsh.DefaultTargetOccupancy, bands = 4)
+    assert(depth >= 12 && depth <= 18, s"measured depth $depth")
     val stats = Vectors.lshSignatures(emb, bands = 4, planesPerBand = depth)
       .groupBy("band", "bkey").agg(count(lit(1)).as("cnt"))
       .agg(max("cnt").as("max_bucket"),
