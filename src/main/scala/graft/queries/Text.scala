@@ -78,20 +78,33 @@ object Text {
     */
   private[graft] def autoRowsPerBand(
       sh: DataFrame, target: Int = Lsh.DefaultTargetOccupancy,
-      bands: Int = 4): Int = {
+      bands: Int = 4, sample: Double = 1.0): Int = {
     val maxDepth = 12
+    // the 100 TB path: choose on a deterministic DOC-level sample (a row
+    // sample would corrupt the minhashes — partial shingle sets change
+    // the mins) and scale each measured occupancy back up by 1/sample.
+    // Buckets that matter are ≥ target/sample items in the sample, so the
+    // estimate's relative error is small exactly where it must be; the
+    // ±1-depth noise on boundary corpora only ever deepens or shallows
+    // within the cap's 8× headroom (sampled choices verified against the
+    // full x100/x1000 corpora in BASELINE.md).
+    val (docs, scale) =
+      if (sample >= 1.0) (sh, 1.0)
+      else (sh.filter(pmod(xxhash64(col("doc_id")), lit(1000000)) <
+        (sample * 1000000).toLong), 1.0 / sample)
     // one signature pass covering every slot any probed banding can use
     // (band b at depth d keys on slots [d·b, d·b+d), same as lshBuckets)
     val aggs = (0 until bands * maxDepth).map(j =>
       min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
-    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
+    val sigs = docs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
     try {
       val row = sigs.groupBy("mh0").agg(count(lit(1)).as("c"))
         .agg(max("c").as("mode"), sum("c").as("n"))
         .head()
       val (mode, n) = (row.getLong(0), row.getLong(1))
-      val seed =
-        Lsh.autoDepth(n, math.max(n.toDouble / mode, 2.0), target, maxDepth = maxDepth)
+      val seed = Lsh.autoDepth(
+        math.ceil(n * scale).toLong, math.max(n.toDouble / mode, 2.0),
+        target, maxDepth = maxDepth)
       Lsh.measuredDepth(seed, maxDepth, target) { d =>
         val bandExprs = (0 until bands).map { b =>
           val key = (0 until d).map(r => s"mh${d * b + r}").mkString(", '|', ")
@@ -99,9 +112,10 @@ object Text {
         }
         // md5 value spaces are disjoint across slots, so keys from
         // different bands cannot collide — no band tag needed
-        sigs.select(explode(expr(s"array(${bandExprs.mkString(", ")})")).as("k"))
+        val mx = sigs.select(explode(expr(s"array(${bandExprs.mkString(", ")})")).as("k"))
           .groupBy("k").agg(count(lit(1)).as("c"))
           .agg(max("c")).head().getLong(0)
+        math.ceil(mx * scale).toLong
       }
     } finally { sigs.unpersist(); () }
   }

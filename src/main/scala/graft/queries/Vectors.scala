@@ -83,18 +83,27 @@ object Vectors {
     * co-located vectors no hyperplane can split (the occupancy cap's job).
     */
   private[graft] def autoPlanesPerBand(
-      emb: DataFrame, corpusSize: Long, target: Int, bands: Int): Int = {
+      emb: DataFrame, corpusSize: Long, target: Int, bands: Int,
+      sample: Double): Int = {
     val maxDepth = 24
     val seed = Lsh.autoDepth(corpusSize, 2.0, target, maxDepth = maxDepth)
-    val sigs = lshSignatures(emb, bands = 1, planesPerBand = bands * maxDepth)
+    // the 100 TB path: signatures are per-row, so a deterministic vector
+    // sample is safe; measured occupancies scale back up by 1/sample
+    // (sampled choices verified against full corpora in BASELINE.md)
+    val (vecs, scale) =
+      if (sample >= 1.0) (emb, 1.0)
+      else (emb.filter(pmod(xxhash64(col("vec_id")), lit(1000000)) <
+        (sample * 1000000).toLong), 1.0 / sample)
+    val sigs = lshSignatures(vecs, bands = 1, planesPerBand = bands * maxDepth)
       .select("vec_id", "bkey").persist()
     try Lsh.measuredDepth(seed, maxDepth, target) { d =>
       // bit prefixes DO collide across bands — tag the band into the key
       val keys = (0 until bands).map(b =>
         s"concat('$b:', substring(bkey, ${d * b + 1}, $d))")
-      sigs.select(explode(expr(s"array(${keys.mkString(", ")})")).as("k"))
+      val mx = sigs.select(explode(expr(s"array(${keys.mkString(", ")})")).as("k"))
         .groupBy("k").agg(count(lit(1)).as("c"))
         .agg(max("c")).head().getLong(0)
+      math.ceil(mx * scale).toLong
     } finally { sigs.unpersist(); () }
   }
 

@@ -63,6 +63,12 @@ object PandasHdf {
       name: String, dtRaw: Array[Byte], dsRaw: Array[Byte],
       dataRaw: Array[Byte]): Array[Byte] = {
     val nameRaw = name.getBytes("UTF-8") :+ 0.toByte
+    // v3 attribute-message size fields are unsigned 16-bit; past 64 KiB
+    // the .toShort truncation would silently corrupt the file (same
+    // conversion-contract guard as Hdf5Writer.ohdrV2/linkMsg)
+    require(nameRaw.length <= 0xFFFF && dtRaw.length <= 0xFFFF &&
+      dsRaw.length <= 0xFFFF,
+      s"pandas-hdf fixed: attribute '$name' exceeds the 64 KiB field limit")
     val head = ByteBuffer.allocate(9).order(ByteOrder.LITTLE_ENDIAN)
     head.put(3.toByte); head.put(0.toByte)
     head.putShort(nameRaw.length.toShort)

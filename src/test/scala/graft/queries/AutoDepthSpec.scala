@@ -81,6 +81,23 @@ class AutoDepthSpec extends SparkSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("20k docs: choosing on a 25% doc sample still keeps drops ~ 0") {
+    // the 100 TB protocol: deterministic doc-level sample, measured
+    // occupancies scaled back up — the chosen depth must still hold the
+    // FULL corpus under the cap
+    val sh = shingles.persist()
+    try {
+      val depth = Text.autoRowsPerBand(sh, sample = 0.25)
+      val stats = Text.lshBuckets(sh, bands = 4, rowsPerBand = depth)
+        .groupBy("band", "bkey").agg(count(lit(1)).as("cnt"))
+        .agg(max("cnt").as("max_bucket"),
+          sum(greatest(col("cnt") - Lsh.DefaultBucketCap, lit(0))).as("dropped"))
+        .collect()(0)
+      assert(stats.getLong(1) === 0L,
+        s"sampled choice $depth dropped ${stats.getLong(1)} (max ${stats.getLong(0)})")
+    } finally { sh.unpersist(); () }
+  }
+
   // --- vectors: 50k uniform vectors (chance collisions only) ----------------
 
   private val nVecs = 50000
@@ -97,7 +114,8 @@ class AutoDepthSpec extends SparkSuite {
     // uniform vectors = independent bits, so the measured probe should
     // confirm (not inflate) the analytic seed — it deepens only when the
     // corpus's cluster structure actually correlates the bits
-    val depth = Vectors.autoPlanesPerBand(emb, nVecs, Lsh.DefaultTargetOccupancy, bands = 4)
+    val depth = Vectors.autoPlanesPerBand(emb, nVecs, Lsh.DefaultTargetOccupancy,
+      bands = 4, sample = 1.0)
     assert(depth >= 12 && depth <= 18, s"measured depth $depth")
     val stats = Vectors.lshSignatures(emb, bands = 4, planesPerBand = depth)
       .groupBy("band", "bkey").agg(count(lit(1)).as("cnt"))
