@@ -189,10 +189,53 @@ object PandasHdf {
 
   private val IndexCol = "_index:(\\d+):(.*)".r
 
-  def write(df: DataFrame, path: String, key: String): Unit = {
+  def write(df: DataFrame, path: String, key: String,
+      maxBytes: Long = Int.MaxValue): Unit = {
+    val schema = df.schema
+
+    // schema validation runs on metadata alone, before any data moves
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | BooleanType |
+          DoubleType | FloatType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"pandas-hdf fixed: unsupported column type $other (${f.name}) — " +
+            "cache frames hold long/double/string columns")
+      }
+    }
+
+    // Pre-flight size estimate BEFORE df.collect(): one distributed agg
+    // (count + max byte-length per string column) bounds the stored data
+    // volume — numerics store 8 B/row, strings their max width (index
+    // strings at least 8 B/row to cover MultiIndex label arrays). The
+    // exact eof check below still guards the final layout; this one fires
+    // before the driver materializes an over-limit frame.
+    {
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, octet_length}
+      val strCols = schema.fields.filter(_.dataType == StringType).map(_.name)
+      val aggCols = count(lit(1)).as("_n") +:
+        strCols.map(c => coalesce(max(octet_length(col(c))), lit(0)).as(s"_w_$c"))
+      val stat = df.agg(aggCols.head, aggCols.tail: _*).head()
+      val n0 = stat.getLong(0)
+      val strW = strCols.zipWithIndex.map { case (c, i) =>
+        c -> math.max(1L, stat.getInt(i + 1).toLong)
+      }.toMap
+      val rowBytes = schema.fields.map { f =>
+        val w = f.dataType match {
+          case StringType => strW(f.name)
+          case _ => 8L
+        }
+        if (f.name.startsWith("_index:")) math.max(w, 8L) else w
+      }.sum
+      val est = n0 * rowBytes
+      require(est <= maxBytes,
+        s"pandas-hdf fixed: ~$est bytes (estimated from $n0 rows) exceeds " +
+          s"the $maxBytes-byte single-buffer writer limit; large cache " +
+          "frames belong in the parquet store")
+    }
+
     val rows = df.collect()
     val n = rows.length
-    val schema = df.schema
 
     def columnData(i: Int, f: StructField): ColData = f.dataType match {
       case LongType | IntegerType | ShortType | ByteType | BooleanType =>
@@ -226,15 +269,6 @@ object PandasHdf {
     }.sortBy(_._1)
     val dataCols = schema.fields.zipWithIndex.filter {
       case (f, _) => !f.name.startsWith("_index:")
-    }
-    (indexed.map(t => t._4) ++ dataCols.map(_._1)).foreach { f =>
-      f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType | BooleanType |
-          DoubleType | FloatType | StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"pandas-hdf fixed: unsupported column type $other (${f.name}) — " +
-            "cache frames hold long/double/string columns")
-      }
     }
 
     def kindOf(c: ColData): String = c match {
@@ -341,7 +375,7 @@ object PandasHdf {
       (ds, ohdrAt, dataAt)
     }
     val eof = cursor
-    require(eof <= Int.MaxValue,
+    require(eof <= math.min(maxBytes, Int.MaxValue.toLong),
       s"pandas-hdf fixed: $eof bytes exceeds the 2 GiB single-buffer " +
         "writer limit; large cache frames belong in the parquet store")
 

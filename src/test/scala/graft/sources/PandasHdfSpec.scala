@@ -164,6 +164,28 @@ class PandasHdfSpec extends SparkSuite {
     } finally cm.close()
   }
 
+  test("over-limit frames refuse BEFORE the driver materializes them") {
+    import spark.implicits._
+    // a column that throws if (and only if) its rows are ever evaluated:
+    // the pre-flight agg reads only count + string widths, so a clean
+    // IllegalArgumentException (not the raise_error SparkException)
+    // proves the size guard fired before df.collect()
+    val boobyTrapped = spark.range(1000).select(
+      col("id"),
+      raise_error(lit("frame was materialized")).cast("double").as("v"),
+      lit("some-string-payload").as("s"))
+    val e = intercept[IllegalArgumentException] {
+      PandasHdf.write(boobyTrapped, tmp("big.h5"), "k", maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains("exceeds"))
+    assert(e.getMessage.contains("parquet store"))
+    // same frame without the trap fits a raised limit and round-trips
+    val ok = spark.range(10).select(col("id"), lit(1.5).as("v"))
+    val p = tmp("small.h5")
+    PandasHdf.write(ok, p, "k", maxBytes = 1 << 20)
+    assert(PandasHdf.read(spark, p, Some("k")).count() === 10L)
+  }
+
   test("boolean and int coerce up; unsupported types refuse clearly") {
     import spark.implicits._
     val in = Seq((1, true), (2, false)).toDF("i", "b")
