@@ -24,15 +24,26 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read nanos as long and rebuild a micros timestamp —
-    * integer `div` (not `/`, which would round-trip through double and lose
-    * precision above 2^53) truncates exactly like DuckDB's ns→µs read.
+  /** events.parquet has shipped with two `ts` encodings: TIMESTAMP(NANOS)
+    * (which Spark 4 only reads as long, via `nanosAsLong`) and plain
+    * `timestamp[us]`. Branch on the type the scan actually produced:
+    *  - Long (nanos): integer `div 1000` (not `/`, which would round-trip
+    *    through double and lose precision above 2^53) truncates exactly
+    *    like DuckDB's ns→µs read.
+    *  - Timestamp / TimestampNTZ (micros): cast to session-TZ timestamp;
+    *    under the UTC session this is identity in micros, matching
+    *    DuckDB's `epoch_us(ts)` oracle reads.
     */
+  def tsMicros(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, sfDir, "events")
+    df.withColumn("ts", timestamp_micros(tsMicros(df)))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

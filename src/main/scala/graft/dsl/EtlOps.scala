@@ -77,5 +77,32 @@ object EtlOps {
       * Column predicate but keep the etl chaining style.
       */
     def where(cond: Column): DataFrame = df.filter(cond)
+
+    /** Row iteration (`etl.itertuples` — reference notebooks,
+      * 01_core_transformations.ipynb): driver-side STREAMING via
+      * `toLocalIterator` — one partition resident at a time, never a full
+      * collect, so it holds at any frame size the driver can consume
+      * row-by-row. Spark frames are unordered; pass `orderBy` when order
+      * matters (pandas iterates in index order).
+      */
+    def itertuples(orderBy: Seq[String] = Nil): Iterator[Row] = {
+      val ordered =
+        if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*) else df
+      import scala.jdk.CollectionConverters._
+      ordered.toLocalIterator().asScala
+    }
+
+    /** (index, row) iteration (`etl.iter`): positional index stands in for
+      * the pandas row index (no index concept here — SURVEY §2.2 P1).
+      */
+    def iter(orderBy: Seq[String] = Nil): Iterator[(Long, Row)] =
+      itertuples(orderBy).zipWithIndex.map { case (r, i) => (i.toLong, r) }
+
+    /** Dict iteration (`etl.iterdict`): column-name → value maps. */
+    def iterdict(orderBy: Seq[String] = Nil): Iterator[Map[String, Any]] = {
+      val names = df.columns
+      itertuples(orderBy).map(r =>
+        names.iterator.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
+    }
   }
 }

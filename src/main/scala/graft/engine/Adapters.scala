@@ -197,9 +197,9 @@ class CsvSpikesAdapter extends ParquetAdapter {
 class EventsAdapter extends DataAdapter {
   private def raw(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
-      .withColumn("time",
-        (expr("ts div 1000") - lit(graft.Tables.EventsEpochMicros)).cast("double"))
+    val df = spark.read.parquet(path)
+    df.withColumn("time",
+        (graft.Tables.tsMicros(df) - lit(graft.Tables.EventsEpochMicros)).cast("double"))
       .withColumnRenamed("user_id", "gid")
   }
 

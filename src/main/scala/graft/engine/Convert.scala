@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object Convert {
 
+  private[engine] val log = org.slf4j.LoggerFactory.getLogger(Convert.getClass)
+
+  /** Driver-side row bound for the optional SONATA .h5 interop write in
+    * [[convertCampaign]]: collected `Row`s cost ~100 B each, so the default
+    * keeps the collect around 2 GiB of driver heap.
+    */
+  val DefaultMaxH5Rows: Long = 20000000L
+
   private val TimeAliases = Seq("time", "times", "timestamps", "t")
   private val GidAliases = Seq("gid", "ids", "node_ids", "id")
 
@@ -84,7 +92,8 @@ object Convert {
     */
   def convertCampaign(
       spark: SparkSession, csvPath: String, outDir: String,
-      nodePopulation: String = "synthetic", sep: String = " "): DataFrame = {
+      nodePopulation: String = "synthetic", sep: String = " ",
+      maxH5Rows: Long = Convert.DefaultMaxH5Rows): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Paths.get(outDir).toAbsolutePath
     Files.createDirectories(base.resolve("circuit"))
@@ -95,6 +104,7 @@ object Convert {
     spikes.write.mode("overwrite").parquet(spikesPath)
     val stats = importStats(spark.read.parquet(spikesPath))
     val row = stats.collect()(0)
+    val nRows = row.getLong(0)
     val maxId = row.getLong(3)
     val maxTime = row.getDouble(5)
 
@@ -102,13 +112,22 @@ object Convert {
     // convert_spikes.py:133-145): the same sorted spikes as a real SONATA
     // .h5, so downstream SONATA tooling can consume the conversion too.
     // Driver-side collect is the reference's own working set (pandas holds
-    // the whole frame); the engine-scale interchange stays parquet.
-    val sorted = spark.read.parquet(spikesPath).orderBy("time", "gid").collect()
-    graft.sources.Hdf5Writer.writeSonataSpikes(
-      base.resolve("simulation/synthetic_spikes.h5").toString,
-      nodePopulation,
-      sorted.map(_.getDouble(0)),
-      sorted.map(_.getLong(1)))
+    // the whole frame) — but it is a DRIVER-MEMORY bound, so campaigns over
+    // `maxH5Rows` get parquet-only output with an explicit message instead
+    // of an OOM'd driver; the engine-scale interchange stays parquet.
+    if (nRows <= maxH5Rows) {
+      val sorted = spark.read.parquet(spikesPath).orderBy("time", "gid").collect()
+      graft.sources.Hdf5Writer.writeSonataSpikes(
+        base.resolve("simulation/synthetic_spikes.h5").toString,
+        nodePopulation,
+        sorted.map(_.getDouble(0)),
+        sorted.map(_.getLong(1)))
+    } else {
+      Convert.log.warn(
+        s"skipping SONATA .h5 interop write: $nRows spike rows exceed the " +
+          s"driver-side bound of $maxH5Rows (raise maxH5Rows to force); " +
+          "the parquet campaign output is complete without it")
+    }
 
     // synthetic circuit: one row per node id 0..max_id with a placeholder
     // property (reference writes an empty CellCollection of the same size,

@@ -277,6 +277,65 @@ object ConfigIO {
       rows = rows)
   }
 
+  /** Campaign → xarray-dict write-back (reference: campaign/config.py:
+    * 241-271, `to_xarray`/`to_xarray_dict`) — the inverse of
+    * [[xarrayCampaign]]. A campaign whose attrs carry `__coupled__` emits
+    * the coupled layout (one synthetic dim, conditions as non-dimension
+    * coords, flat path list); otherwise the product layout (one dim per
+    * condition with ascending coordinate values — xarray's
+    * `DataArray.from_series` ordering — and the row-major nested path
+    * array, `null` in cells no row covers).
+    */
+  def campaignToXarrayDict(c: Campaign): Map[String, Any] = {
+    val condNames = c.rows.flatMap(_.keys).distinct
+      .filterNot(_ == "simulation_path").sorted
+    val attrsOut =
+      (if (c.pathPrefix.nonEmpty) c.attrs + ("path_prefix" -> c.pathPrefix)
+       else c.attrs) - "__coupled__"
+    def path(r: Map[String, Any]): Any = r.getOrElse("simulation_path", "")
+    c.attrs.get("__coupled__").map(_.toString) match {
+      case Some(dim) =>
+        Map(
+          "name" -> c.name,
+          "attrs" -> attrsOut,
+          "dims" -> Seq(dim),
+          "coords" -> condNames.map(k => k -> Map(
+            "dims" -> Seq(dim),
+            "attrs" -> Map.empty[String, Any],
+            "data" -> c.rows.map(_.getOrElse(k, null)))).toMap,
+          "data" -> c.rows.map(path))
+      case None =>
+        // ascending per-axis values; numbers before strings, numerically
+        val ord: Ordering[Any] = Ordering.by {
+          case n: Number => (0, n.doubleValue(), "")
+          case other => (1, 0.0, String.valueOf(other))
+        }
+        val axes: Seq[(String, Seq[Any])] = condNames.map { k =>
+          k -> c.rows.flatMap(_.get(k)).distinct.sorted(ord)
+        }
+        val byCombo: Map[Seq[Any], Any] =
+          c.rows.map(r => condNames.map(k => r.getOrElse(k, null)) -> path(r)).toMap
+        // nested row-major array: last dim varies fastest
+        def nest(prefix: Seq[Any], rest: Seq[Seq[Any]]): Any = rest match {
+          case Nil => byCombo.getOrElse(prefix, null)
+          case ax +: tail => ax.map(v => nest(prefix :+ v, tail))
+        }
+        Map(
+          "name" -> c.name,
+          "attrs" -> attrsOut,
+          "dims" -> condNames,
+          "coords" -> axes.map { case (k, vs) => k -> Map(
+            "dims" -> Seq(k),
+            "attrs" -> Map.empty[String, Any],
+            "data" -> vs)
+          }.toMap,
+          "data" -> nest(Nil, axes.map(_._2)))
+    }
+  }
+
+  def dumpCampaignXarray(c: Campaign, path: String): Unit =
+    dumpYaml(path, campaignToXarrayDict(c))
+
   /** Load + structurally validate an analysis config (reference:
     * apps/run.py validates against the jsonschema before building models;
     * Validation.scala is the graft analog). All violations are reported at

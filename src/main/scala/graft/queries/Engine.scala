@@ -237,6 +237,39 @@ object Engine {
         .calculateFeatures()("by_pair")
     },
 
+    // A8 under the oracle: neuron_classes member counts through the facade
+    // (reference: extract/neuron_classes.py:53-69). The `query` provenance
+    // column is config-echo, not data — the gate pins the counts.
+    GQuery(
+      "e7_engine_class_counts",
+      s"""WITH nodes AS (SELECT DISTINCT user_id AS gid FROM events)
+         |SELECT 0 AS circuit_id,
+         |  CASE WHEN gid % 2 = 0 THEN 'even' ELSE 'odd' END AS neuron_class,
+         |  count(*) AS "count"
+         |FROM nodes GROUP BY 2""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).neuronClasses
+        .select("circuit_id", "neuron_class", "count")
+    },
+
+    // A9 under the oracle: the expanded windows/trials table through the
+    // facade, with the invariant checks (unique bounds per window,
+    // contiguous trials) actually run — a violation throws and lands in
+    // errors.json rather than producing rows.
+    GQuery(
+      "e8_engine_windows",
+      s"""SELECT * FROM (VALUES
+         |  (0, 0, 'w1', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |  (0, 0, 'w1', 1, CAST($D AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |  (0, 0, 'w1', 2, CAST(${2 * D} AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |  (0, 0, 'w2', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${7 * D} AS DOUBLE), CAST(${7 * D} AS DOUBLE))
+         |) AS t(simulation_id, circuit_id, "window", trial, "offset", t_start, t_stop, duration)""".stripMargin) { (s, dir) =>
+      val an = analyzer(s, dir)
+      an.repo.validateWindows()
+      an.windows
+        .select("simulation_id", "circuit_id", "window", "trial", "offset",
+          "t_start", "t_stop", "duration")
+    },
+
     // trial_steps_list windows + a named trial-steps function
     // (mean_first_spike): the full facade with explicit per-trial offsets
     // and a per-simulation dynamic offset, both replicated by the oracle

@@ -61,4 +61,18 @@ class EtlOpsSpec extends SparkSuite {
     assert(view.count() === 2)
     assert(view.filter(col("bin") === 20).select("id").collect()(0).getLong(0) === 2L)
   }
+
+  test("iter/iterdict/itertuples stream rows in the requested order") {
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(3) // multiple partitions: toLocalIterator must still order
+    assert(df.etl.itertuples(orderBy = Seq("id")).map(_.getString(1)).toSeq
+      === Seq("a", "b", "c"))
+    assert(df.etl.iter(orderBy = Seq("id")).map { case (i, r) => (i, r.getLong(0)) }.toSeq
+      === Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val dicts = df.etl.iterdict(orderBy = Seq("id")).toSeq
+    assert(dicts.head === Map("id" -> 1L, "v" -> "a"))
+    assert(dicts.map(_("v")) === Seq("a", "b", "c"))
+    // unordered form still yields every row exactly once
+    assert(df.etl.itertuples().map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L, 3L))
+  }
 }

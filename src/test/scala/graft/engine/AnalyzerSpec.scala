@@ -14,9 +14,10 @@ class AnalyzerSpec extends SparkSuite {
   private lazy val fixtureDir: String = {
     val dir = Files.createTempDirectory("graft-engine-fix").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val spikes = spark.read.parquet(s"$sf0001/events.parquet")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val spikes = raw
       .withColumn("time",
-        (expr("ts div 1000") - lit(graft.Tables.EventsEpochMicros)).cast("double") / 1000.0)
+        (graft.Tables.tsMicros(raw) - lit(graft.Tables.EventsEpochMicros)).cast("double") / 1000.0)
       .withColumnRenamed("user_id", "gid")
       .select("time", "gid")
     for (p <- 0 to 1)

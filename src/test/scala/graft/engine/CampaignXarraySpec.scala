@@ -59,6 +59,57 @@ class CampaignXarraySpec extends SparkSuite {
     assert(c.attrs("__coupled__") === "coupled")
   }
 
+  test("product layout round-trips: load → dump → load identical") {
+    val dir = Files.createTempDirectory("graft-xr-rt-prod").toString
+    val f = write(dir, "campaign.yaml",
+      s"""name: prod-campaign
+         |attrs: {path_prefix: "$dir"}
+         |dims: [ca, seed]
+         |coords:
+         |  ca: {dims: [ca], attrs: {}, data: [1.1, 1.2]}
+         |  seed: {dims: [seed], attrs: {}, data: [10, 20]}
+         |data: [[uuid/0, uuid/1], ["", uuid/3]]
+         |""".stripMargin)
+    val c = ConfigIO.loadCampaign(f)
+    val out = s"$dir/dumped.yaml"
+    ConfigIO.dumpCampaignXarray(c, out)
+    val c2 = ConfigIO.loadCampaign(out)
+    assert(c2.name === c.name)
+    assert(c2.pathPrefix === c.pathPrefix)
+    assert(c2.attrs === c.attrs)
+    assert(c2.rows === c.rows)
+    // and a second dump is byte-identical (stable ordering)
+    val out2 = s"$dir/dumped2.yaml"
+    ConfigIO.dumpCampaignXarray(c2, out2)
+    assert(Files.readString(Paths.get(out2)) === Files.readString(Paths.get(out)))
+  }
+
+  test("coupled layout round-trips with __coupled__ preserved") {
+    val dir = Files.createTempDirectory("graft-xr-rt-coup").toString
+    val f = write(dir, "campaign.yaml",
+      s"""name: coupled-campaign
+         |attrs: {path_prefix: "$dir"}
+         |dims: [coupled]
+         |coords:
+         |  ca: {dims: [coupled], attrs: {}, data: [1.1, 1.2, 1.3]}
+         |  depolarization: {dims: [coupled], attrs: {}, data: [3.0, 4.0, 5.0]}
+         |data: [uuid/0, uuid/1, ""]
+         |""".stripMargin)
+    val c = ConfigIO.loadCampaign(f)
+    val out = s"$dir/dumped.yaml"
+    ConfigIO.dumpCampaignXarray(c, out)
+    val c2 = ConfigIO.loadCampaign(out)
+    assert(c2.name === c.name)
+    assert(c2.attrs === c.attrs) // includes __coupled__ -> coupled
+    assert(c2.rows === c.rows)
+    // the dumped attrs must NOT leak __coupled__ (it's re-derived on load,
+    // reference pops it in to_xarray at campaign/config.py:247)
+    val dumped = ConfigIO.loadMap(out)
+    val attrs = dumped("attrs").asInstanceOf[Map[String, Any]]
+    assert(!attrs.contains("__coupled__"))
+    assert(dumped("dims") === Seq("coupled"))
+  }
+
   test("xarray and native formats produce the same engine output") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-xr-e2e").toString

@@ -26,6 +26,21 @@ class ConvertCampaignSpec extends SparkSuite {
     p.toString
   }
 
+  test("oversize campaign skips the driver-collected .h5 write, parquet stays complete") {
+    val dir = Files.createTempDirectory("graft-campaign-big").toString
+    // maxH5Rows below the row count → the interop .h5 must be refused...
+    val stats = Convert.convertCampaign(
+      spark, writeCsv(dir), s"$dir/out", maxH5Rows = 5L).collect()(0)
+    assert(stats.getLong(0) === 6)
+    assert(!Files.exists(Paths.get(s"$dir/out/simulation/synthetic_spikes.h5")))
+    // ...while the parquet campaign scaffold is complete and loadable
+    for (f <- Seq(
+        "simulation/synthetic_spikes.parquet", "circuit/synthetic_nodes.parquet",
+        "circuit/circuit_config.json", "simulation/simulation_config.json"))
+      assert(Files.exists(Paths.get(s"$dir/out/$f")), f)
+    assert(spark.read.parquet(s"$dir/out/simulation/synthetic_spikes.parquet").count() === 6)
+  }
+
   test("convert-spikes scaffold: layout, column/sort contract, stats") {
     val dir = Files.createTempDirectory("graft-campaign").toString
     val stats = Convert.convertCampaign(spark, writeCsv(dir), s"$dir/out").collect()(0)
