@@ -85,8 +85,13 @@ object Bench {
     val warm = names.map(n => n -> math.min(r1(n), r2(n))).toMap
     def fmt(m: Map[String, Double]) = obj(names.map(n => n -> m(n)))
     val total = warm.values.sum
+    // failures (timed as -1) are named explicitly in EVERY record — a
+    // majority-failed run must not be mistakable for a clean one
+    val failed = names.filter(n => warm(n) < 0 || cold(n) < 0)
+    val failedJson =
+      s""""n_failed":${failed.size},"failed_queries":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val head =
-      s""""metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(warm)}"""
+      s""""metric":"total","value":${num(total)},"unit":"sec",$failedJson,"queries":${fmt(warm)}"""
     val full = "{" + head +
       s""","cold":${fmt(cold)},"cold_total":${num(cold.values.sum)}""" +
       s""","pipeline_build":${obj(build)}""" +
@@ -100,7 +105,7 @@ object Bench {
     // a MINIMAL record first (<200 bytes: any tail window catches a
     // parseable line even when the full per-query line gets truncated),
     // then the full contract line last
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",$failedJson,"sf":"$sfDir"}""")
     println("{" + head + s""","sf":"$sfDir"}""")
     System.out.flush()
   }

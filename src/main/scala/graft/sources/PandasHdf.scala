@@ -428,8 +428,23 @@ object PandasHdf {
       val k = key.getOrElse(h5.ls("").headOption.getOrElse(
         throw new IllegalArgumentException(s"$path: empty HDF file")))
       val base = s"/$k"
-      require(h5.attr(base, "pandas_type").contains("frame"),
-        s"$path: /$k is not a pandas frame group")
+      h5.attr(base, "pandas_type").collect { case s: String => s } match {
+        case Some("frame") => ()
+        case Some(t) if t.contains("table") =>
+          // pytables table format (pandas_type="frame_table") is a
+          // different on-disk layout entirely (one packed record table +
+          // indexes); only format='fixed' is supported here, matching the
+          // reference store's own writes (blueetl/store/hdf.py:30-38
+          // HDFStoreFixed)
+          throw new IllegalArgumentException(
+            s"$path: /$k is a table-format HDF frame (pandas_type=$t); " +
+              "only format='fixed' frames are supported — re-write with " +
+              "pandas .to_hdf(..., format='fixed')")
+        case other =>
+          throw new IllegalArgumentException(
+            s"$path: /$k is not a pandas fixed frame group " +
+              s"(pandas_type=${other.getOrElse("<absent>")})")
+      }
       val axis0 = h5.readStrings(s"$base/axis0")
       val variety = h5.attr(base, "axis1_variety").getOrElse("regular")
 

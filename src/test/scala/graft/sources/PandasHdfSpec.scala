@@ -186,6 +186,29 @@ class PandasHdfSpec extends SparkSuite {
     assert(PandasHdf.read(spark, p, Some("k")).count() === 10L)
   }
 
+  test("table-format frames refuse with an actionable message") {
+    import spark.implicits._
+    val p = tmp("table.h5")
+    PandasHdf.write(Seq((1L, 2.0)).toDF("a", "b"), p, "k")
+    // byte-patch the pandas_type attr value "frame" → "table" (same
+    // length, so every offset in the file stays valid): the reader must
+    // refuse it as table-format, the way it would a real pytables
+    // frame_table, not crash on the unexpected layout
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val needle = "frame".getBytes("US-ASCII")
+    val hits = bytes.indices.filter(i =>
+      i + needle.length <= bytes.length &&
+        needle.indices.forall(j => bytes(i + j) == needle(j)))
+    assert(hits.size === 1, "expected exactly one 'frame' occurrence to patch")
+    "table".getBytes("US-ASCII").zipWithIndex.foreach { case (b, j) =>
+      bytes(hits.head + j) = b
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](PandasHdf.read(spark, p, Some("k")))
+    assert(e.getMessage.contains("table-format"))
+    assert(e.getMessage.contains("format='fixed'"))
+  }
+
   test("boolean and int coerce up; unsupported types refuse clearly") {
     import spark.implicits._
     val in = Seq((1, true), (2, false)).toDF("i", "b")
