@@ -42,6 +42,9 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // time-window predicates over the derived micros column only reach the
+    // parquet row-group stats through the MicrosPushdown unwrap rule
+    graft.functions.GraftFunctions.register(spark)
     val df = load(spark, sfDir, "events")
     df.withColumn("ts", timestamp_micros(tsMicros(df)))
   }

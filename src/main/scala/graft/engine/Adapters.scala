@@ -197,6 +197,7 @@ class CsvSpikesAdapter extends ParquetAdapter {
 class EventsAdapter extends DataAdapter {
   private def raw(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(path)
     df.withColumn("time",
         (graft.Tables.tsMicros(df) - lit(graft.Tables.EventsEpochMicros)).cast("double"))

@@ -96,15 +96,22 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         VictorPurpuraDistance(children(0), children(1), children(2))))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     fns.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    // idempotent: extraOptimizations is a plain Seq, guard against dupes
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.MicrosPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MicrosPushdown
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.MicrosPushdown)
+  }
 }
