@@ -34,9 +34,25 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # spark-written dir-of-parts (GenScale dirs)
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        else:
+            continue
+        if t == "events":
+            # ts has shipped as both int64-nanos and timestamp[us]
+            # (see Tables.tsMicros); normalize the oracle view the same way
+            typ = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if typ and typ[0] == "BIGINT":
+                con.sql("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM "
+                        + (f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"))
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    only = os.environ.get("GRAFT_CHECK_ONLY")
+    if only:  # local-iteration filter, mirrors GRAFT_VERIFY_ONLY
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
