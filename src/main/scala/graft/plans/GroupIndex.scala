@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Scalable dense per-group index: `row_number() OVER (PARTITION BY part…
+  * ORDER BY order…) - 1` without the window's parallelism collapse.
+  *
+  * A window partitioned by a LOW-CARDINALITY key (5 event types, a handful
+  * of neuron classes) executes as one task per key value: on a
+  * 1000-executor cluster, 995 executors idle while 5 sort everything. The
+  * classic distributed restatement (the same trick as RDD
+  * `zipWithIndex`): range-repartition by (part…, order…) so each group
+  * occupies a CONTIGUOUS run of partitions, sort within partitions, count
+  * rows per (partition, group) with a first cheap pass, prefix-sum those
+  * counts on the driver (partitions × groups entries — tiny), and add the
+  * broadcast offset to each row's local position in a second pass. Both
+  * passes reuse ONE shuffle (same RDD object → Spark reuses the map
+  * output and the sampled range bounds, so the passes cannot disagree on
+  * partitioning).
+  *
+  * Semantics match `row_number` exactly when (part… ++ order…) has no
+  * duplicate rows (the engine indexes DISTINCT frames); with duplicates,
+  * ties take adjacent indexes in an arbitrary stable order — the same
+  * non-determinism the window form has.
+  *
+  * MEASURED TRADEOFF (GenScale x1000, 100M events → 7.5M distinct rows,
+  * 5 groups, one 32-core node): the window form wins, 12.3 s vs 15.0 s —
+  * 5 Tungsten sorts of 1.5M rows each are cheap, and this operator's two
+  * RDD passes give up whole-stage codegen. Use `dense` when per-group
+  * row counts exceed single-task sort capacity or when the cluster is
+  * much wider than the group count (5 window tasks cap a 1000-executor
+  * cluster at 0.5% utilization for that stage); keep the window form for
+  * group counts within a small factor of the parallelism. The w2 gate
+  * query keeps the window form for exactly this reason.
+  */
+object GroupIndex {
+
+  def dense(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      outCol: String = "idx",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val keys = (partCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val pIdx = partCols.map(schema.fieldIndex).toArray
+
+    // one RDD object for both jobs: the range bounds are sampled once and
+    // the shuffle files are reused, so pass 1's counts and pass 2's rows
+    // see identical partitions
+    val rdd = sorted.rdd
+
+    // pass 1: per-partition run-length counts of each group (groups are
+    // contiguous after the sort)
+    val counts: Array[(Int, Array[(Seq[Any], Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var c = 0L
+        for (r <- it) {
+          val k = pIdx.toSeq.map(r.get)
+          if (k != cur) {
+            if (cur != null) runs += ((cur, c))
+            cur = k; c = 0L
+          }
+          c += 1
+        }
+        if (cur != null) runs += ((cur, c))
+        Iterator.single((pid, runs.toArray))
+      }.collect()
+
+    // driver prefix sum: offset of each (partition, group) = rows of the
+    // same group in earlier partitions (partition order IS group order
+    // after the range partitioning)
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
+    val running = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+    for ((pid, runs) <- counts.sortBy(_._1); (k, c) <- runs) {
+      val base = running.getOrElse(k, 0L)
+      offsets((pid, k)) = base
+      running(k) = base + c
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+
+    // pass 2: local position + broadcast offset
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var base = 0L
+      var local = 0L
+      it.map { r =>
+        val k = pIdx.toSeq.map(r.get)
+        if (k != cur) {
+          cur = k
+          base = bc.value.getOrElse((pid, k), 0L)
+          local = 0L
+        }
+        val idx = base + local
+        local += 1
+        Row.fromSeq(r.toSeq :+ idx)
+      }
+    }
+    spark.createDataFrame(out, StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false)))
+  }
+}
