@@ -104,5 +104,38 @@ object EtlOps {
       itertuples(orderBy).map(r =>
         names.iterator.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
     }
+
+    /** (key, group-frame) iteration (`etl.groupby_iter` — reference use:
+      * extract/report.py:142, analysis.py:165). Key tuples are collected
+      * to the driver in key order (the reference iterates groups
+      * driver-side too — the contract is low-cardinality grouping
+      * columns); each group's frame is a LAZY filtered view, so the heavy
+      * per-group work stays distributed.
+      */
+    def groupbyIter(keys: Seq[String]): Iterator[(Row, DataFrame)] =
+      groups(keys).collect().iterator.map { kr =>
+        val cond = keys.zipWithIndex.map { case (k, i) =>
+          val v = kr.get(i)
+          if (v == null) col(k).isNull else col(k) === lit(v)
+        }.reduce(_ && _)
+        (kr, df.filter(cond))
+      }
+
+    /** Group by every column except `excluded` (`etl.groupby_except`). */
+    def groupbyExcept(excluded: Seq[String]): Iterator[(Row, DataFrame)] =
+      groupbyIter(df.columns.filterNot(excluded.contains).toIndexedSeq)
+
+    /** Per-group transform, results unioned (`etl.groupby_apply_parallel`
+      * / `groupby_run_parallel`). All groups' plans are combined into ONE
+      * union, so a single action schedules every group's distributed work
+      * concurrently — the JVM analog of the reference's process pool
+      * (features.py:478-496). Each group's branch re-filters the source
+      * frame: for many groups prefer a native groupBy aggregation; this
+      * is the escape hatch for per-group logic a groupBy can't express.
+      */
+    def groupbyApply(keys: Seq[String])(fn: (Row, DataFrame) => DataFrame): DataFrame =
+      groupbyIter(keys).map { case (k, g) => fn(k, g) }
+        .reduceOption(_ unionByName _)
+        .getOrElse(df.sparkSession.emptyDataFrame)
   }
 }

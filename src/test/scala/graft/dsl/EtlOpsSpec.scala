@@ -62,6 +62,29 @@ class EtlOpsSpec extends SparkSuite {
     assert(view.filter(col("bin") === 20).select("id").collect()(0).getLong(0) === 2L)
   }
 
+  test("groupbyIter/groupbyExcept/groupbyApply: lazy per-group frames in key order") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 5.0), ("c", 9L, 1.0)
+    ).toDF("cls", "trial", "v")
+    val seen = df.etl.groupbyIter(Seq("cls")).map { case (k, g) =>
+      (k.getString(0), g.count(), g.agg(sum("v")).head().getDouble(0))
+    }.toSeq
+    assert(seen === Seq(("a", 2L, 30.0), ("b", 1L, 5.0), ("c", 1L, 1.0)))
+    // groupby_except: all columns except the data ones
+    val keys = df.etl.groupbyExcept(Seq("trial", "v")).map(_._1.getString(0)).toSeq
+    assert(keys === Seq("a", "b", "c"))
+    // per-group transform unioned as one frame
+    val out = df.etl.groupbyApply(Seq("cls")) { (k, g) =>
+      g.agg(count(lit(1)).as("n")).withColumn("cls", lit(k.getString(0)))
+    }
+    assert(out.orderBy("cls").collect().map(r => (r.getString(1), r.getLong(0))).toSeq
+      === Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+    // null group keys survive the round trip
+    val withNull = Seq((null.asInstanceOf[String], 1L), ("x", 2L)).toDF("g", "k")
+    val gs = withNull.etl.groupbyIter(Seq("g")).map { case (k, g) => (k.get(0), g.count()) }.toSeq
+    assert(gs.toSet === Set((null, 1L), ("x", 1L)))
+  }
+
   test("iter/iterdict/itertuples stream rows in the requested order") {
     val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
       .repartition(3) // multiple partitions: toLocalIterator must still order
