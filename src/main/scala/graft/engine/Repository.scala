@@ -124,6 +124,12 @@ final class Repository(
       perClass.reduce(_ unionByName _)
     }
     val all = perCircuit.reduce(_ unionByName _)
+    // one window task per (circuit, class); for classes beyond single-task
+    // sort capacity (~millions of gids) switch to the two-pass
+    // plans/GroupIndex.dense restatement — crossover measured in its
+    // scaladoc. Single-class configs fold the partition keys to constants
+    // (WindowExec's "No Partition Defined" warning): same execution, just
+    // the n=1 case of per-class tasks.
     val w = Window.partitionBy("circuit_id", "neuron_class").orderBy("gid")
     all.withColumn("neuron_class_index", (row_number().over(w) - 1).cast("long"))
   }

@@ -270,6 +270,59 @@ object Engine {
           "t_start", "t_stop", "duration")
     },
 
+    // J7 under the oracle: first-per-circuit dedupe — three simulations
+    // over two distinct circuit paths must share circuit ids in
+    // first-appearance order (reference: extract/neurons.py:135)
+    GQuery(
+      "e9_engine_sim_dedupe",
+      """SELECT * FROM (VALUES
+        |  (0, 0, 1.1), (1, 0, 1.2), (2, 1, 1.3)
+        |) AS t(simulation_id, circuit_id, ca)""".stripMargin) { (s, dir) =>
+      val campaign = Campaign(
+        name = "dedupe", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(
+          Map("simulation_path" -> "events.parquet",
+            "circuit_path" -> s"$dir/events.parquet", "ca" -> 1.1),
+          Map("simulation_path" -> "events.parquet",
+            "circuit_path" -> s"$dir/events.parquet", "ca" -> 1.2),
+          Map("simulation_path" -> "events.parquet",
+            "circuit_path" -> s"$dir/documents.parquet", "ca" -> 1.3)))
+      val cfg = SingleAnalysisConfig(
+        name = "dedupe", reportType = "spikes",
+        windows = Map("w" -> WindowSpec(bounds = (0.0, 1.0))),
+        neuronClasses = Map.empty, features = Nil)
+      new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None)
+        .simulations.select("simulation_id", "circuit_id", "ca")
+    },
+
+    // P5 under the oracle: deterministic seeded class limit — the md5-rank
+    // sample (SURVEY §7.4; np.random.choice is not distributively
+    // reproducible) is replicated bit-for-bit by DuckDB's md5
+    GQuery(
+      "e10_engine_class_limit",
+      s"""WITH nodes AS (SELECT DISTINCT user_id AS gid FROM events),
+         |even AS (SELECT gid FROM nodes WHERE gid % 2 = 0),
+         |lim AS (
+         |  SELECT gid FROM even
+         |  ORDER BY md5(CAST(gid AS VARCHAR) || ':0'), gid LIMIT 40)
+         |SELECT 0 AS circuit_id, 'even' AS neuron_class, gid,
+         |  row_number() OVER (ORDER BY gid) - 1 AS neuron_class_index
+         |FROM lim""".stripMargin) { (s, dir) =>
+      val cfg = SingleAnalysisConfig(
+        name = "limit", reportType = "spikes",
+        windows = Map("w" -> WindowSpec(bounds = (0.0, 1.0))),
+        neuronClasses = Map(
+          "even" -> NeuronClassSpec(
+            query = QAnd("parity" -> QCond(QEq(0))), limit = Some(40))),
+        features = Nil)
+      val campaign = Campaign(
+        name = "limit", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(Map(
+          "simulation_path" -> "events.parquet",
+          "circuit_path" -> s"$dir/events.parquet")))
+      new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None).neurons
+    },
+
     // trial_steps_list windows + a named trial-steps function
     // (mean_first_spike): the full facade with explicit per-trial offsets
     // and a per-simulation dynamic offset, both replicated by the oracle
