@@ -323,6 +323,53 @@ object Engine {
       new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None).neurons
     },
 
+    // C6 under the oracle: params_product expansion (two bin sizes) of the
+    // histograms feature through the facade, re-united by the concat view
+    // with the param as a column (reference: config/analysis.py:132-170 +
+    // ConcatenatedFeatures, features.py:36-116)
+    GQuery(
+      "e11_engine_params_product",
+      oracleCte +
+        s""", w2 AS (SELECT neuron_class, time FROM assigned WHERE win = 'w2'),
+           |cls AS (SELECT DISTINCT neuron_class FROM w2),
+           |bs AS (SELECT CAST(${6 * H} AS DOUBLE) AS bin_size, 27 AS hi
+           |       UNION ALL SELECT CAST(${12 * H} AS DOUBLE), 13),
+           |bins AS (
+           |  SELECT c.neuron_class, b.bin_size, CAST(x AS BIGINT) AS bin
+           |  FROM cls c, bs b, LATERAL (SELECT unnest(generate_series(0, b.hi)) AS x)),
+           |counts AS (
+           |  SELECT w.neuron_class, b.bin_size,
+           |    CAST(FLOOR(w.time / b.bin_size) AS BIGINT) AS bin, count(*) AS cnt
+           |  FROM w2 w, (SELECT bin_size FROM bs) b
+           |  GROUP BY 1, 2, 3)
+           |SELECT 0 AS simulation_id, 0 AS circuit_id, g.neuron_class,
+           |  'w2' AS window, g.bin, COALESCE(k.cnt, 0) AS cnt, g.bin_size
+           |FROM bins g
+           |LEFT JOIN counts k ON k.neuron_class = g.neuron_class
+           |  AND k.bin_size = g.bin_size AND k.bin = g.bin""".stripMargin) { (s, dir) =>
+      val base = FeaturesSpec(
+        groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+        function = "histograms")
+      val combos = FeatureExpansion.expand(
+        base, product = Map("bin_size" -> Seq(6.0 * H, 12.0 * H)), zip = Map.empty)
+      val cfg = SingleAnalysisConfig(
+        name = "params", reportType = "spikes",
+        windows = Map("w2" -> WindowSpec(bounds = (0.0, 7.0 * D))),
+        neuronClasses = Map(
+          "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+          "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+        features = combos)
+      val campaign = Campaign(
+        name = "params", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(Map(
+          "simulation_path" -> "events.parquet",
+          "circuit_path" -> s"$dir/events.parquet")))
+      val outs = new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None)
+        .calculateFeatures()
+      FeatureExpansion.concatView(
+        combos.map(c => c.params -> outs(s"histograms${c.suffix}")))
+    },
+
     // trial_steps_list windows + a named trial-steps function
     // (mean_first_spike): the full facade with explicit per-trial offsets
     // and a per-simulation dynamic offset, both replicated by the oracle
