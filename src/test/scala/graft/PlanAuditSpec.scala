@@ -85,4 +85,27 @@ class PlanAuditSpec extends SparkSuite {
     // the only exchange is the top-k window by query id, not the corpus join
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
   }
+
+  test("e1 engine report: the static window envelope reaches the events scan as ts bounds") {
+    // Repository.report adds a literal [min, max) time prefilter; through
+    // the EventsAdapter double-time chain MicrosPushdown must land it on
+    // the parquet ts column — the 100 TB row-group-pruning path for the
+    // whole engine pipeline, not just hand-written queries
+    val p = plan("e1_engine_rates_by_gid")
+    // several events scans exist (nodes derive from the same file and read
+    // only user_id); the SPIKES scan is the one reading ts
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("events") && l.contains("ts:timestamp"))
+    assert(scan.exists(l =>
+      l.contains("GreaterThanOrEqual(ts,") && l.contains("LessThan(ts,")),
+      s"window envelope not pushed to the events scan:\n${scan.getOrElse(p)}")
+  }
+
+  test("e11 params product: windows broadcast in every expanded branch, no cartesian") {
+    val p = plan("e11_engine_params_product")
+    assert(!p.contains("CartesianProduct"), p)
+    // both expanded combos keep the broadcast range join for window
+    // assignment (windows are config-sized in each branch)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+  }
 }
