@@ -276,7 +276,8 @@ object Engine {
     GQuery(
       "e9_engine_sim_dedupe",
       """SELECT * FROM (VALUES
-        |  (0, 0, 1.1), (1, 0, 1.2), (2, 1, 1.3)
+        |  (0, 0, CAST(1.1 AS DOUBLE)), (1, 0, CAST(1.2 AS DOUBLE)),
+        |  (2, 1, CAST(1.3 AS DOUBLE))
         |) AS t(simulation_id, circuit_id, ca)""".stripMargin) { (s, dir) =>
       val campaign = Campaign(
         name = "dedupe", pathPrefix = dir, attrs = Map.empty,
