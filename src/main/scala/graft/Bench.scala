@@ -105,7 +105,10 @@ object Bench {
     // a MINIMAL record first (<200 bytes: any tail window catches a
     // parseable line even when the full per-query line gets truncated),
     // then the full contract line last
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",$failedJson,"sf":"$sfDir"}""")
+    // minimal record stays bounded: count only (names live in the full
+    // record) so the <200-byte truncation-survival guarantee holds even
+    // on a majority-failed run
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}""")
     println("{" + head + s""","sf":"$sfDir"}""")
     System.out.flush()
   }

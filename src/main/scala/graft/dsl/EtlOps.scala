@@ -132,6 +132,12 @@ object EtlOps {
       * (features.py:478-496). Each group's branch re-filters the source
       * frame: for many groups prefer a native groupBy aggregation; this
       * is the escape hatch for per-group logic a groupBy can't express.
+      *
+      * With ZERO groups (empty input) the result is an empty frame with
+      * an EMPTY schema — `fn`'s output schema is unknowable without a
+      * group to apply it to (pandas groupby-apply degrades the same way);
+      * callers that need a typed empty frame must branch on
+      * `df.isEmpty` themselves.
       */
     def groupbyApply(keys: Seq[String])(fn: (Row, DataFrame) => DataFrame): DataFrame =
       groupbyIter(keys).map { case (k, g) => fn(k, g) }

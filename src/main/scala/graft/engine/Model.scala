@@ -305,6 +305,17 @@ object ConfigIO {
             "data" -> c.rows.map(_.getOrElse(k, null)))).toMap,
           "data" -> c.rows.map(path))
       case None =>
+        // the product layout can only represent rows that carry EVERY
+        // condition and appear at most once per combo — refuse ragged or
+        // duplicated campaigns loudly rather than silently dropping
+        // simulations from the dump
+        for (r <- c.rows; k <- condNames)
+          require(r.get(k).exists(_ != null),
+            s"xarray product dump: row $r lacks condition '$k' — " +
+              "ragged campaigns have no xarray representation")
+        val comboKeys = c.rows.map(r => condNames.map(r(_)))
+        require(comboKeys.distinct.length == comboKeys.length,
+          "xarray product dump: duplicate condition combinations")
         // ascending per-axis values; numbers before strings, numerically
         val ord: Ordering[Any] = Ordering.by {
           case n: Number => (0, n.doubleValue(), "")

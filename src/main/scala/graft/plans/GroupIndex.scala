@@ -56,15 +56,31 @@ object GroupIndex {
     // see identical partitions
     val rdd = sorted.rdd
 
+    // group keys compared BY VALUE: array-typed columns (binary) equal by
+    // reference as raw Any, which would fragment every run — normalize to
+    // Seq (deep structural equality) once per extracted key
+    def keyOf(r: Row): List[Any] = {
+      var i = pIdx.length - 1
+      var k: List[Any] = Nil
+      while (i >= 0) {
+        k = (r.get(pIdx(i)) match {
+          case a: Array[_] => a.toSeq
+          case v => v
+        }) :: k
+        i -= 1
+      }
+      k
+    }
+
     // pass 1: per-partition run-length counts of each group (groups are
     // contiguous after the sort)
-    val counts: Array[(Int, Array[(Seq[Any], Long)])] =
+    val counts: Array[(Int, Array[(List[Any], Long)])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
-        val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
-        var cur: Seq[Any] = null
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(List[Any], Long)]
+        var cur: List[Any] = null
         var c = 0L
         for (r <- it) {
-          val k = pIdx.toSeq.map(r.get)
+          val k = keyOf(r)
           if (k != cur) {
             if (cur != null) runs += ((cur, c))
             cur = k; c = 0L
@@ -78,8 +94,8 @@ object GroupIndex {
     // driver prefix sum: offset of each (partition, group) = rows of the
     // same group in earlier partitions (partition order IS group order
     // after the range partitioning)
-    val offsets = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
-    val running = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, List[Any]), Long]
+    val running = scala.collection.mutable.HashMap.empty[List[Any], Long]
     for ((pid, runs) <- counts.sortBy(_._1); (k, c) <- runs) {
       val base = running.getOrElse(k, 0L)
       offsets((pid, k)) = base
@@ -89,11 +105,11 @@ object GroupIndex {
 
     // pass 2: local position + broadcast offset
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cur: Seq[Any] = null
+      var cur: List[Any] = null
       var base = 0L
       var local = 0L
       it.map { r =>
-        val k = pIdx.toSeq.map(r.get)
+        val k = keyOf(r)
         if (k != cur) {
           cur = k
           base = bc.value.getOrElse((pid, k), 0L)

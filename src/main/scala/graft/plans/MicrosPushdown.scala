@@ -177,11 +177,13 @@ object MicrosPushdown extends Rule[LogicalPlan] {
           case (Literal(k: Long, LongType), v: Long) if k > 0 && v > 0 =>
             op match {
               case Ge => mulExact(v, k).flatMap(nv => done(d.left, Literal(nv, LongType)))            // x div d >= v ⇔ x >= v*d
-              case Gt => mulExact(v + 1, k).flatMap(nv => Some(unwrap(d.left, Ge, Literal(nv, LongType))
-                .getOrElse(Ge.build(d.left, Literal(nv, LongType)))))                                  // x div d > v ⇔ x >= (v+1)*d
+              case Gt => addExact(v, 1).flatMap(mulExact(_, k)).flatMap(nv =>                          // x div d > v ⇔ x >= (v+1)*d
+                Some(unwrap(d.left, Ge, Literal(nv, LongType))
+                  .getOrElse(Ge.build(d.left, Literal(nv, LongType)))))
               case Lt => mulExact(v, k).flatMap(nv => done(d.left, Literal(nv, LongType)))            // x div d < v ⇔ x < v*d
-              case Le => mulExact(v + 1, k).flatMap(nv => Some(unwrap(d.left, Lt, Literal(nv, LongType))
-                .getOrElse(Lt.build(d.left, Literal(nv, LongType)))))                                  // x div d <= v ⇔ x < (v+1)*d
+              case Le => addExact(v, 1).flatMap(mulExact(_, k)).flatMap(nv =>                          // x div d <= v ⇔ x < (v+1)*d
+                Some(unwrap(d.left, Lt, Literal(nv, LongType))
+                  .getOrElse(Lt.build(d.left, Literal(nv, LongType)))))
               case Eq => None
             }
           case _ => None

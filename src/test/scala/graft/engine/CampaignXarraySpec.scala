@@ -110,6 +110,27 @@ class CampaignXarraySpec extends SparkSuite {
     assert(dumped("dims") === Seq("coupled"))
   }
 
+  test("product dump refuses ragged and duplicated campaigns loudly") {
+    // row missing a condition: would silently vanish from the nested data
+    val ragged = Campaign(name = "r", pathPrefix = "", attrs = Map.empty,
+      rows = Seq(
+        Map("simulation_path" -> "a", "ca" -> 1.1),
+        Map("simulation_path" -> "b")))
+    val e1 = intercept[IllegalArgumentException] {
+      ConfigIO.campaignToXarrayDict(ragged)
+    }
+    assert(e1.getMessage.contains("lacks condition"))
+    // duplicate combo: last-writer-wins would drop a simulation
+    val dup = Campaign(name = "d", pathPrefix = "", attrs = Map.empty,
+      rows = Seq(
+        Map("simulation_path" -> "a", "ca" -> 1.1),
+        Map("simulation_path" -> "b", "ca" -> 1.1)))
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigIO.campaignToXarrayDict(dup)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("xarray and native formats produce the same engine output") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-xr-e2e").toString

@@ -55,6 +55,20 @@ class GroupIndexSpec extends SparkSuite {
     assert(GroupIndex.dense(empty, Seq("g"), Seq("k")).count() === 0)
   }
 
+  test("binary (array-typed) partition keys group by value, not reference") {
+    val df = Seq(
+      (Array[Byte](1, 2), 30L), (Array[Byte](1, 2), 10L),
+      (Array[Byte](3, 4), 20L), (Array[Byte](1, 2), 20L)
+    ).toDF("g", "k")
+    val got = GroupIndex.dense(df, Seq("g"), Seq("k"), numPartitions = Some(3))
+      .select(hex(col("g")).as("g"), col("k"), col("idx"))
+      .orderBy("g", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("0102", 10L, 0L), ("0102", 20L, 1L), ("0102", 30L, 2L),
+      ("0304", 20L, 0L)))
+  }
+
   test("indexes are dense and start at zero for every group") {
     val df = spark.range(5000)
       .select((col("id") % 7).as("g"), col("id").as("k"))

@@ -98,6 +98,17 @@ class MicrosPushdownPropSpec extends AnyFunSuite {
     })
   }
 
+  test("div rewrite bails on Long.MaxValue literal instead of wrapping") {
+    val ts = AttributeReference("ts", LongType)()
+    val rel = LocalRelation(ts)
+    val chain = UnixMicros(MicrosToTimestamp(IntegralDivide(ts, Literal(1L))))
+    // x div 1 <= Long.MaxValue is always true; a wrapping v+1 would have
+    // rewritten it to x < Long.MinValue (always false)
+    val cmp = LessThanOrEqual(chain, Literal(Long.MaxValue))
+    val (a, b, _) = evalBoth(cmp, rel, 12345L)
+    assert(a == true && b == true)
+  }
+
   test("guards: DST zone and non-anchored arithmetic stay untouched") {
     val ts = AttributeReference("ts", TimestampNTZType)()
     val rel = LocalRelation(ts)

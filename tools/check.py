@@ -92,10 +92,15 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: {type(ex).__name__}: {ex}")
             n_fail += 1
-    # queries with no oracle: rows-only check
+    # queries with no oracle: rows-only check (the GRAFT_CHECK_ONLY filter
+    # applies here too — a filtered-out query must not be re-checked as
+    # oracle-less)
+    keep_ro = ({q.strip() for q in only.split(",") if q.strip()}
+               if only else None)
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracle: continue
+        if keep_ro is not None and name not in keep_ro: continue
         files = glob.glob(f"{d}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
