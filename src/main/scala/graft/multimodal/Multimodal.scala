@@ -145,6 +145,60 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  private val thumbSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("thumb_w", IntegerType),
+    StructField("thumb_h", IntegerType), StructField("pix_sum", LongType)))
+
+  /** Real thumbnail path: decode the payload through the actual codec,
+    * resize by DETERMINISTIC floor-mapped nearest neighbor
+    * (`src = out_coord * src_dim / target_dim`, integer floor — no
+    * implementation-defined AWT interpolation), re-encode as PNG, decode
+    * AGAIN, and checksum the decoded pixels. PNG is lossless, so the
+    * final checksum equals a closed-form sum over source pixels — the
+    * whole decode→resize→encode→decode pipeline is hash-gated, not just
+    * the arithmetic.
+    */
+  def resizeThumb(bin: DataFrame, tw: Int = 8, th: Int = 8): DataFrame = {
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(thumbSchema))
+    val idIdx = bin.schema.fieldIndex("doc_id")
+    val payIdx = bin.schema.fieldIndex("payload")
+    bin.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payIdx)))
+        require(img != null, "payload is not a decodable image")
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            out.setRGB(x, y,
+              img.getRGB(x * img.getWidth / tw, y * img.getHeight / th))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        var s = 0L
+        var yy = 0
+        while (yy < th) {
+          var xx = 0
+          while (xx < tw) {
+            s += (back.getRGB(xx, yy) & 0xffffff).toLong
+            xx += 1
+          }
+          yy += 1
+        }
+        Row(r.getLong(idIdx), tw, th, s)
+      }
+    }(enc).toDF()
+  }
+
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("frame_idx", IntegerType),
     StructField("frame_sig", StringType)))

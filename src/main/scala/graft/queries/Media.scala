@@ -37,6 +37,31 @@ object Media {
       Multimodal.sampleFrames(Multimodal.asBinaryTable(Tables.documents(s, dir)))
     },
 
+    // REAL thumbnail resize: synthetic PNG → decode → floor-mapped nearest
+    // neighbor to 8×8 → re-encode → decode → pixel checksum; the oracle
+    // recomputes the checksum in closed form from the pixel generator
+    // pixel(x,y) = (seed*31 + x*7 + y*131) & 0xffffff, seed = doc_id,
+    // src dims (16 + n_chars % 32) × (16 + doc_id % 24)
+    GQuery(
+      "m4_resize_png",
+      """SELECT d.doc_id, CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+        |  CAST(SUM(
+        |    (d.doc_id * 31
+        |     + ((g.x * (16 + d.n_chars % 32)) // 8) * 7
+        |     + ((g.y * (16 + d.doc_id % 24)) // 8) * 131) % 16777216
+        |  ) AS BIGINT) AS pix_sum
+        |FROM documents d,
+        |  (SELECT a.x, b.y
+        |   FROM (SELECT unnest(generate_series(0, 7)) AS x) a,
+        |        (SELECT unnest(generate_series(0, 7)) AS y) b) g
+        |GROUP BY d.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      Multimodal.resizeThumb(
+        Multimodal.syntheticPngTable(
+          Tables.documents(s, dir)
+            .select(col("doc_id").cast("long"), col("n_chars").cast("long"))))
+    },
+
     // REAL image decode: synthesize PNG bytes with dims derived from doc
     // fields, decode them back through javax.imageio — the oracle
     // recomputes the dims arithmetically, so the whole encode→decode
