@@ -2,6 +2,7 @@ package graft.dsl
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The blueetl-core dataframe accessor surface (`df.etl.*` — reference:
   * blueetl-core, demonstrated in doc/source/notebooks/
@@ -112,14 +113,20 @@ object EtlOps {
       * columns); each group's frame is a LAZY filtered view, so the heavy
       * per-group work stays distributed.
       */
-    def groupbyIter(keys: Seq[String]): Iterator[(Row, DataFrame)] =
+    def groupbyIter(keys: Seq[String]): Iterator[(Row, DataFrame)] = {
+      // semi-join against a broadcast one-row key frame instead of
+      // rebuilding `lit(v)` predicates: functions.lit rejects the
+      // collected Scala form of array/struct keys (WrappedArray/Row),
+      // while a join condition compares any data type; <=> keeps the
+      // null-key groups without a special case
+      val keySchema = StructType(keys.map(k => df.schema(k)))
       groups(keys).collect().iterator.map { kr =>
-        val cond = keys.zipWithIndex.map { case (k, i) =>
-          val v = kr.get(i)
-          if (v == null) col(k).isNull else col(k) === lit(v)
-        }.reduce(_ && _)
-        (kr, df.filter(cond))
+        val one = df.sparkSession.createDataFrame(
+          java.util.Collections.singletonList(kr), keySchema)
+        val cond = keys.map(k => df(k) <=> one(k)).reduce(_ && _)
+        (kr, df.join(broadcast(one), cond, "leftsemi"))
       }
+    }
 
     /** Group by every column except `excluded` (`etl.groupby_except`). */
     def groupbyExcept(excluded: Seq[String]): Iterator[(Row, DataFrame)] =

@@ -128,7 +128,7 @@ object MicrosPushdown extends Rule[LogicalPlan] {
           if c.child.dataType == TimestampType && c.dataType == TimestampNTZType &&
             lit.dataType == TimestampNTZType =>
         fixedOffsetMicros(c.timeZoneId).flatMap { off =>
-          addExact(lit.value.asInstanceOf[Long], -off)
+          subExact(lit.value.asInstanceOf[Long], off)
             .flatMap(v => done(c.child, Literal(v, TimestampType)))
         }
 
@@ -145,7 +145,7 @@ object MicrosPushdown extends Rule[LogicalPlan] {
           case (x, Literal(k: Long, LongType)) => Some((x, k))
           case _ => None
         }).flatMap { case (x, k) =>
-          addExact(lit.value.asInstanceOf[Long], -k)
+          subExact(lit.value.asInstanceOf[Long], k)
             .flatMap(nv => done(x, Literal(nv, LongType)))
         }
 
@@ -208,6 +208,10 @@ object MicrosPushdown extends Rule[LogicalPlan] {
 
   private def addExact(a: Long, b: Long): Option[Long] =
     try Some(Math.addExact(a, b)) catch { case _: ArithmeticException => None }
+  // Math.subtractExact rather than addExact(a, -b): -Long.MinValue silently
+  // overflows back to MinValue, which would emit a wrong bound instead of bailing.
+  private def subExact(a: Long, b: Long): Option[Long] =
+    try Some(Math.subtractExact(a, b)) catch { case _: ArithmeticException => None }
   private def mulExact(a: Long, b: Long): Option[Long] =
     try Some(Math.multiplyExact(a, b)) catch { case _: ArithmeticException => None }
 }

@@ -85,6 +85,16 @@ class EtlOpsSpec extends SparkSuite {
     assert(gs.toSet === Set((null, 1L), ("x", 1L)))
   }
 
+  test("groupbyIter supports array-typed grouping keys") {
+    val df = Seq(
+      (Seq(1, 2), "a"), (Seq(1, 2), "b"), (Seq(3), "c")
+    ).toDF("ks", "v")
+    val seen = df.etl.groupbyIter(Seq("ks")).map { case (k, g) =>
+      (k.getSeq[Int](0), g.count())
+    }.toSeq
+    assert(seen === Seq((Seq(1, 2), 2L), (Seq(3), 1L)))
+  }
+
   test("iter/iterdict/itertuples stream rows in the requested order") {
     val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("id", "v")
       .repartition(3) // multiple partitions: toLocalIterator must still order

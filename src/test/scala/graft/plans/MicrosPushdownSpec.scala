@@ -111,4 +111,16 @@ class MicrosPushdownSpec extends SparkSuite {
       assert(q.count() === times.count(_ >= 10000000000L))
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("Add unwrap bails on the Long.MinValue literal instead of wrapping") {
+    // x + MinValue >= 0 ⇔ x >= 2^63: unsatisfiable for longs. The naive
+    // rewrite addExact(v, -k) wraps -MinValue back to MinValue and emits
+    // x >= v - 2^63 (here: x >= MinValue, i.e. ALL rows).
+    import spark.implicits._
+    val df = (0L until 100L).toDF("x")
+    val q = df.filter(col("x") + lit(Long.MinValue) >= lit(0L))
+    assert(q.count() === 0L)
+    // sanity: a benign offset on the same shape still rewrites correctly
+    assert(df.filter(col("x") + lit(5L) >= lit(100L)).count() === 5L)
+  }
 }

@@ -45,8 +45,11 @@ def main():
             # (see Tables.tsMicros); normalize the oracle view the same way
             typ = con.sql("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
             if typ and typ[0] == "BIGINT":
+                # (ts - ts % 1000) // 1000 == truncating division (DuckDB %
+                # follows the dividend's sign), matching Spark's `div` for
+                # negative pre-epoch nanos where plain // would floor 1µs low
                 con.sql("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
-                        f"(make_timestamp(ts // 1000) AS ts) FROM "
+                        f"(make_timestamp((ts - ts % 1000) // 1000) AS ts) FROM "
                         + (f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"))
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     only = os.environ.get("GRAFT_CHECK_ONLY")
