@@ -133,8 +133,8 @@ final class Analyzer(
     * DataFrame (reference: features.py:233-305). Cached per feature-config
     * checksum (C2's per-FeaturesConfig keys, cache.py:378-382).
     */
-  def calculateFeatures(): Map[String, DataFrame] =
-    cfg.features.flatMap { spec =>
+  def calculateFeatures(): Map[String, DataFrame] = {
+    val entries = cfg.features.flatMap { spec =>
       val fn = FeatureFns.resolve(spec.function)
       // computed over the raw (stored-filter) frames so cached outputs
       // cover the cache's full row set; narrowing applies on the way out
@@ -154,7 +154,18 @@ final class Analyzer(
         }
         name -> narrowed(name, result)
       }
-    }.toMap
+    }
+    // duplicate output names would silently shadow each other in the map
+    // (and collide in the cache folder) — the reference rejects them too
+    // (features.py:58 "Duplicate feature_name")
+    val dups = entries.map(_._1).groupBy(identity).collect {
+      case (n, vs) if vs.size > 1 => n
+    }
+    require(dups.isEmpty,
+      s"duplicate feature output name(s): ${dups.mkString(", ")} — " +
+        "rename the feature function output or use params_product suffixes")
+    entries.toMap
+  }
 
   /** In-memory re-scope (P7 — reference: analysis.py:126-145 apply_filter):
     * a new Analyzer whose five frames and features are filtered by the

@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 /** The feature-function surface (reference UDTF contract:
   * src/blueetl/features.py:392-446 `_user_func_wrapper` — a python callable
@@ -72,24 +72,39 @@ object FeatureFns {
   }
 }
 
-/** by_gid / by_neuron_class firing-rate features
-  * (reference: external/bnac/calculate_features.py:21-63 — counts and first
+/** The bnac five-frame feature family
+  * (reference: external/bnac/calculate_features.py:16-179 — counts and first
   * spike per trial, means across trials with absent-trial zero fill, rates
-  * from window duration, class-level mean/std with population σ).
+  * from window duration, class-level mean/std with population σ, per-trial
+  * spike lists and class means, and the normalized/smoothed PSTH frame).
+  * Emits the reference's five output names: `by_gid`, `by_gid_and_trial`,
+  * `by_neuron_class`, `by_neuron_class_and_trial`, `histograms`.
+  *
+  * Params: `hist_bin_size` (report time units per histogram bin, default 1
+  * matching the reference's 1 ms bins over ms times), `sigma` (gaussian
+  * smoothing width in bins, default 4 like bnac).
   */
 object MeanFiringRates extends FeatureFn {
   def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
     val keys = ctx.groupby.filterNot(_ == "gid")
     val perTrial = ctx.report
       .groupBy((keys :+ "trial").map(col) :+ col("gid"): _*)
-      .agg(count(lit(1)).as("cnt"), min("time").as("first_spike"))
+      .agg(
+        count(lit(1)).as("cnt"), min("time").as("first_spike"),
+        sort_array(collect_list(col("time"))).as("times"))
+    // by_gid_and_trial keeps only spiking (trial, gid) rows — the
+    // reference's dropna under the default export_all_neurons=False
+    // (calculate_features.py:117-124)
+    val byGidTrial = perTrial.select(
+      ((keys :+ "trial") :+ "gid").map(col) ++ Seq(
+        col("cnt").as("count"), col("first_spike"), col("times")): _*)
     // universe = member gids × window trials, so silent gids/trials = 0
     val members = ctx.neurons.select("circuit_id", "neuron_class", "gid")
     val trials = ctx.windows
       .select("simulation_id", "circuit_id", "window", "trial", "duration").distinct()
     val universe = trials.join(members, Seq("circuit_id"))
     val filled = universe.join(
-        perTrial, (keys :+ "trial") :+ "gid", "left")
+        perTrial.drop("times"), (keys :+ "trial") :+ "gid", "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val byGid = filled
       .groupBy((keys :+ "gid").map(col) :+ col("duration"): _*)
@@ -98,6 +113,61 @@ object MeanFiringRates extends FeatureFn {
         avg("first_spike").as("mean_first_spike"))
       .withColumn("mean_firing_rate", col("mean_count") * lit(1000.0) / col("duration"))
       .drop("duration")
+    // by_neuron_class_and_trial: mean spike count over the gid universe per
+    // trial (reference mean_of_spike_counts_for_each_trial, line 38-44)
+    val byClassTrial = filled
+      .groupBy((keys :+ "trial").map(col): _*)
+      .agg(graft.queries.davg(col("cnt")).as("mean_of_spike_counts"))
+    // ---- the PSTH frame: counts per bin normalized by (class members ×
+    // window trials), its max-normalized form, and the gaussian-smoothed
+    // max-normalized form (calculate_features.py:67-93) ----
+    val binSize = ctx.params.get("hist_bin_size").map {
+      case n: Number => n.doubleValue()
+    }.getOrElse(1.0)
+    val sigma = ctx.params.get("sigma").map {
+      case n: Number => n.doubleValue()
+    }.getOrElse(4.0)
+    val dense = Histograms.compute(
+      ctx.copy(params = ctx.params + ("bin_size" -> binSize)))("histograms")
+    val nTrials = ctx.windows
+      .groupBy(Seq("simulation_id", "circuit_id", "window")
+        .filter(keys.contains).map(col): _*)
+      .agg(countDistinct("trial").as("n_trials"))
+    val nCells = ctx.neurons
+      .groupBy(Seq("circuit_id", "neuron_class").filter(keys.contains).map(col): _*)
+      .agg(count(lit(1)).as("n_cells"))
+    val withHist = dense
+      .join(broadcast(nTrials),
+        nTrials.columns.filterNot(_ == "n_trials").toSeq)
+      .join(broadcast(nCells),
+        nCells.columns.filterNot(_ == "n_cells").toSeq)
+      .withColumn("hist", col("cnt") / (col("n_cells") * col("n_trials")))
+      .drop("cnt", "n_cells", "n_trials")
+    // per-group extrema; argmax = FIRST bin attaining the max (np.argmax)
+    val grpStats = withHist.groupBy(keys.map(col): _*)
+      .agg(
+        graft.queries.davg(col("hist")).as("mean_of_hist"),
+        min("hist").as("min_of_hist"),
+        max("hist").as("max_of_hist"),
+        (-max(struct(col("hist").as("h"), (-col("bin")).as("nb")))
+          .getField("nb")).as("argmax_bin"))
+    // smoothing is linear and max-normalization scale-invariant, so
+    // smoothing raw counts then dividing by their max equals the
+    // reference's gaussian_filter over the normalized hist
+    val smoothed = SmoothedHistograms.smooth(ctx.spark, dense, keys, sigma)
+    val smMax = smoothed.groupBy(keys.map(col): _*)
+      .agg(max("smoothed").as("max_sm"))
+    val histograms = withHist
+      .join(grpStats.select((keys :+ "max_of_hist").map(col): _*), keys)
+      .join(smoothed, keys :+ "bin")
+      .join(smMax, keys)
+      .select(keys.map(col) ++ Seq(
+        col("bin"), col("hist"),
+        when(col("max_of_hist") === 0, col("hist"))
+          .otherwise(col("hist") / col("max_of_hist")).as("max_normalised_hist"),
+        when(col("max_sm") === 0, col("smoothed"))
+          .otherwise(col("smoothed") / col("max_sm"))
+          .as("smoothed_max_normalised_hist")): _*)
     // Class-level reduction uses order-independent decimal sums (E[x²]−E[x]²
     // population σ): double avg/stddev_pop accumulate in partial-aggregation
     // order, which is nondeterministic across partitionings and differs from
@@ -110,7 +180,16 @@ object MeanFiringRates extends FeatureFn {
         m.as("mean_of_mean_firing_rates"),
         sqrt(greatest(m2 - m * m, lit(0.0))).as("std_of_mean_firing_rates"),
         graft.queries.davg(col("mean_first_spike")).as("mean_of_mean_first_spikes"))
-    Map("by_gid" -> byGid, "by_neuron_class" -> byClass)
+      // the four histogram scalars the reference merges into by_neuron_class
+      // (calculate_features.py:130-155); left join — a class/window group
+      // with no spikes at all has no histogram rows
+      .join(grpStats, keys, "left")
+    Map(
+      "by_gid" -> byGid,
+      "by_gid_and_trial" -> byGidTrial,
+      "by_neuron_class" -> byClass,
+      "by_neuron_class_and_trial" -> byClassTrial,
+      "histograms" -> histograms)
   }
 }
 
@@ -182,15 +261,14 @@ object Histograms extends FeatureFn {
   * params: bin_size, sigma (in bins).
   */
 object SmoothedHistograms extends FeatureFn {
-  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
-    import org.apache.spark.sql.expressions.Window
-    val sigma = ctx.params.get("sigma").map {
-      case n: Number => n.doubleValue()
-    }.getOrElse(4.0)
+
+  /** Reflect-boundary gaussian smoothing of a dense per-group histogram
+    * frame (keys…, bin, cnt) → (keys…, bin, smoothed); kernel weights are
+    * driver-computed constants, radius = int(4σ+0.5) like scipy's.
+    */
+  def smooth(spark: SparkSession, dense: DataFrame, keys: Seq[String],
+      sigma: Double): DataFrame = {
     val radius = (4 * sigma + 0.5).toInt
-    val dense = Histograms.compute(ctx)("histograms")
-    val keys = ctx.groupby.filterNot(_ == "gid")
-    val spark = ctx.spark
     // kernel weights are constants — driver-computed, no global window
     val kernel = {
       import spark.implicits._
@@ -211,13 +289,26 @@ object SmoothedHistograms extends FeatureFn {
       (keys.map(n => col(n).as(s"s_$n")) :+ col("bin").as("s_bin")) :+ col("cnt").as("s_cnt"): _*)
     val joinCond = keys.map(n => col(n) === col(s"s_$n")).reduce(_ && _) &&
       col("s_bin") === col("src_bin")
-    val smoothed = dense.join(extent, keys)
+    dense.join(extent, keys)
       .crossJoin(broadcast(kernel))
       .withColumn("src_bin", reflect)
       .join(src, joinCond)
       .groupBy((keys :+ "bin").map(col): _*)
-      .agg(sum(col("s_cnt") * col("w")).cast("double").as("smoothed"))
-    Map("smoothed_histograms" -> smoothed)
+      // decimal-routed sum: double addition is order-sensitive and the
+      // partial-aggregation order varies run to run; rounding each of the
+      // ≤(2r+1) products to 1e-18 makes the result bit-deterministic at
+      // ~1e-17 worst-case error
+      .agg(sum((col("s_cnt") * col("w")).cast(DecimalType(38, 18)))
+        .cast("double").as("smoothed"))
+  }
+
+  def compute(ctx: FeatureCtx): Map[String, DataFrame] = {
+    val sigma = ctx.params.get("sigma").map {
+      case n: Number => n.doubleValue()
+    }.getOrElse(4.0)
+    val dense = Histograms.compute(ctx)("histograms")
+    val keys = ctx.groupby.filterNot(_ == "gid")
+    Map("smoothed_histograms" -> smooth(ctx.spark, dense, keys, sigma))
   }
 }
 

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.dsl._
 import graft.engine._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col, transform}
 
 /** End-to-end engine queries: the full Analyzer pipeline (campaign →
   * simulations/neurons/windows extraction → range-join report → features)
@@ -40,7 +41,10 @@ object Engine {
       features = Seq(
         FeaturesSpec(
           groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
-          function = "mean_firing_rates")))
+          function = "mean_firing_rates",
+          // micros-scale times need an explicit PSTH bin (the reference's
+          // 1-unit default is meant for ms times); σ=4 bins like bnac
+          params = Map("hist_bin_size" -> (6.0 * H), "sigma" -> 4.0))))
     new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None)
   }
 
@@ -67,6 +71,46 @@ object Engine {
        |  JOIN classes c ON c.gid = s.gid)
        |""".stripMargin
 
+  private val BS = 6 * H // mean_firing_rates hist_bin_size in the gate config
+
+  // The bnac PSTH frame over `assigned`: counts per BS-sized bin normalized
+  // by (class member count × window trial count) — appended after oracleCte.
+  private val histCte =
+    s""", nc AS (SELECT neuron_class, count(*) AS n_cells FROM classes GROUP BY 1),
+       |wt AS (SELECT win, count(*) AS n_trials, max(t_stop) AS ts2 FROM wins GROUP BY 1),
+       |hgroups AS (SELECT DISTINCT neuron_class, win FROM assigned),
+       |hbins AS (
+       |  SELECT g.neuron_class, g.win, CAST(x AS BIGINT) AS bin
+       |  FROM hgroups g JOIN wt ON wt.win = g.win,
+       |       LATERAL (SELECT unnest(generate_series(0,
+       |         CAST(CEIL(wt.ts2 / $BS) AS BIGINT) - 1)) AS x)),
+       |hcounts AS (
+       |  SELECT neuron_class, win, CAST(FLOOR(time / $BS) AS BIGINT) AS bin,
+       |    count(*) AS c
+       |  FROM assigned GROUP BY 1, 2, 3),
+       |hist AS (
+       |  SELECT b.neuron_class, b.win, b.bin,
+       |    CAST(COALESCE(h.c, 0) AS DOUBLE) / (nc.n_cells * wt.n_trials) AS hist
+       |  FROM hbins b
+       |  JOIN nc ON nc.neuron_class = b.neuron_class
+       |  JOIN wt ON wt.win = b.win
+       |  LEFT JOIN hcounts h ON h.neuron_class = b.neuron_class
+       |    AND h.win = b.win AND h.bin = b.bin)
+       |""".stripMargin
+
+  // Scalar rollup of the hist frame (argmax = FIRST bin attaining the max,
+  // np.argmax semantics) — the four columns merged into by_neuron_class.
+  private val hstatsCte =
+    """, hstats AS (
+      |  SELECT neuron_class, win,
+      |    CAST(SUM(CAST(hist AS DECIMAL(20,6))) AS DOUBLE) / COUNT(hist) AS mean_of_hist,
+      |    MIN(hist) AS min_of_hist, MAX(hist) AS max_of_hist,
+      |    MIN(CASE WHEN rk = 1 THEN bin END) AS argmax_bin
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY neuron_class, win
+      |                                     ORDER BY hist DESC, bin) AS rk FROM hist)
+      |  GROUP BY 1, 2)
+      |""".stripMargin
+
   val all: Seq[GQuery] = Seq(
 
     // Full pipeline → by_gid mean firing rates (counts per trial with
@@ -90,10 +134,11 @@ object Engine {
     },
 
     // Class-level rollup of the same pipeline (population σ — reference
-    // uses numpy ddof=0 std at bnac/calculate_features.py:63)
+    // uses numpy ddof=0 std at bnac/calculate_features.py:63) + the four
+    // histogram scalars bnac merges into by_neuron_class (lines 130-155)
     GQuery(
       "e2_engine_rates_by_class",
-      oracleCte +
+      oracleCte + histCte + hstatsCte +
         """, counts AS (
           |  SELECT neuron_class, win, trial, gid, count(*) AS cnt, min(time) AS first_spike
           |  FROM assigned GROUP BY 1, 2, 3, 4),
@@ -112,11 +157,14 @@ object Engine {
           |    CAST(SUM(CAST(rate * rate AS DECIMAL(20,6))) AS DOUBLE) / COUNT(rate) AS m2,
           |    CAST(SUM(CAST(mfs AS DECIMAL(20,6))) AS DOUBLE) / COUNT(mfs) AS mmfs
           |  FROM by_gid GROUP BY 1, 2)
-          |SELECT 0 AS simulation_id, 0 AS circuit_id, neuron_class, win AS window,
+          |SELECT 0 AS simulation_id, 0 AS circuit_id, agg.neuron_class, agg.win AS window,
           |  m AS mean_of_mean_firing_rates,
           |  SQRT(GREATEST(m2 - m * m, 0)) AS std_of_mean_firing_rates,
-          |  mmfs AS mean_of_mean_first_spikes
-          |FROM agg""".stripMargin) { (s, dir) =>
+          |  mmfs AS mean_of_mean_first_spikes,
+          |  h.mean_of_hist, h.min_of_hist, h.max_of_hist, h.argmax_bin
+          |FROM agg
+          |LEFT JOIN hstats h ON h.neuron_class = agg.neuron_class
+          |  AND h.win = agg.win""".stripMargin) { (s, dir) =>
       analyzer(s, dir).calculateFeatures()("by_neuron_class")
     },
 
@@ -420,6 +468,84 @@ object Engine {
           "simulation_path" -> "events.parquet",
           "circuit_path" -> s"$dir/events.parquet")))
       new Analyzer(s, cfg, campaign, new EventsAdapter, QTrue, None).report
+    },
+
+    // bnac by_neuron_class_and_trial: mean spike count over the gid
+    // universe per (class, window, trial) — reference
+    // mean_of_spike_counts_for_each_trial (calculate_features.py:38-44,160)
+    GQuery(
+      "e12_engine_class_trial_means",
+      oracleCte +
+        """, counts AS (
+          |  SELECT neuron_class, win, trial, gid, count(*) AS cnt
+          |  FROM assigned GROUP BY 1, 2, 3, 4)
+          |SELECT 0 AS simulation_id, 0 AS circuit_id, c.neuron_class,
+          |  w.win AS window, w.trial,
+          |  CAST(SUM(CAST(COALESCE(k.cnt, 0) AS DECIMAL(20,6))) AS DOUBLE)
+          |    / COUNT(*) AS mean_of_spike_counts
+          |FROM classes c
+          |CROSS JOIN wins w
+          |LEFT JOIN counts k ON k.neuron_class = c.neuron_class AND k.win = w.win
+          |  AND k.trial = w.trial AND k.gid = c.gid
+          |GROUP BY c.neuron_class, w.win, w.trial""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).calculateFeatures()("by_neuron_class_and_trial")
+    },
+
+    // bnac by_gid_and_trial: per-trial count / first spike / sorted spike
+    // list, spiking rows only (calculate_features.py:21-27,117-124). The
+    // list is gate-compared as a comma-joined integer string (times are
+    // integral micros; the harness cannot lexsort array cells).
+    GQuery(
+      "e15_engine_by_gid_trial",
+      oracleCte +
+        """SELECT 0 AS simulation_id, 0 AS circuit_id, neuron_class,
+          |  win AS window, trial, gid, count(*) AS "count",
+          |  min(time) AS first_spike,
+          |  array_to_string(list(CAST(time AS BIGINT) ORDER BY time), ',') AS times
+          |FROM assigned GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).calculateFeatures()("by_gid_and_trial")
+        .withColumn("times", array_join(
+          transform(col("times"), _.cast("long").cast("string")), ","))
+    },
+
+    // bnac histograms frame: the normalized PSTH, its max-normalized form,
+    // and the gaussian-smoothed max-normalized form (σ=4 bins, reflect
+    // boundary; calculate_features.py:67-93,161-179). Smoothing the raw
+    // counts and dividing by their max equals smoothing the normalized
+    // hist (linearity), so the oracle smooths `hist` directly.
+    GQuery(
+      "e16_engine_hist_frame",
+      oracleCte + histCte +
+        s""", kernel AS (
+           |  SELECT k, exp(-(k * k) / 32.0) / sum(exp(-(k * k) / 32.0)) OVER () AS w
+           |  FROM generate_series(-16, 16) AS t(k)),
+           |ext AS (SELECT neuron_class, win, max(bin) AS hi FROM hist GROUP BY 1, 2),
+           |sm AS (
+           |  SELECT d.neuron_class, d.win, d.bin,
+           |    CAST(sum(src.hist * kk.w) AS DOUBLE) AS smoothed
+           |  FROM hist d
+           |  JOIN ext e ON e.neuron_class = d.neuron_class AND e.win = d.win
+           |  CROSS JOIN kernel kk
+           |  JOIN hist src ON src.neuron_class = d.neuron_class AND src.win = d.win
+           |    AND src.bin = (CASE WHEN d.bin + kk.k < 0 THEN -(d.bin + kk.k) - 1
+           |                        WHEN d.bin + kk.k > e.hi THEN 2 * e.hi - (d.bin + kk.k) + 1
+           |                        ELSE d.bin + kk.k END)
+           |  GROUP BY 1, 2, 3),
+           |mx AS (
+           |  SELECT neuron_class, win, max(hist) AS mh FROM hist GROUP BY 1, 2),
+           |smx AS (
+           |  SELECT neuron_class, win, max(smoothed) AS ms FROM sm GROUP BY 1, 2)
+           |SELECT 0 AS simulation_id, 0 AS circuit_id, h.neuron_class,
+           |  h.win AS window, h.bin, h.hist,
+           |  CASE WHEN mx.mh = 0 THEN h.hist ELSE h.hist / mx.mh END AS max_normalised_hist,
+           |  CASE WHEN smx.ms = 0 THEN sm.smoothed ELSE sm.smoothed / smx.ms END
+           |    AS smoothed_max_normalised_hist
+           |FROM hist h
+           |JOIN sm ON sm.neuron_class = h.neuron_class AND sm.win = h.win
+           |  AND sm.bin = h.bin
+           |JOIN mx ON mx.neuron_class = h.neuron_class AND mx.win = h.win
+           |JOIN smx ON smx.neuron_class = h.neuron_class AND smx.win = h.win""".stripMargin) { (s, dir) =>
+      analyzer(s, dir).calculateFeatures()("histograms")
     }
   )
 }

@@ -55,9 +55,9 @@ class AnalyzerSpec extends SparkSuite {
          |    features:
          |      - groupby: [simulation_id, circuit_id, neuron_class, window]
          |        function: mean_firing_rates
-         |        params: {}
+         |        params: {hist_bin_size: 100000.0}
          |      - groupby: [simulation_id, circuit_id, neuron_class, window]
-         |        function: histograms
+         |        function: smoothed_histograms
          |        params: {bin_size: 100000.0}
          |        windows: [w2]
          |""".stripMargin)
@@ -133,8 +133,11 @@ class AnalyzerSpec extends SparkSuite {
 
   test("features: firing rates match a direct computation") {
     val feats = an.calculateFeatures()
-    assert(feats.contains("by_gid") && feats.contains("by_neuron_class") &&
-      feats.contains("histograms"))
+    // mean_firing_rates emits all five bnac frames
+    // (reference: bnac/calculate_features.py:173-179)
+    for (n <- Seq("by_gid", "by_gid_and_trial", "by_neuron_class",
+        "by_neuron_class_and_trial", "histograms"))
+      assert(feats.contains(n), s"missing feature frame '$n'")
     val byGid = feats("by_gid")
     // direct check for one cell: class 'all', window 'w2' (1 trial) —
     // mean_count == raw spike count in that window, rate = cnt*1000/duration
@@ -148,9 +151,37 @@ class AnalyzerSpec extends SparkSuite {
     assert(joined.filter(abs(col("mean_count") - col("cnt")) > 1e-9).count() === 0)
     assert(joined.filter(
       abs(col("mean_firing_rate") - col("cnt") * 1000.0 / 2000000.0) > 1e-9).count() === 0)
-    // histograms scoped to w2 only
-    assert(feats("histograms").select("window").distinct().collect()
+    // the second spec's frame is scoped to w2 only (P6)
+    assert(feats("smoothed_histograms").select("window").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("w2"))
+    // by_gid_and_trial: per-trial counts match the report directly; only
+    // spiking rows are kept (reference dropna, export_all_neurons=False)
+    val bgt = feats("by_gid_and_trial").filter(
+      col("neuron_class") === "all" && col("window") === "w2" && col("simulation_id") === 0)
+    val directTrial = an.report.filter(
+        col("neuron_class") === "all" && col("window") === "w2" && col("simulation_id") === 0)
+      .groupBy("trial", "gid").agg(count(lit(1)).as("cnt"), min("time").as("mt"))
+    val jt = bgt.join(directTrial, Seq("trial", "gid"), "full")
+    assert(jt.filter(col("count").isNull || col("cnt").isNull ||
+      col("count") =!= col("cnt") || col("first_spike") =!= col("mt")).count() === 0)
+    assert(bgt.filter(size(col("times")) =!= col("count")).count() === 0)
+    // by_neuron_class_and_trial equals the universe-filled per-trial mean
+    val universeN = an.neurons.filter(col("neuron_class") === "all").count()
+    val bct = feats("by_neuron_class_and_trial").filter(
+      col("neuron_class") === "all" && col("window") === "w2" && col("simulation_id") === 0)
+    val spikesW2 = an.report.filter(
+      col("neuron_class") === "all" && col("window") === "w2" &&
+        col("simulation_id") === 0).count()
+    val got = bct.select("mean_of_spike_counts").collect().map(_.getDouble(0)).toSeq
+    assert(got.size === 1)
+    assert(math.abs(got.head - spikesW2.toDouble / universeN) < 1e-6)
+  }
+
+  test("duplicate feature output names are rejected") {
+    val bad = an.cfg.copy(features = an.cfg.features.take(1) ++ an.cfg.features.take(1))
+    val an2 = new Analyzer(spark, bad, an.campaign, an.adapter)
+    val ex = intercept[IllegalArgumentException](an2.calculateFeatures())
+    assert(ex.getMessage.contains("duplicate feature output name"))
   }
 
   test("cache: second analyzer loads from parquet and matches") {
