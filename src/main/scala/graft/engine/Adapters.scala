@@ -129,6 +129,9 @@ class ParquetAdapter extends DataAdapter {
       spark: SparkSession, sims: Seq[(Int, Int, String)],
       extras: Seq[String]): Option[DataFrame] = {
     if (sims.isEmpty) return None
+    // two sims sharing one path would double-read the file in the
+    // multi-path scan AND fan out on the mapping join — union instead
+    if (sims.map(_._3).distinct.size != sims.size) return None
     import spark.implicits._
     def hasSubdirs(f: java.io.File): Boolean =
       Option(f.listFiles()).getOrElse(Array.empty).exists(_.isDirectory)

@@ -546,6 +546,93 @@ object Engine {
            |JOIN mx ON mx.neuron_class = h.neuron_class AND mx.win = h.win
            |JOIN smx ON smx.neuron_class = h.neuron_class AND smx.win = h.win""".stripMargin) { (s, dir) =>
       analyzer(s, dir).calculateFeatures()("histograms")
+    },
+
+    // P7 under the oracle: applyFilter on a condition column — a 3-sim
+    // campaign (identical events per sim, varying `ca`) rescoped in memory
+    // to ca ∈ {1.1, 1.3}; the filtered by_gid features must equal the e1
+    // computation replicated per selected simulation (reference:
+    // analysis.py:126-145 apply_filter / repository.py:383-418)
+    GQuery(
+      "e13_engine_apply_filter",
+      oracleCte +
+        """, counts AS (
+          |  SELECT neuron_class, win, trial, gid, count(*) AS cnt, min(time) AS first_spike
+          |  FROM assigned GROUP BY 1, 2, 3, 4),
+          |by_gid AS (
+          |  SELECT 0 AS circuit_id, c.neuron_class, w.win AS window, c.gid,
+          |    avg(COALESCE(k.cnt, 0)) AS mean_count,
+          |    avg(k.first_spike) AS mean_first_spike,
+          |    avg(COALESCE(k.cnt, 0)) * 1000.0 / w.duration AS mean_firing_rate
+          |  FROM classes c
+          |  CROSS JOIN wins w
+          |  LEFT JOIN counts k ON k.neuron_class = c.neuron_class AND k.win = w.win
+          |    AND k.trial = w.trial AND k.gid = c.gid
+          |  GROUP BY c.neuron_class, w.win, c.gid, w.duration)
+          |SELECT s.sim AS simulation_id, b.*
+          |FROM (VALUES (0), (2)) s(sim) CROSS JOIN by_gid b""".stripMargin) { (s, dir) =>
+      val an = multiSimAnalyzer(s, dir, withFeatures = true)
+      an.applyFilter(QAnd("ca" -> QCond(QIsIn(Seq(1.1, 1.3)))))
+        .calculateFeatures()("by_gid")
+    },
+
+    // P8/C3 under the oracle: a cache written under the broad (true)
+    // filter is reused by a NARROWER filter and refiltered at load — the
+    // served report must equal the narrow extraction directly (reference:
+    // cache.py:575-610 _is_subfilter reuse)
+    GQuery(
+      "e14_engine_cache_narrowing",
+      oracleCte +
+        """SELECT 2 AS simulation_id, 0 AS circuit_id, neuron_class,
+          |  win AS window, trial, time, gid
+          |FROM assigned""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-e14").toString
+      val broad = new Analyzer(s, multiSimCfg(withFeatures = false),
+        multiSimCampaign(dir), new EventsAdapter, QTrue,
+        Some(new CacheManager(s, tmp)))
+      broad.extractRepo()
+      broad.cache.foreach(_.close())
+      val narrow = new Analyzer(s, multiSimCfg(withFeatures = false),
+        multiSimCampaign(dir), new EventsAdapter,
+        QAnd("ca" -> QCond(QEq(1.3))), Some(new CacheManager(s, tmp)))
+      // reuse proof, not just result equality: the narrow analyzer must
+      // serve the broad cache (subfilter reuse), not recompute
+      val plan = narrow.report.queryExecution.optimizedPlan.toString
+      require(!plan.toLowerCase.contains("join"),
+        s"expected cached-scan reuse, got a recomputation plan:\n$plan")
+      narrow.report
+        .select("simulation_id", "circuit_id", "neuron_class", "window",
+          "trial", "time", "gid")
     }
   )
+
+  /** 3-simulation campaign over the same events table with a varying `ca`
+    * condition column (simulation ids 0/1/2 by row order).
+    */
+  private def multiSimCampaign(dir: String): Campaign = Campaign(
+    name = "multisim", pathPrefix = dir, attrs = Map.empty,
+    rows = Seq(1.1, 1.2, 1.3).map(ca => Map[String, Any](
+      "simulation_path" -> "events.parquet",
+      "circuit_path" -> s"$dir/events.parquet", "ca" -> ca)))
+
+  private def multiSimCfg(withFeatures: Boolean): SingleAnalysisConfig =
+    SingleAnalysisConfig(
+      name = "multisim", reportType = "spikes",
+      windows = Map(
+        "w1" -> WindowSpec(
+          bounds = (0.0, 12.0 * H), nTrials = 3, trialStepsValue = D.toDouble),
+        "w2" -> WindowSpec(bounds = (0.0, 7.0 * D))),
+      neuronClasses = Map(
+        "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+        "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+      features = if (withFeatures) Seq(
+        FeaturesSpec(
+          groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+          function = "mean_firing_rates",
+          params = Map("hist_bin_size" -> (6.0 * H), "sigma" -> 4.0))) else Nil)
+
+  private def multiSimAnalyzer(s: SparkSession, dir: String,
+      withFeatures: Boolean): Analyzer =
+    new Analyzer(s, multiSimCfg(withFeatures), multiSimCampaign(dir),
+      new EventsAdapter, QTrue, None)
 }

@@ -101,6 +101,61 @@ class PlanAuditSpec extends SparkSuite {
       s"window envelope not pushed to the events scan:\n${scan.getOrElse(p)}")
   }
 
+  test("multi-sim campaign: one FileScan for N sims' spikes; neurons bounded by circuits") {
+    // the reference's real workload shape is N sims × small report
+    // (extract/report.py:106-123 fans out per sim); the engine must keep
+    // ONE multi-path FileScan via spikesBulk, not an N-branch union, and
+    // the neurons extraction must scale with CIRCUITS (2), not sims (24)
+    import spark.implicits._
+    import graft.engine._
+    import graft.dsl.{QTrue, QAnd, QCond, QEq}
+    val dir = java.nio.file.Files.createTempDirectory("graft-msim").toString
+    val nSims = 24
+    (0 until nSims).foreach { i =>
+      Seq((1.0 + i, i.toLong % 3), (2.0 + i, (i + 1).toLong % 3))
+        .toDF("time", "gid")
+        .write.mode("overwrite").parquet(s"$dir/sims/sim$i")
+    }
+    (0 until 2).foreach { c =>
+      Seq((0L, "a"), (1L, "b"), (2L, "a")).toDF("gid", "mtype")
+        .write.mode("overwrite").parquet(s"$dir/nodes$c")
+    }
+    val campaign = Campaign(
+      name = "msim", pathPrefix = "", attrs = Map.empty,
+      rows = (0 until nSims).map(i => Map[String, Any](
+        "simulation_path" -> s"$dir/sims/sim$i",
+        "circuit_path" -> s"$dir/nodes${i % 2}")))
+    val cfg = SingleAnalysisConfig(
+      name = "msim", reportType = "spikes",
+      windows = Map("w" -> WindowSpec(bounds = (0.0, 100.0))),
+      neuronClasses = Map(
+        "a" -> NeuronClassSpec(query = QAnd("mtype" -> QCond(QEq("a"))))),
+      features = Nil)
+    val an = new Analyzer(spark, cfg, campaign, new ParquetAdapter, QTrue, None)
+    val reportPlan = an.report.queryExecution.executedPlan.toString
+    val spikeScans = reportPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("time"))
+    assert(spikeScans === 1,
+      s"expected ONE multi-path spikes FileScan for $nSims sims, got $spikeScans:\n$reportPlan")
+    // the only Union allowed is the neurons attach (per circuit, ≤ 2
+    // branches); a per-sim fallback would union 24 spike scans
+    assert("(?m)^\\s*:?[+-]+ Union".r.findAllIn(reportPlan).length <= 1, reportPlan)
+    val neuronsPlan = an.neurons.queryExecution.executedPlan.toString
+    val nodeScans = neuronsPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(nodeScans <= 2,
+      s"neurons plan should scan per circuit (2), got $nodeScans scans")
+    // correctness of the mapping: each sim contributes exactly its rows
+    // whose gid is in class 'a' (gids 0 and 2): sims with i%3==2 wrote
+    // gids {2, 0} (both members), the others one member + gid 1
+    val counts = an.report.groupBy("simulation_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.size === nSims)
+    (0 until nSims).foreach { i =>
+      val expect = if (i % 3 == 2) 2L else 1L
+      assert(counts(i) === expect, s"sim $i: got ${counts(i)}, want $expect")
+    }
+  }
+
   test("e11 params product: windows broadcast in every expanded branch, no cartesian") {
     val p = plan("e11_engine_params_product")
     assert(!p.contains("CartesianProduct"), p)
