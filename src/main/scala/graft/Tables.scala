@@ -46,7 +46,20 @@ object Tables {
     // parquet row-group stats through the MicrosPushdown unwrap rule
     graft.functions.GraftFunctions.register(spark)
     val df = load(spark, sfDir, "events")
-    df.withColumn("ts", timestamp_micros(tsMicros(df)))
+    val withTs = df.withColumn("ts", timestamp_micros(tsMicros(df)))
+    // the driver has regenerated testdata with schema drift twice (ts
+    // nanos↔micros); widen the other plausible narrowings to the canonical
+    // types so a regeneration with int32 ids or float32 values cannot
+    // shift downstream arithmetic. Conditional on the scanned type: the
+    // canonical encodings take the identity path, plans unchanged.
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    Seq(("user_id", LongType: org.apache.spark.sql.types.DataType),
+        ("event_id", LongType), ("value", DoubleType))
+      .foldLeft(withTs) { case (d, (c, t)) =>
+        if (d.columns.contains(c) && d.schema(c).dataType != t)
+          d.withColumn(c, col(c).cast(t))
+        else d
+      }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

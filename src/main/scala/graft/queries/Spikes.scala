@@ -846,6 +846,51 @@ object Spikes {
         .groupBy(window(col("ts"), "1 day").as("wnd"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(col("wnd.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+    },
+
+    // ---- Streaming extension: per-gid burst sessionization (gap ≥ 2h
+    // closes a session). The gate runs the BATCH restatement; the
+    // streaming mapGroupsWithState form is pinned equal to it by
+    // StreamOpsSpec on the same input. ----
+    GQuery(
+      "s2_sessionize",
+      s"""WITH ev AS (
+         |  SELECT user_id AS gid, epoch_us(ts) - $Origin AS time FROM events),
+         |marked AS (
+         |  SELECT gid, time,
+         |    CASE WHEN lag(time) OVER (PARTITION BY gid ORDER BY time) IS NULL
+         |           OR time - lag(time) OVER (PARTITION BY gid ORDER BY time)
+         |              >= ${2 * H}
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM ev),
+         |tagged AS (
+         |  SELECT gid, time,
+         |    SUM(new_session) OVER (PARTITION BY gid ORDER BY time
+         |                           ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked)
+         |SELECT gid, session_id, count(*) AS n_events,
+         |  min(time) AS t_start, max(time) AS t_end,
+         |  max(time) - min(time) AS span
+         |FROM tagged GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamOps.sessionizeBatch(
+        Tables.spikes(s, dir).select("gid", "time"), gapMicros = 2 * H)
+    },
+
+    // ---- Streaming extension: exact dedup with watermark-bounded state.
+    // Batch form of dropDuplicatesWithinWatermark keeps one row per key;
+    // projecting the keys makes the kept-row choice immaterial, so the
+    // oracle is the distinct key set. ----
+    GQuery(
+      "s3_stream_dedupe",
+      s"""SELECT DISTINCT user_id AS gid, event_type,
+         |  time_bucket(INTERVAL 1 DAY, ts) AS day
+         |FROM events""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("gid"), col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("ts"))
+      graft.streaming.StreamOps.dedupeStream(
+        ev, keys = Seq("gid", "event_type", "day"), watermark = "1 day")
+        .select("gid", "event_type", "day")
     }
   )
 }

@@ -682,6 +682,32 @@ object Text {
           ((substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L).as("cut"))
         .filter(col("u") < col("cut"))
         .select("doc_id", "source")
+    },
+
+    // ---- The measured auto band-depth itself under the gate: run
+    // autoRowsPerBand on the corpus, band at the chosen depth, and pin
+    // the two invariants the 100 TB depth-choosing path must hold —
+    // zero occupancy-cap drops at the chosen depth, and every confirmed
+    // near-dup pair (jaccard ≥ 0.8 on the oracle-locked shallow banding)
+    // still caught by the auto-depth banding (candidate superset). ----
+    GQuery(
+      "t18_auto_depth_invariants",
+      """SELECT CAST(0 AS BIGINT) AS dropped_ids,
+        |  CAST(0 AS BIGINT) AS missed_true_pairs""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = persistedShingles(s, dir)
+      val depth = autoRowsPerBand(sh)
+      val buckets = lshBuckets(sh, bands = 4, rowsPerBand = depth)
+      val cap = Lsh.DefaultBucketCap
+      val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
+        .head().getLong(0)
+      val autoCands = Lsh.cappedPairs(
+        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
+      val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select("doc1", "doc2")
+        .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
+      Seq((dropped, missed)).toDF("dropped_ids", "missed_true_pairs")
     }
   )
 }

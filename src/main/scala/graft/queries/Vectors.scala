@@ -589,6 +589,33 @@ object Vectors {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select("q_id", "vec_id", "rk", "cos")
+    },
+
+    // ---- The measured auto plane-depth under the gate (the t18 analog
+    // for the hyperplane family): run autoPlanesPerBand on the corpus,
+    // band at the chosen depth, pin zero occupancy-cap drops and the
+    // candidate superset over the confirmed near-dups (cosine ≥ 0.9 on
+    // the oracle-locked 4×4 banding — v8's dedup edges). ----
+    GQuery(
+      "v9_auto_planes_invariants",
+      """SELECT CAST(0 AS BIGINT) AS dropped_ids,
+        |  CAST(0 AS BIGINT) AS missed_neardups""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val depth = autoPlanesPerBand(
+        emb, emb.count(), Lsh.DefaultTargetOccupancy, bands = 4, sample = 1.0)
+      val sig = lshSignatures(emb, bands = 4, planesPerBand = depth)
+      val cap = Lsh.DefaultBucketCap
+      val dropped = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
+        .head().getLong(0)
+      val autoCands = Lsh.cappedPairs(
+        sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto")
+      val missed = lshSimilarPairs(emb, bands = 4, planesPerBand = 4,
+          threshold = 0.9, metricName = "graft_lsh_vec_true")
+        .select("v1", "v2")
+        .join(autoCands, Seq("v1", "v2"), "left_anti").count()
+      Seq((dropped, missed)).toDF("dropped_ids", "missed_neardups")
     }
   )
 }

@@ -61,9 +61,15 @@ object StreamOps {
     * dedup; batch equivalent is dropDuplicates on the same keys).
     */
   def dedupeStream(events: DataFrame, keys: Seq[String], watermark: String): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else
+      // batch restatement: Spark rejects the watermark variant on batch
+      // frames; without a watermark the state bound is moot and the
+      // semantics collapse to plain key dedup
+      events.dropDuplicates(keys.head, keys.tail: _*)
 
   /** Stateful sessionization via flatMapGroupsWithState-style API:
     * per-gid session = burst of events with gaps < `gapMicros`. Emits one
