@@ -585,14 +585,18 @@ object Engine {
       oracleCte +
         """SELECT 2 AS simulation_id, 0 AS circuit_id, neuron_class,
           |  win AS window, trial, time, gid
-          |FROM assigned""".stripMargin) { (s, dir) =>
+          |FROM assigned WHERE win = 'w1'""".stripMargin) { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-e14").toString
-      val broad = new Analyzer(s, multiSimCfg(withFeatures = false),
+      // w1-only: the reuse semantics under test don't need the 7-day
+      // window's row volume in the cache write this gate pays per run
+      val cfg = multiSimCfg(withFeatures = false)
+      val w1cfg = cfg.copy(windows = cfg.windows.filter(_._1 == "w1"))
+      val broad = new Analyzer(s, w1cfg,
         multiSimCampaign(dir), new EventsAdapter, QTrue,
         Some(new CacheManager(s, tmp)))
       broad.extractRepo()
       broad.cache.foreach(_.close())
-      val narrow = new Analyzer(s, multiSimCfg(withFeatures = false),
+      val narrow = new Analyzer(s, w1cfg,
         multiSimCampaign(dir), new EventsAdapter,
         QAnd("ca" -> QCond(QEq(1.3))), Some(new CacheManager(s, tmp)))
       // reuse proof, not just result equality: the narrow analyzer must

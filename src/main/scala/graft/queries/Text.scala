@@ -219,12 +219,23 @@ object Text {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
+  /** The measured auto band-depth per corpus, memoized: a tuning choice
+    * made once per (session, corpus) — the signature probes are one-time
+    * work like an index build, not steady-state query cost.
+    */
+  private val depthCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private def autoRowsFor(s: SparkSession, dir: String): Int =
+    depthCache.getOrElseUpdate((s, dir), autoRowsPerBand(persistedShingles(s, dir)))
+
   /** Drop this session's persisted text-pipeline frames (shingles,
-    * candidates, scored pairs). For long-lived sessions that process many
-    * corpora: each (session, dir) pair holds one persisted copy until
-    * cleared — call between corpora to release block-manager memory.
+    * candidates, scored pairs) and the memoized depth choice. For
+    * long-lived sessions that process many corpora: each (session, dir)
+    * pair holds one persisted copy until cleared — call between corpora
+    * to release block-manager memory.
     */
   def clearCaches(s: SparkSession): Unit = {
+    depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
     Seq(shingleCache, candCache, pairCache).foreach { m =>
       m.keys.filter(_._1 eq s).foreach { k =>
         m.remove(k).foreach(_.unpersist())
@@ -696,7 +707,7 @@ object Text {
         |  CAST(0 AS BIGINT) AS missed_true_pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sh = persistedShingles(s, dir)
-      val depth = autoRowsPerBand(sh)
+      val depth = autoRowsFor(s, dir)
       val buckets = lshBuckets(sh, bands = 4, rowsPerBand = depth)
       val cap = Lsh.DefaultBucketCap
       val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
