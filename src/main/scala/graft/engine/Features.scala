@@ -92,17 +92,31 @@ object MeanFiringRates extends FeatureFn {
       .agg(
         count(lit(1)).as("cnt"), min("time").as("first_spike"),
         sort_array(collect_list(col("time"))).as("times"))
-    // by_gid_and_trial keeps only spiking (trial, gid) rows — the
-    // reference's dropna under the default export_all_neurons=False
-    // (calculate_features.py:117-124)
-    val byGidTrial = perTrial.select(
-      ((keys :+ "trial") :+ "gid").map(col) ++ Seq(
-        col("cnt").as("count"), col("first_spike"), col("times")): _*)
     // universe = member gids × window trials, so silent gids/trials = 0
     val members = ctx.neurons.select("circuit_id", "neuron_class", "gid")
     val trials = ctx.windows
       .select("simulation_id", "circuit_id", "window", "trial", "duration").distinct()
     val universe = trials.join(members, Seq("circuit_id"))
+    // by_gid_and_trial: spiking rows only by default (the reference's
+    // dropna under export_all_neurons=False, calculate_features.py:117-124);
+    // with export_all_neurons=true every universe (trial, gid) appears
+    // with count 0 / null first spike / empty list — the reference's
+    // merged neurons×windows×report input makes silent rows first-class
+    // (features.py:418, functional goldens analysis_01)
+    val exportAll = ctx.params.get("export_all_neurons").exists {
+      case b: java.lang.Boolean => b
+      case s => s.toString.toBoolean
+    }
+    val gidTrialCols = ((keys :+ "trial") :+ "gid").map(col) ++ Seq(
+      col("cnt").as("count"), col("first_spike"), col("times"))
+    val byGidTrial =
+      if (!exportAll) perTrial.select(gidTrialCols: _*)
+      else universe.drop("duration")
+        .join(perTrial, (keys :+ "trial") :+ "gid", "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("times",
+          coalesce(col("times"), expr("CAST(array() AS array<double>)")))
+        .select(gidTrialCols: _*)
     val filled = universe.join(
         perTrial.drop("times"), (keys :+ "trial") :+ "gid", "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
@@ -127,8 +141,28 @@ object MeanFiringRates extends FeatureFn {
     val sigma = ctx.params.get("sigma").map {
       case n: Number => n.doubleValue()
     }.getOrElse(4.0)
-    val dense = Histograms.compute(
-      ctx.copy(params = ctx.params + ("bin_size" -> binSize)))("histograms")
+    // bins are RELATIVE to each window's t_start (bin 0 = [t_start,
+    // t_start+binSize)), matching np.histogram(range=[t_start, t_stop])
+    // in the reference — the standalone Histograms feature keeps its
+    // absolute-bin contract
+    val winCols = Seq("simulation_id", "circuit_id", "window").filter(keys.contains)
+    val spans = ctx.windows
+      .select(winCols.map(col) :+ col("t_start") :+
+        (ceil((col("t_stop") - col("t_start")) / binSize).cast("long") - 1)
+          .as("bin_hi"): _*)
+      .distinct()
+    val binned = ctx.report
+      .join(broadcast(spans), winCols)
+      .withColumn("bin",
+        floor((col("time") - col("t_start")) / binSize).cast("long"))
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val dense = ctx.report.select(keys.map(col): _*).distinct()
+      .join(broadcast(spans), winCols)
+      .withColumn("bin", explode(sequence(lit(0L), col("bin_hi"))))
+      .drop("bin_hi", "t_start")
+      .join(binned, keys :+ "bin", "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
     val nTrials = ctx.windows
       .groupBy(Seq("simulation_id", "circuit_id", "window")
         .filter(keys.contains).map(col): _*)
@@ -177,6 +211,7 @@ object MeanFiringRates extends FeatureFn {
     val m2 = graft.queries.davg(r * r)
     val byClass = byGid.groupBy(keys.map(col): _*)
       .agg(
+        graft.queries.davg(col("mean_count")).as("mean_of_mean_spike_counts"),
         m.as("mean_of_mean_firing_rates"),
         sqrt(greatest(m2 - m * m, lit(0.0))).as("std_of_mean_firing_rates"),
         graft.queries.davg(col("mean_first_spike")).as("mean_of_mean_first_spikes"))

@@ -144,6 +144,7 @@ object Engine {
           |  FROM assigned GROUP BY 1, 2, 3, 4),
           |by_gid AS (
           |  SELECT c.neuron_class, w.win AS win, c.gid,
+          |    avg(COALESCE(k.cnt, 0)) AS mc,
           |    avg(COALESCE(k.cnt, 0)) * 1000.0 / w.duration AS rate,
           |    avg(k.first_spike) AS mfs
           |  FROM classes c
@@ -153,11 +154,13 @@ object Engine {
           |  GROUP BY c.neuron_class, w.win, c.gid, w.duration),
           |agg AS (
           |  SELECT neuron_class, win,
+          |    CAST(SUM(CAST(mc AS DECIMAL(20,6))) AS DOUBLE) / COUNT(mc) AS mmc,
           |    CAST(SUM(CAST(rate AS DECIMAL(20,6))) AS DOUBLE) / COUNT(rate) AS m,
           |    CAST(SUM(CAST(rate * rate AS DECIMAL(20,6))) AS DOUBLE) / COUNT(rate) AS m2,
           |    CAST(SUM(CAST(mfs AS DECIMAL(20,6))) AS DOUBLE) / COUNT(mfs) AS mmfs
           |  FROM by_gid GROUP BY 1, 2)
           |SELECT 0 AS simulation_id, 0 AS circuit_id, agg.neuron_class, agg.win AS window,
+          |  mmc AS mean_of_mean_spike_counts,
           |  m AS mean_of_mean_firing_rates,
           |  SQRT(GREATEST(m2 - m * m, 0)) AS std_of_mean_firing_rates,
           |  mmfs AS mean_of_mean_first_spikes,
