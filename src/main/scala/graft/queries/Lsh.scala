@@ -84,6 +84,24 @@ object Lsh {
       .distinct()
   }
 
+  /** Smallest band count that keeps recall for a pair whose per-row match
+    * probability is `p` when bands are `depth` rows deep:
+    * 1-(1-p^depth)^bands ≥ recall. Deepening bands to control occupancy
+    * DECAYS recall exponentially (the x10 v9 sweep measured a 4-band
+    * depth-raised banding losing thousands of confirmed near-dup pairs);
+    * the two knobs must move together — depth from the occupancy
+    * measurement, bands from this closed form at the similarity the dedup
+    * tier must keep catching.
+    */
+  def bandsForRecall(p: Double, depth: Int, recall: Double,
+      maxBands: Int = 64): Int = {
+    require(p > 0.0 && p < 1.0, s"per-row match probability must be in (0,1): $p")
+    require(recall > 0.0 && recall < 1.0 && depth > 0 && maxBands > 0)
+    val pBand = math.pow(p, depth)
+    val b = math.ceil(math.log1p(-recall) / math.log1p(-pBand))
+    math.min(maxBands, math.max(1, if (b.isFinite) b.toInt else maxBands))
+  }
+
   /** Smallest band depth whose MEASURED max bucket occupancy meets
     * `target` — or, if no probed depth reaches it, the depth with the
     * smallest occupancy seen.

@@ -703,22 +703,27 @@ object Text {
     // still caught by the auto-depth banding (candidate superset). ----
     GQuery(
       "t18_auto_depth_invariants",
-      """SELECT CAST(0 AS BIGINT) AS dropped_ids,
+      """SELECT CAST(0 AS BIGINT) AS dropped_pct,
         |  CAST(0 AS BIGINT) AS missed_true_pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sh = persistedShingles(s, dir)
       val depth = autoRowsFor(s, dir)
       val buckets = lshBuckets(sh, bands = 4, rowsPerBand = depth)
       val cap = Lsh.DefaultBucketCap
+      // drop gate as a corpus fraction (floor %), like v9: a same-signature
+      // dup cluster denser than the cap never splits — overflow must stay
+      // marginal AND cost no recall (missed below)
       val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
         .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
         .head().getLong(0)
+      val nDocs = buckets.select("doc_id").distinct().count()
+      val droppedPct = (100L * dropped) / math.max(nDocs * 4L, 1L)
       val autoCands = Lsh.cappedPairs(
         buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
       val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
         .select("doc1", "doc2")
         .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
-      Seq((dropped, missed)).toDF("dropped_ids", "missed_true_pairs")
+      Seq((droppedPct, missed)).toDF("dropped_pct", "missed_true_pairs")
     }
   )
 }
