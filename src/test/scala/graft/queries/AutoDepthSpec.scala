@@ -132,4 +132,27 @@ class AutoDepthSpec extends SparkSuite {
       .agg(max("cnt")).collect()(0).getLong(0)
     assert(shallowMax > Lsh.DefaultBucketCap, s"shallow max $shallowMax")
   }
+
+  test("bandsForRecall solves 1-(1-p^d)^b >= recall, monotone in depth") {
+    // exact small case: p=0.5, d=1 → pBand=0.5; recall 0.99 needs
+    // (1-0.5)^b <= 0.01 → b = 7
+    assert(Lsh.bandsForRecall(0.5, 1, 0.99) === 7)
+    // the solved b really achieves the recall, and b-1 does not
+    for (p <- Seq(0.8, 0.9, 0.955); d <- Seq(2, 4, 8, 12); r <- Seq(0.99, 1 - 1e-6)) {
+      val b = Lsh.bandsForRecall(p, d, r)
+      val pBand = math.pow(p, d)
+      val achieved = 1.0 - math.pow(1.0 - pBand, b)
+      if (b < 64) { // un-clamped: solved b achieves the recall, b-1 does not
+        assert(achieved >= r - 1e-12, s"p=$p d=$d r=$r b=$b achieved=$achieved")
+        if (b > 1)
+          assert(1.0 - math.pow(1.0 - pBand, b - 1) < r,
+            s"b=$b is not minimal for p=$p d=$d r=$r")
+      }
+    }
+    // deeper bands need at least as many bands for the same recall
+    val bs = (1 to 16).map(d => Lsh.bandsForRecall(0.9, d, 0.999))
+    assert(bs === bs.sorted, bs.mkString(","))
+    // degenerate pBand → clamped at maxBands, never 0 or negative
+    assert(Lsh.bandsForRecall(0.5, 60, 1 - 1e-9, maxBands = 64) === 64)
+  }
 }
