@@ -440,23 +440,34 @@ object PairwiseDistanceFeature extends FeatureFn {
 object FeatureExpansion {
 
   /** Expand one raw spec map's params_product / params_zip into concrete
-    * FeaturesSpec combos with `_i` suffixes.
+    * FeaturesSpec combos, with the REFERENCE's suffix scheme
+    * (config/analysis.py:132-170): one `_{value_index}` per product key in
+    * key order, then `__{row_index}` for the zip — so a campaign written
+    * against blueetl's cached feature names (`by_gid_0_1__0.parquet`,
+    * functional goldens analysis_09) reads ours unchanged. Zip lists must
+    * share one length (the reference raises on mismatch too).
     */
   def expand(spec: FeaturesSpec, product: Map[String, Seq[Any]], zip: Map[String, Seq[Any]]): Seq[FeaturesSpec] = {
-    val productCombos: Seq[Map[String, Any]] =
-      product.foldLeft(Seq(Map.empty[String, Any])) { case (acc, (k, vs)) =>
-        for (m <- acc; v <- vs) yield m + (k -> v)
+    val productCombos: Seq[(Map[String, Any], String)] =
+      product.foldLeft(Seq((Map.empty[String, Any], ""))) { case (acc, (k, vs)) =>
+        for ((m, sfx) <- acc; (v, i) <- vs.zipWithIndex)
+          yield (m + (k -> v), sfx + s"_$i")
       }
-    val zipCombos: Seq[Map[String, Any]] =
-      if (zip.isEmpty) Seq(Map.empty)
+    val zipCombos: Seq[(Map[String, Any], String)] =
+      if (zip.isEmpty) Seq((Map.empty, ""))
       else {
-        val n = zip.values.map(_.size).min
-        (0 until n).map(i => zip.map { case (k, vs) => k -> vs(i) })
+        require(zip.values.map(_.size).toSet.size == 1,
+          "All the zip params must have the same length")
+        val n = zip.values.head.size
+        (0 until n).map(i =>
+          (zip.map { case (k, vs) => k -> vs(i) }, s"__$i"))
       }
-    val combos = for (p <- productCombos; z <- zipCombos) yield p ++ z
-    if (combos == Seq(Map.empty)) Seq(spec)
-    else combos.zipWithIndex.map { case (extra, i) =>
-      spec.copy(params = spec.params ++ extra, suffix = s"_$i")
+    val combos =
+      for ((pm, ps) <- productCombos; (zm, zs) <- zipCombos)
+        yield (pm ++ zm, ps + zs)
+    if (combos == Seq((Map.empty, "")))  Seq(spec)
+    else combos.map { case (extra, sfx) =>
+      spec.copy(params = spec.params ++ extra, suffix = sfx)
     }
   }
 

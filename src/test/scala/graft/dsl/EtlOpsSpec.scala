@@ -40,10 +40,22 @@ class EtlOpsSpec extends SparkSuite {
     val combos = FeatureExpansion.expand(
       base, product = Map("a" -> Seq(1, 2), "b" -> Seq("x", "y")), zip = Map.empty)
     assert(combos.size === 4)
-    assert(combos.map(_.suffix) === Seq("_0", "_1", "_2", "_3"))
+    // reference suffix scheme: one _i per product key in key order
+    // (config/analysis.py:133-139; goldens analysis_09)
+    assert(combos.map(_.suffix) === Seq("_0_0", "_0_1", "_1_0", "_1_1"))
     assert(combos.forall(_.params("fixed") == 1))
-    assert(combos.map(c => (c.params("a"), c.params("b"))).toSet ===
-      Set((1, "x"), (1, "y"), (2, "x"), (2, "y")))
+    assert(combos.map(c => (c.params("a"), c.params("b"))) ===
+      Seq((1, "x"), (1, "y"), (2, "x"), (2, "y")))
+    // product × zip composes like the reference: _i_j then __k
+    val both = FeatureExpansion.expand(
+      base, product = Map("a" -> Seq(1, 2)),
+      zip = Map("p" -> Seq(10, 20), "q" -> Seq(11, 21)))
+    assert(both.map(_.suffix) === Seq("_0__0", "_0__1", "_1__0", "_1__1"))
+    assert(both.map(c => (c.params("a"), c.params("p"), c.params("q"))) ===
+      Seq((1, 10, 11), (1, 20, 21), (2, 10, 11), (2, 20, 21)))
+    // unequal zip lengths are rejected (reference raises too)
+    intercept[IllegalArgumentException](FeatureExpansion.expand(
+      base, product = Map.empty, zip = Map("a" -> Seq(1), "b" -> Seq(1, 2))))
   }
 
   test("params_zip pairs positionally") {

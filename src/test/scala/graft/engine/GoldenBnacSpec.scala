@@ -117,6 +117,73 @@ class GoldenBnacSpec extends SparkSuite {
           "smoothed_3ms_spike_times_max_normalised_hist_1ms_bin", 1e-6)))
   }
 
+  test("complexity PDF (a14 semantics) reproduces the analysis_07 CPDF goldens") {
+    // reference: external/bluecv/neuron_class.py get_CPDF — elephant
+    // Complexity at 1 ms bins = per-bin count of synchronously active
+    // gids (trials concatenated), pdf over all duration bins incl. empty
+    val cpdfBase =
+      "/root/reference/tests/functional/data/sonata/expected/analysis_07/spikes"
+    assume(new java.io.File(cpdfBase).isDirectory, "goldens not present")
+    val report = spark.read.parquet(s"$cpdfBase/repo/report.parquet")
+    val windows = spark.read.parquet(s"$cpdfBase/repo/windows.parquet")
+      .select(col("simulation_id"), col("circuit_id"), col("window"),
+        col("t_start"), col("duration")).distinct()
+    val cx = report.join(broadcast(windows),
+        Seq("simulation_id", "circuit_id", "window"))
+      .withColumn("bin", floor(col("time") - col("t_start")).cast("long"))
+      .groupBy((keys :+ "bin").map(col): _*)
+      .agg(countDistinct("gid").as("c"))
+    val dense = report.select(keys.map(col): _*).distinct()
+      .join(broadcast(windows), Seq("simulation_id", "circuit_id", "window"))
+      .withColumn("bin", explode(sequence(lit(0L), col("duration").cast("long") - 1)))
+      .join(cx, keys :+ "bin", "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val pdf = dense.groupBy((keys :+ "c").map(col): _*)
+      .agg(count(lit(1)).as("nb"))
+      .join(broadcast(windows), Seq("simulation_id", "circuit_id", "window"))
+      .withColumn("p", col("nb") / col("duration"))
+      .select((keys :+ "c" :+ "p").map(col): _*)
+    val golden = spark.read.parquet(s"$cpdfBase/features/by_neuron_class.parquet")
+      .select(keys.map(col) :+ posexplode(col("CPDF")).as(Seq("c", "g_p")): _*)
+    // every golden (complexity, p) entry must match ours; zero-p golden
+    // entries have no row on our side
+    val j = golden.join(pdf, keys :+ "c", "left")
+      .withColumn("ours", coalesce(col("p"), lit(0.0)))
+    val bad = j.filter(abs(col("ours") - col("g_p")) > 1e-9)
+    assert(bad.count() === 0, bad.limit(3).collect().mkString("\n"))
+    // and we produce nothing beyond the golden's support
+    assert(pdf.join(golden, keys :+ "c", "left_anti").count() === 0)
+  }
+
+  test("params_product/zip suffixes match the analysis_09 golden file names") {
+    // config: 3-value × 2-value params_product + 2-row params_zip
+    // (analysis_config_09.yaml) → 12 combos; the reference caches each
+    // frame as by_gid<suffix>.parquet with suffix _i_j__k
+    val dir = new java.io.File(
+      "/root/reference/tests/functional/data/sonata/expected/analysis_09/spikes/features")
+    assume(dir.isDirectory, "goldens not present")
+    val goldenSuffixes = dir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("by_gid_") && !n.startsWith("by_gid_and"))
+      .map(_.stripPrefix("by_gid").stripSuffix(".parquet")).toSet
+    val base = FeaturesSpec(
+      groupby = Seq("simulation_id", "circuit_id", "neuron_class", "window"),
+      function = "mean_firing_rates")
+    val combos = FeatureExpansion.expand(
+      base,
+      product = Map(
+        "ratio" -> Seq(0.25, 0.50, 0.75),
+        "nested_example" -> Seq(
+          Map("params" -> Map("bin_size" -> 1)),
+          Map("params" -> Map("bin_size" -> 2)))),
+      zip = Map("param1" -> Seq(10, 20), "param2" -> Seq(11, 21)))
+    assert(combos.map(_.suffix).toSet === goldenSuffixes,
+      s"ours=${combos.map(_.suffix).sorted.mkString(",")} " +
+        s"golden=${goldenSuffixes.toSeq.sorted.mkString(",")}")
+    // zip rows pair positionally like the reference
+    assert(combos.filter(_.suffix.endsWith("__1"))
+      .forall(c => c.params("param1") == 20 && c.params("param2") == 21))
+  }
+
   test("SomaStats reproduces the committed analysis_05 soma goldens") {
     // reference: external/soma/calculate_features.py — per (sim, circuit,
     // class, window) mean/std (pandas sample std) over a 554k-row report
