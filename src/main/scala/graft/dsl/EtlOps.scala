@@ -114,17 +114,31 @@ object EtlOps {
       * per-group work stays distributed.
       */
     def groupbyIter(keys: Seq[String]): Iterator[(Row, DataFrame)] = {
-      // semi-join against a broadcast one-row key frame instead of
-      // rebuilding `lit(v)` predicates: functions.lit rejects the
-      // collected Scala form of array/struct keys (WrappedArray/Row),
-      // while a join condition compares any data type; <=> keeps the
-      // null-key groups without a special case
       val keySchema = StructType(keys.map(k => df.schema(k)))
+      // atomic keys keep the literal-predicate path — those filters push
+      // into a parquet scan (PushedFilters / row-group pruning), which a
+      // join can never do. Only array/struct keys (whose collected Scala
+      // form `functions.lit` rejects) take the broadcast one-row semi-join.
+      val allAtomic = keySchema.fields.forall { f =>
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
+        f.dataType match {
+          case _: ArrayType | _: MapType | _: ST => false
+          case _ => true
+        }
+      }
       groups(keys).collect().iterator.map { kr =>
-        val one = df.sparkSession.createDataFrame(
-          java.util.Collections.singletonList(kr), keySchema)
-        val cond = keys.map(k => df(k) <=> one(k)).reduce(_ && _)
-        (kr, df.join(broadcast(one), cond, "leftsemi"))
+        if (allAtomic) {
+          val cond = keys.zipWithIndex.map { case (k, i) =>
+            val v = kr.get(i)
+            if (v == null) col(k).isNull else col(k) === lit(v)
+          }.reduce(_ && _)
+          (kr, df.filter(cond))
+        } else {
+          val one = df.sparkSession.createDataFrame(
+            java.util.Collections.singletonList(kr), keySchema)
+          val cond = keys.map(k => df(k) <=> one(k)).reduce(_ && _)
+          (kr, df.join(broadcast(one), cond, "leftsemi"))
+        }
       }
     }
 

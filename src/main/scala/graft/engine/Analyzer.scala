@@ -134,37 +134,39 @@ final class Analyzer(
     * checksum (C2's per-FeaturesConfig keys, cache.py:378-382).
     */
   def calculateFeatures(): Map[String, DataFrame] = {
-    val entries = cfg.features.flatMap { spec =>
+    val raw: Seq[(String, DataFrame, String)] = cfg.features.flatMap { spec =>
       val fn = FeatureFns.resolve(spec.function)
       // computed over the raw (stored-filter) frames so cached outputs
       // cover the cache's full row set; narrowing applies on the way out
       val ctx = FeatureCtx(
         spark, spec.groupby, spec.params, scoped(spec),
         rawDf("windows"), rawDf("neurons"), rawDf("neuron_classes"))
-      val outs = fn.compute(ctx)
       val specSum = ConfigIO.checksum(Seq(chain("report"), Describe.features(spec)))
-      outs.map { case (outName, outDf) =>
-        val name = s"$outName${spec.suffix}"
-        // skipFeatures only skips the dump; a warm cache is still loaded
-        // (reference cache.py:550-565 skip_features semantics)
-        val result = cache match {
-          case Some(cm) =>
-            cm.loadOrCompute("features", name, specSum, outDf, store = !skipFeatures)
-          case _ => outDf
-        }
-        name -> narrowed(name, result)
+      fn.compute(ctx).map { case (outName, outDf) =>
+        (s"$outName${spec.suffix}", outDf, specSum)
       }
     }
     // duplicate output names would silently shadow each other in the map
     // (and collide in the cache folder) — the reference rejects them too
-    // (features.py:58 "Duplicate feature_name")
-    val dups = entries.map(_._1).groupBy(identity).collect {
+    // (features.py:58 "Duplicate feature_name"). Validated BEFORE any
+    // cache write: loadOrCompute runs the Spark job, so a late check
+    // would let both colliding specs compute and fight over one file.
+    val dups = raw.map(_._1).groupBy(identity).collect {
       case (n, vs) if vs.size > 1 => n
     }
     require(dups.isEmpty,
       s"duplicate feature output name(s): ${dups.mkString(", ")} — " +
         "rename the feature function output or use params_product suffixes")
-    entries.toMap
+    raw.map { case (name, outDf, specSum) =>
+      // skipFeatures only skips the dump; a warm cache is still loaded
+      // (reference cache.py:550-565 skip_features semantics)
+      val result = cache match {
+        case Some(cm) =>
+          cm.loadOrCompute("features", name, specSum, outDf, store = !skipFeatures)
+        case _ => outDf
+      }
+      name -> narrowed(name, result)
+    }.toMap
   }
 
   /** In-memory re-scope (P7 — reference: analysis.py:126-145 apply_filter):

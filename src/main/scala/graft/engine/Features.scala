@@ -180,7 +180,9 @@ object MeanFiringRates extends FeatureFn {
     // per-group extrema; argmax = FIRST bin attaining the max (np.argmax)
     val grpStats = withHist.groupBy(keys.map(col): _*)
       .agg(
-        graft.queries.davg(col("hist")).as("mean_of_hist"),
+        // davg18: hist values are ~rate×bin_seconds (often ≤1e-5) — the
+        // 1e-6 grid of the plain davg would distort or zero them
+        graft.queries.davg18(col("hist")).as("mean_of_hist"),
         min("hist").as("min_of_hist"),
         max("hist").as("max_of_hist"),
         (-max(struct(col("hist").as("h"), (-col("bin")).as("nb")))
@@ -316,10 +318,15 @@ object SmoothedHistograms extends FeatureFn {
     val extent = dense.groupBy(keys.map(col): _*)
       .agg(min("bin").as("lo"), max("bin").as("hi"))
     val idx = col("bin") + col("k")
-    val reflect =
-      when(idx < col("lo"), lit(2) * col("lo") - idx - 1)
-        .when(idx > col("hi"), lit(2) * col("hi") - idx + 1)
-        .otherwise(idx)
+    // scipy's 'reflect' tiles the signal infinitely (dcba|abcd|dcba…);
+    // the closed form folds any index into [lo, hi] in one step, exact
+    // for radii LARGER than the group extent too (a single reflection
+    // would leave such taps out of range and the join would silently
+    // drop kernel mass)
+    val n = col("hi") - col("lo") + lit(1L)
+    val m = pmod(idx - col("lo"), lit(2L) * n)
+    val reflect = col("lo") +
+      when(m < n, m).otherwise(lit(2L) * n - lit(1L) - m)
     val src = dense.select(
       (keys.map(n => col(n).as(s"s_$n")) :+ col("bin").as("s_bin")) :+ col("cnt").as("s_cnt"): _*)
     val joinCond = keys.map(n => col(n) === col(s"s_$n")).reduce(_ && _) &&

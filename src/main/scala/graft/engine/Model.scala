@@ -174,7 +174,26 @@ object ConfigIO {
   def loadMap(path: String): Map[String, Any] = {
     val txt = Files.readString(Paths.get(path))
     val mapper = if (path.endsWith(".json")) json else yaml
-    mapper.readValue(txt, classOf[Map[String, Any]])
+    // parse untyped (Jackson keeps document field order in its
+    // LinkedHashMaps) and convert to insertion-ordered Scala maps: the
+    // Scala module's Map deserializer hands back a HashMap for >4 keys,
+    // which would scramble order-sensitive config like params_product —
+    // the reference's per-key `_i` suffixes follow YAML key order
+    // (Python dicts preserve it)
+    toOrderedScala(mapper.readValue(txt, classOf[Object]))
+      .asInstanceOf[Map[String, Any]]
+  }
+
+  private def toOrderedScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      val b = scala.collection.immutable.ListMap.newBuilder[String, Any]
+      m.forEach((k, vv) => b += (String.valueOf(k) -> toOrderedScala(vv)))
+      b.result()
+    case l: java.util.List[_] =>
+      val b = List.newBuilder[Any]
+      l.forEach(e => b += toOrderedScala(e))
+      b.result()
+    case other => other
   }
 
   def dumpYaml(path: String, v: Any): Unit =

@@ -103,7 +103,7 @@ object Engine {
   private val hstatsCte =
     """, hstats AS (
       |  SELECT neuron_class, win,
-      |    CAST(SUM(CAST(hist AS DECIMAL(20,6))) AS DOUBLE) / COUNT(hist) AS mean_of_hist,
+      |    CAST(SUM(CAST(hist AS DECIMAL(38,18))) AS DOUBLE) / COUNT(hist) AS mean_of_hist,
       |    MIN(hist) AS min_of_hist, MAX(hist) AS max_of_hist,
       |    MIN(CASE WHEN rk = 1 THEN bin END) AS argmax_bin
       |  FROM (SELECT *, row_number() OVER (PARTITION BY neuron_class, win
@@ -523,16 +523,27 @@ object Engine {
            |  SELECT k, exp(-(k * k) / 32.0) / sum(exp(-(k * k) / 32.0)) OVER () AS w
            |  FROM generate_series(-16, 16) AS t(k)),
            |ext AS (SELECT neuron_class, win, max(bin) AS hi FROM hist GROUP BY 1, 2),
-           |sm AS (
-           |  SELECT d.neuron_class, d.win, d.bin,
-           |    CAST(sum(src.hist * kk.w) AS DOUBLE) AS smoothed
+           |taps AS (
+           |  -- scipy reflect via the closed form: fold idx into [0, hi]
+           |  -- with period 2(hi+1) — exact when the radius exceeds the
+           |  -- extent (w1 has 2 bins vs radius 16)
+           |  SELECT d.neuron_class, d.win, d.bin, kk.w,
+           |    CASE WHEN ((d.bin + kk.k) % (2 * (e.hi + 1)) + 2 * (e.hi + 1))
+           |              % (2 * (e.hi + 1)) < e.hi + 1
+           |         THEN ((d.bin + kk.k) % (2 * (e.hi + 1)) + 2 * (e.hi + 1))
+           |              % (2 * (e.hi + 1))
+           |         ELSE 2 * (e.hi + 1) - 1
+           |              - ((d.bin + kk.k) % (2 * (e.hi + 1)) + 2 * (e.hi + 1))
+           |                % (2 * (e.hi + 1)) END AS src_bin
            |  FROM hist d
            |  JOIN ext e ON e.neuron_class = d.neuron_class AND e.win = d.win
-           |  CROSS JOIN kernel kk
-           |  JOIN hist src ON src.neuron_class = d.neuron_class AND src.win = d.win
-           |    AND src.bin = (CASE WHEN d.bin + kk.k < 0 THEN -(d.bin + kk.k) - 1
-           |                        WHEN d.bin + kk.k > e.hi THEN 2 * e.hi - (d.bin + kk.k) + 1
-           |                        ELSE d.bin + kk.k END)
+           |  CROSS JOIN kernel kk),
+           |sm AS (
+           |  SELECT t.neuron_class, t.win, t.bin,
+           |    CAST(sum(src.hist * t.w) AS DOUBLE) AS smoothed
+           |  FROM taps t
+           |  JOIN hist src ON src.neuron_class = t.neuron_class AND src.win = t.win
+           |    AND src.bin = t.src_bin
            |  GROUP BY 1, 2, 3),
            |mx AS (
            |  SELECT neuron_class, win, max(hist) AS mh FROM hist GROUP BY 1, 2),

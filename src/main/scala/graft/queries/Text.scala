@@ -219,14 +219,25 @@ object Text {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 
-  /** The measured auto band-depth per corpus, memoized: a tuning choice
-    * made once per (session, corpus) — the signature probes are one-time
-    * work like an index build, not steady-state query cost.
+  /** Near-dup jaccard the auto-banded minhash family must keep catching as
+    * depth deepens; one minhash slot matches such a pair with probability
+    * equal to the jaccard itself.
+    */
+  val NearDupJaccard = 0.9
+
+  /** The measured auto (depth, bands) per corpus, memoized: depth from the
+    * occupancy measurement, band count from [[Lsh.bandsForRecall]] at the
+    * near-dup jaccard (per-pair miss ≤ 1e-6) — depth-only deepening at a
+    * fixed band count decays recall exponentially, the exact defect the
+    * x10 v9 sweep measured on the hyperplane family.
     */
   private val depthCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
-  private def autoRowsFor(s: SparkSession, dir: String): Int =
-    depthCache.getOrElseUpdate((s, dir), autoRowsPerBand(persistedShingles(s, dir)))
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Int, Int)]
+  private def autoRowsFor(s: SparkSession, dir: String): (Int, Int) =
+    depthCache.getOrElseUpdate((s, dir), {
+      val depth = autoRowsPerBand(persistedShingles(s, dir))
+      (depth, Lsh.bandsForRecall(NearDupJaccard, depth, 1.0 - 1e-6))
+    })
 
   /** Drop this session's persisted text-pipeline frames (shingles,
     * candidates, scored pairs) and the memoized depth choice. For
@@ -707,8 +718,8 @@ object Text {
         |  CAST(0 AS BIGINT) AS missed_true_pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sh = persistedShingles(s, dir)
-      val depth = autoRowsFor(s, dir)
-      val buckets = lshBuckets(sh, bands = 4, rowsPerBand = depth)
+      val (depth, bands) = autoRowsFor(s, dir)
+      val buckets = lshBuckets(sh, bands = bands, rowsPerBand = depth)
       val cap = Lsh.DefaultBucketCap
       // drop gate as a corpus fraction (floor %), like v9: a same-signature
       // dup cluster denser than the cap never splits — overflow must stay
@@ -717,7 +728,7 @@ object Text {
         .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
         .head().getLong(0)
       val nDocs = buckets.select("doc_id").distinct().count()
-      val droppedPct = (100L * dropped) / math.max(nDocs * 4L, 1L)
+      val droppedPct = (100L * dropped) / math.max(nDocs * bands, 1L)
       val autoCands = Lsh.cappedPairs(
         buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
       val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)

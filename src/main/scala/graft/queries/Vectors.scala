@@ -314,19 +314,23 @@ object Vectors {
           .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
           .agg(max("c")).head().getLong(0)
       var best = maxBucket(depth, bands)
+      var (bestDepth, bestBands) = (depth, bands)
       var stale = 0
       // stop on the <10%-improvement plateau: a co-located cluster denser
       // than the cap never splits, and each extra probe costs a full
       // (bands·depth)-plane signature pass — recall is depth-independent
-      // (bandsForRecall restores it), so stopping early is safe
+      // (bandsForRecall restores it), so stopping early is safe. Return
+      // the ARGMIN probe, not the last one: the post-plateau probes are
+      // deeper (more planes, more band keys) with a max bucket known to
+      // be no better.
       while (depth < 24 && best > Lsh.DefaultBucketCap && stale < 2) {
         depth += 1
         bands = autoBandsFor(depth)
         val m = maxBucket(depth, bands)
         if (m < (best * 9) / 10) stale = 0 else stale += 1
-        if (m < best) best = m
+        if (m < best) { best = m; bestDepth = depth; bestBands = bands }
       }
-      (depth, bands)
+      (bestDepth, bestBands)
     })
 
   /** Forget this session's built IVF index paths and memoized pair/depth

@@ -34,4 +34,13 @@ package object queries {
     */
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(20, 6))).cast("double") / count(c)
+
+  /** Order-independent mean at 1e-18 resolution — for intrinsically tiny
+    * values (e.g. normalized PSTH bins ≈ rate × bin seconds, often
+    * 1e-7..1e-4) where davg's 1e-6 per-value grid would distort or zero
+    * them. DuckDB: `CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) /
+    * COUNT(x)`.
+    */
+  def davg18(c: Column): Column =
+    sum(c.cast(DecimalType(38, 18))).cast("double") / count(c)
 }

@@ -76,7 +76,9 @@ class GoldenBnacSpec extends SparkSuite {
         col("times").as("ours"): _*)
       .join(gBgt.select((keys :+ "trial").map(col) :+ col("gid") :+
         sort_array(col("times")).as("golden"): _*), (keys :+ "trial") :+ "gid")
-      .filter(col("ours") =!= col("golden"))
+      // null-safe: a null golden cell vs our empty array must FAIL, not
+      // vanish into SQL three-valued logic
+      .filter(!(col("ours") <=> col("golden")))
     assert(timesBad.count() === 0, timesBad.limit(3).collect().mkString("\n"))
 
     // ---- by_neuron_class (davg routes through decimal(20,6): each value
