@@ -719,22 +719,28 @@ object Text {
       import s.implicits._
       val sh = persistedShingles(s, dir)
       val (depth, bands) = autoRowsFor(s, dir)
+      // persisted: the drop aggregate AND the candidate expansion both
+      // consume the bucket frame — without it the signature aggregation
+      // over the shingles runs twice per invocation
       val buckets = lshBuckets(sh, bands = bands, rowsPerBand = depth)
-      val cap = Lsh.DefaultBucketCap
-      // drop gate as a corpus fraction (floor %), like v9: a same-signature
-      // dup cluster denser than the cap never splits — overflow must stay
-      // marginal AND cost no recall (missed below)
-      val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
-        .head().getLong(0)
-      val nDocs = buckets.select("doc_id").distinct().count()
-      val droppedPct = (100L * dropped) / math.max(nDocs * bands, 1L)
-      val autoCands = Lsh.cappedPairs(
-        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
-      val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
-        .select("doc1", "doc2")
-        .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
-      Seq((droppedPct, missed)).toDF("dropped_pct", "missed_true_pairs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cap = Lsh.DefaultBucketCap
+        // drop gate as a corpus fraction (floor %), like v9: a
+        // same-signature dup cluster denser than the cap never splits —
+        // overflow must stay marginal AND cost no recall (missed below)
+        val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+          .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
+          .head().getLong(0)
+        val nDocs = buckets.select("doc_id").distinct().count()
+        val droppedPct = (100L * dropped) / math.max(nDocs * bands, 1L)
+        val autoCands = Lsh.cappedPairs(
+          buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
+        val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
+          .select("doc1", "doc2")
+          .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
+        Seq((droppedPct, missed)).toDF("dropped_pct", "missed_true_pairs")
+      } finally { buckets.unpersist(); () }
     }
   )
 }

@@ -681,24 +681,30 @@ object Vectors {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
       val (depth, bands) = autoPlanesFor(s, dir)
+      // persisted: the drop aggregate and the candidate expansion both
+      // consume the signature frame (bands·depth fused array_dots per
+      // vector — the expensive map stage)
       val sig = lshSignatures(emb, bands = bands, planesPerBand = depth)
-      val cap = Lsh.DefaultBucketCap
-      // drops gate as a CORPUS FRACTION (floor %): a co-located cluster
-      // denser than the cap never splits at any depth (x10 measured a
-      // 134-vector cluster surviving depth 24) — those overflow drops are
-      // the cap's designed, observable behavior; what must hold is that
-      // they stay marginal (<1%) AND cost no recall (missed == 0 below
-      // proves every confirmed pair is still caught)
-      val dropped = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
-        .head().getLong(0)
-      val droppedPct = (100L * dropped) / math.max(emb.count() * bands, 1L)
-      val autoCands = Lsh.cappedPairs(
-        sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto")
-      val missed = scoredVecPairs(s, dir).filter(col("cos") >= NearDupCos)
-        .select("v1", "v2")
-        .join(autoCands, Seq("v1", "v2"), "left_anti").count()
-      Seq((droppedPct, missed)).toDF("dropped_pct", "missed_neardups")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cap = Lsh.DefaultBucketCap
+        // drops gate as a CORPUS FRACTION (floor %): a co-located cluster
+        // denser than the cap never splits at any depth (x10 measured a
+        // 134-vector cluster surviving depth 24) — those overflow drops
+        // are the cap's designed, observable behavior; what must hold is
+        // that they stay marginal (<1%) AND cost no recall (missed == 0
+        // below proves every confirmed pair is still caught)
+        val dropped = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+          .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
+          .head().getLong(0)
+        val droppedPct = (100L * dropped) / math.max(emb.count() * bands, 1L)
+        val autoCands = Lsh.cappedPairs(
+          sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto")
+        val missed = scoredVecPairs(s, dir).filter(col("cos") >= NearDupCos)
+          .select("v1", "v2")
+          .join(autoCands, Seq("v1", "v2"), "left_anti").count()
+        Seq((droppedPct, missed)).toDF("dropped_pct", "missed_neardups")
+      } finally { sig.unpersist(); () }
     }
   )
 }
