@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed (hash-clustered, sorted) parquet tables: pay the shuffle on
+  * the cluster key ONCE at write time, then every subsequent join or
+  * aggregation on that key runs exchange-free — Spark's bucketed-scan
+  * reader reports the table's `HashPartitioning` to Catalyst, so a
+  * sort-merge join of two tables bucketed the same way needs no
+  * `ShuffleExchange` on either side, and a `groupBy(bucketKey)` needs no
+  * exchange at all.
+  *
+  * This is the 100 TB shape for the reference's hottest join: the spike
+  * report (`(time, gid)`, billions of rows) joined to the per-circuit
+  * neuron table on `gid` for every window × neuron-class extraction
+  * (reference: src/blueetl/extract/spikes.py:49-66 joins report gids
+  * against each neuron-class gid set; repeated per class and window). A
+  * campaign cache that stores both sides bucketed by `gid` converts that
+  * repeated shuffle into a one-time write cost. On a real cluster the
+  * bucket count is sized so one bucket ≈ one HDFS block per final file
+  * (hundreds to thousands of buckets at 100 TB); the bucket metadata
+  * lives in the session catalog.
+  *
+  * Write detail: the frame is pre-repartitioned by the exact bucket hash
+  * (`HashPartitioning` and bucket assignment both use Murmur3
+  * `pmod(hash(keys), n)`), so each task holds exactly one bucket and each
+  * bucket lands in ONE file. One file per bucket is what lets Spark also
+  * trust the written sort order and drop the per-partition `Sort` under a
+  * sort-merge join of two co-bucketed tables.
+  */
+object Bucketed {
+
+  /** Write `df` as an external bucketed+sorted table at `path`,
+    * registered in the session catalog as `name` (required: bucket
+    * metadata travels through the catalog, not the files).
+    */
+  def write(df: DataFrame, name: String, path: String, buckets: Int,
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucket keys must be non-empty")
+    val sorts = if (sortCols.isEmpty) keys else sortCols
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(name)
+  }
+
+  /** The bucketed table as a DataFrame (catalog-backed scan — this is
+    * what carries the bucket spec into the plan; a plain
+    * `read.parquet(path)` of the same files would NOT).
+    */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** True if the frame's executed plan moves rows through any shuffle
+    * exchange — the property bucketed co-location removes. Checked on the
+    * rendered `executedPlan` tree (post-`EnsureRequirements`, where
+    * exchanges are actually inserted; `sparkPlan` would be trivially
+    * exchange-free, and under AQE the `AdaptiveSparkPlanExec` wrapper
+    * hides the inner tree from `collect`).
+    */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+}

@@ -52,4 +52,59 @@ class BucketedJoinSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("Bucketed.write: external tables, one file per bucket, exchange-free join, exact rows") {
+    import graft.sources.Bucketed
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-spec").toString
+    spark.sql("DROP TABLE IF EXISTS b_spec_li")
+    spark.sql("DROP TABLE IF EXISTS b_spec_ord")
+
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val ord = graft.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderstatus")
+    Bucketed.write(li, "b_spec_li", s"$base/li", 4, Seq("l_orderkey"))
+    Bucketed.write(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "b_spec_ord", s"$base/ord", 4, Seq("l_orderkey"))
+
+    // one file per bucket: the pre-repartition by the bucket hash means
+    // each of the 4 buckets lands in exactly one data file
+    for (sub <- Seq("li", "ord")) {
+      val files = new java.io.File(s"$base/$sub").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(files.length == 4, s"$sub: expected 4 bucket files, got ${files.length}")
+    }
+
+    // merge hint forces the shuffled-join path (the 100 TB case) without
+    // touching session conf; co-bucketing must remove both exchanges
+    val joined = Bucketed.table(spark, "b_spec_li").hint("merge")
+      .join(Bucketed.table(spark, "b_spec_ord").hint("merge"), "l_orderkey")
+    assert(!Bucketed.hasShuffle(joined),
+      s"co-bucketed join shuffled:\n${joined.queryExecution.executedPlan}")
+
+    // exact result parity with the plain (unbucketed) join
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    val bucketed = joined
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty,
+      "bucketed join result differs from plain join")
+
+    spark.sql("DROP TABLE IF EXISTS b_spec_li")
+    spark.sql("DROP TABLE IF EXISTS b_spec_ord")
+  }
+
+  test("j10 gate query matches the equivalent unbucketed plan") {
+    val j10 = graft.SparkEntry.queries("j10_bucketed_colocated")(spark, sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id").as("gid"), col("value"))
+    val dim = ev.select("gid").distinct().filter(col("gid") % 2 === 0)
+      .withColumn("klass", col("gid") % 7)
+    val plain = ev.join(dim, "gid").groupBy("klass")
+      .agg(count(lit(1)).as("n"),
+        graft.queries.dsum(col("value")).as("sum_value"))
+      .select("klass", "n", "sum_value")
+    assert(j10.exceptAll(plain).isEmpty && plain.exceptAll(j10).isEmpty,
+      "j10 differs from the unbucketed restatement")
+  }
 }
