@@ -53,6 +53,27 @@ object Bucketed {
     */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Re-attach an existing on-disk bucketed store in a session whose
+    * catalog doesn't know it (bucket metadata lives in the catalog, not
+    * the parquet files — a cross-session cache reload MUST re-register or
+    * it silently degrades to an unbucketed scan that shuffles again).
+    * `schema` must be the schema the store was written with.
+    */
+  def register(spark: SparkSession, name: String, path: String, buckets: Int,
+      keys: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      sortCols: Seq[String] = Nil): DataFrame = {
+    val sorts = if (sortCols.isEmpty) keys else sortCols
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS `$name` ($cols) USING PARQUET
+         |CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")})
+         |SORTED BY (${sorts.map(k => s"`$k`").mkString(", ")})
+         |INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.table(name)
+  }
+
   /** True if the frame's executed plan moves rows through any shuffle
     * exchange — the property bucketed co-location removes. Checked on the
     * rendered `executedPlan` tree (post-`EnsureRequirements`, where

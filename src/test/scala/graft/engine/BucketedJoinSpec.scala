@@ -94,6 +94,35 @@ class BucketedJoinSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS b_spec_ord")
   }
 
+  test("Bucketed.register re-attaches an on-disk store with the bucket spec intact") {
+    import graft.sources.Bucketed
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed-reg").toString
+    spark.sql("DROP TABLE IF EXISTS b_reg_a")
+    spark.sql("DROP TABLE IF EXISTS b_reg_b")
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity")
+    Bucketed.write(li, "b_reg_a", s"$base/a", 4, Seq("l_orderkey"))
+    val schema = spark.table("b_reg_a").schema
+    // simulate a fresh session: the catalog forgets the table, the files stay
+    spark.sql("DROP TABLE b_reg_a")
+    val a = Bucketed.register(spark, "b_reg_a", s"$base/a", 4, Seq("l_orderkey"), schema)
+    assert(a.count() == li.count(), "re-registered store lost rows")
+    // the re-attached table must still join exchange-free against a
+    // co-bucketed peer — i.e. the bucket spec survived re-registration
+    Bucketed.write(li.groupBy("l_orderkey").count(), "b_reg_b", s"$base/b", 4, Seq("l_orderkey"))
+    val joined = a.hint("merge")
+      .join(Bucketed.table(spark, "b_reg_b").hint("merge"), "l_orderkey")
+    assert(!Bucketed.hasShuffle(joined),
+      s"re-registered bucketed join shuffled:\n${joined.queryExecution.executedPlan}")
+    // and an UNregistered plain-parquet read of the same files would shuffle
+    val plainRead = spark.read.parquet(s"$base/a").hint("merge")
+      .join(Bucketed.table(spark, "b_reg_b").hint("merge"), "l_orderkey")
+    assert(Bucketed.hasShuffle(plainRead),
+      "control failed: plain read of bucketed files should shuffle")
+    spark.sql("DROP TABLE IF EXISTS b_reg_a")
+    spark.sql("DROP TABLE IF EXISTS b_reg_b")
+  }
+
   test("j10 gate query matches the equivalent unbucketed plan") {
     val j10 = graft.SparkEntry.queries("j10_bucketed_colocated")(spark, sf0001)
     val ev = graft.Tables.events(spark, sf0001)
