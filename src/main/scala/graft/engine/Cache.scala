@@ -88,9 +88,12 @@ object Describe {
   */
 final class CacheManager(
     val spark: SparkSession, val dir: String, readonly: Boolean = false,
-    storeType: String = "parquet") {
+    storeType: String = "parquet",
+    bucketSpec: Map[String, (Int, Seq[String])] = Map.empty) {
   require(storeType == "parquet" || storeType == "feather" || storeType == "hdf",
     s"bad store: $storeType")
+  require(bucketSpec.isEmpty || storeType == "parquet",
+    "bucketSpec requires the parquet store")
   private val manifestPath = Paths.get(dir, "manifest.json")
   Files.createDirectories(Paths.get(dir, "repo"))
   Files.createDirectories(Paths.get(dir, "features"))
@@ -168,9 +171,19 @@ final class CacheManager(
       store: Boolean = true): DataFrame = {
     val key = s"$kind/$name"
     val p = path(kind, name)
-    def load(): DataFrame = storeType match {
-      case "feather" => graft.sources.FeatherIO.read(spark, p)
-      case "hdf" => graft.sources.PandasHdf.read(spark, p, Some(name))
+    // hash-clustered frames (e.g. repo/report by gid): loads re-attach the
+    // bucket spec through the session catalog — a plain read.parquet of
+    // the same files would silently lose co-location and shuffle again
+    val bucketed = bucketSpec.get(key)
+    def bucketTable = "graft_cache_" + java.security.MessageDigest
+      .getInstance("MD5").digest(s"$dir/$key".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    def load(): DataFrame = (storeType, bucketed) match {
+      case ("feather", _) => graft.sources.FeatherIO.read(spark, p)
+      case ("hdf", _) => graft.sources.PandasHdf.read(spark, p, Some(name))
+      case (_, Some((n, keys))) =>
+        graft.sources.Bucketed.register(
+          spark, bucketTable, p, n, keys, spark.read.parquet(p).schema)
       case _ => spark.read.parquet(p)
     }
     val fresh = manifest.get(key).contains(chain) && Files.exists(Paths.get(p)) &&
@@ -180,9 +193,11 @@ final class CacheManager(
     else {
       val df = compute
       if (!readonly && store) {
-        storeType match {
-          case "feather" => graft.sources.FeatherIO.write(df, p)
-          case "hdf" => graft.sources.PandasHdf.write(df, p, name)
+        (storeType, bucketed) match {
+          case ("feather", _) => graft.sources.FeatherIO.write(df, p)
+          case ("hdf", _) => graft.sources.PandasHdf.write(df, p, name)
+          case (_, Some((n, keys))) =>
+            graft.sources.Bucketed.write(df, bucketTable, p, n, keys)
           case _ => df.write.mode("overwrite").parquet(p)
         }
         manifest += key -> chain
