@@ -891,6 +891,29 @@ object Spikes {
       graft.streaming.StreamOps.dedupeStream(
         ev, keys = Seq("gid", "event_type", "day"), watermark = "1 day")
         .select("gid", "event_type", "day")
+    },
+
+    // ---- Streaming extension: stream-static enrichment join + per-class
+    // windowed counts (the incremental PSTH). The gate runs the batch
+    // form of the SAME StreamOps plan; StreamOpsSpec pins the streaming
+    // two-micro-batch run equal to it. ----
+    GQuery(
+      "s4_stream_enriched_counts",
+      """WITH classes AS (
+        |  SELECT DISTINCT user_id AS gid,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS neuron_class
+        |  FROM events)
+        |SELECT time_bucket(INTERVAL 1 DAY, e.ts) AS day, c.neuron_class,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN classes c ON c.gid = e.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("gid"), col("ts"), col("value"))
+      val classes = ev.select("gid").distinct()
+        .withColumn("neuron_class",
+          when(col("gid") % 2 === 0, "even").otherwise("odd"))
+      graft.streaming.StreamOps.enrichedClassCounts(ev, classes, "1 day", "0 seconds")
     }
   )
 }

@@ -54,6 +54,29 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("gid"), col("n"))
 
+  /** Stream-static enrichment + per-class tumbling counts — the PSTH made
+    * incremental: each micro-batch joins the STATIC neuron-class dimension
+    * (broadcast — at scale the dim is the per-circuit neuron table, small
+    * next to the stream; Spark re-plans the static side per micro-batch),
+    * then event-time windowed counts per class with watermark-bounded
+    * state. The sum goes through decimal so streaming partial-agg order
+    * cannot drift the double. On a batch frame the watermark is a no-op
+    * and the plan is the batch report⋈nodes PSTH itself.
+    */
+  def enrichedClassCounts(events: DataFrame, classes: DataFrame,
+      window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(org.apache.spark.sql.functions.broadcast(classes), Seq("gid"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("neuron_class"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("window.start").as("day"), col("neuron_class"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup: drop repeated keys across micro-batches with
     * bounded state — dropDuplicatesWithinWatermark keeps each key only
     * until the watermark passes it, so state is O(keys per watermark

@@ -44,6 +44,35 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: two micro-batches equal the batch per-class counts") {
+    val src = Files.createTempDirectory("graft-enrich-src").toString
+    val ev = graft.Tables.spikes(spark, sf0001)
+      .withColumn("ts", timestamp_micros(col("time") + lit(graft.Tables.EventsEpochMicros)))
+      .select("gid", "ts", "value", "event_id")
+    val classes = ev.select("gid").distinct()
+      .withColumn("neuron_class",
+        when(col("gid") % 2 === 0, "even").otherwise("odd"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    val agg = StreamOps.enrichedClassCounts(stream, classes, "1 day", "0 seconds")
+    val q = agg.writeStream
+      .format("memory").queryName("enrich_test").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+      val batch = StreamOps.enrichedClassCounts(ev, classes, "1 day", "0 seconds")
+      assert(got.count() === batch.count())
+      val diff = got.join(batch, Seq("day", "neuron_class"))
+        .filter(got("n") =!= batch("n") || got("sum_value") =!= batch("sum_value"))
+        .count()
+      assert(diff === 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates across micro-batches are dropped") {
     val src = Files.createTempDirectory("graft-dedup-src").toString
     val ev = graft.Tables.spikes(spark, sf0001).limit(200)
