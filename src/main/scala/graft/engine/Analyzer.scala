@@ -224,7 +224,10 @@ final class MultiAnalyzer(
         if (useCache && config.cacheRoot.nonEmpty) {
           val d = s"${config.cacheRoot}/${a.name}"
           if (cs.clear) MultiAnalyzer.deleteRecursively(new java.io.File(d))
-          Some(new CacheManager(spark, d, readonly = cs.readonly, storeType = cs.storeType))
+          Some(new CacheManager(spark, d, readonly = cs.readonly, storeType = cs.storeType,
+            bucketSpec =
+              if (cs.bucketGids > 0) Map("repo/report" -> ((cs.bucketGids, Seq("gid"))))
+              else Map.empty))
         } else None
       a.name -> new Analyzer(spark, a, campaign, adapter, config.simulationsFilter, cm,
         skipFeatures = cs.skipFeatures)

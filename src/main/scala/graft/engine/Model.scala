@@ -119,10 +119,20 @@ final case class CacheSettings(
     clear: Boolean = false,
     readonly: Boolean = false,
     skipFeatures: Boolean = false,
-    storeType: String = "parquet") {
+    storeType: String = "parquet",
+    /** Engine extension (no reference equivalent): when > 0 the cached
+      * report frame is written hash-clustered into this many buckets on
+      * `gid` ([[graft.sources.Bucketed]]), so every window × class join
+      * against the neuron table runs exchange-free across reloads — the
+      * 100 TB campaign-cache layout. Parquet store only.
+      */
+    bucketGids: Int = 0) {
   require(!(clear && readonly), "clear and readonly cannot be both True at the same time")
   require(storeType == "parquet" || storeType == "feather" || storeType == "hdf",
     s"store_type must be parquet, feather, or hdf, got $storeType")
+  require(bucketGids >= 0, s"bucket_gids must be >= 0, got $bucketGids")
+  require(bucketGids == 0 || storeType == "parquet",
+    "bucket_gids requires the parquet store")
 }
 
 final case class MultiAnalysisConfig(
@@ -493,7 +503,9 @@ object ConfigIO {
           }),
           readonly = bool("readonly"),
           skipFeatures = bool("skip_features"),
-          storeType = str(c.getOrElse("store_type", "parquet")))
+          storeType = str(c.getOrElse("store_type", "parquet")),
+          bucketGids = c.get("bucket_gids").filter(_ != null)
+            .map(v => num(v).toInt).getOrElse(0))
       })
   }
 }

@@ -214,7 +214,9 @@ object Validation {
             case _: Boolean => Nil
             case _ => Seq(Violation(p, s"expected boolean, got ${typeName(v)}"))
           }),
-          "store_type" -> enumOf(Set("parquet", "feather")))),
+          "store_type" -> enumOf(Set("parquet", "feather")),
+          // engine extension: hash-cluster the cached report by gid
+          "bucket_gids" -> isInt)),
       "clear_cache" -> ((p, v) => v match {
         case _: Boolean => Nil
         case _ => Seq(Violation(p, s"expected boolean, got ${typeName(v)}"))

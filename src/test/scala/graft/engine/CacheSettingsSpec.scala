@@ -64,6 +64,43 @@ class CacheSettingsSpec extends SparkSuite {
     } finally ma.close()
   }
 
+  test("cache.bucket_gids: cached report is hash-clustered and joins co-located") {
+    import graft.sources.Bucketed
+    val dir = fixture()
+    val cfgPath = analysisYaml(dir, s"cache: {path: $dir/bc, bucket_gids: 4}")
+    val ma = MultiAnalyzer.fromFile(spark, cfgPath)
+    try {
+      ma.extractRepo()
+      // the report landed as bucketed files (≤ 4; an empty bucket writes
+      // no file — the fixture's 4 gids hash into 3 of the 4 buckets)
+      val files = new java.io.File(s"$dir/bc/s/repo/report.parquet").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= 4,
+        s"expected <=4 bucket files, got ${files.length}")
+      assert(files.forall(_.getName.matches("part-\\d+-.*_0000\\d\\..*parquet")),
+        s"bucket id suffix missing: ${files.map(_.getName).toSeq}")
+      // a served reload joins a co-bucketed dim with no shuffle exchange
+      val report = ma("s").report
+      spark.sql("DROP TABLE IF EXISTS cs_bdim")
+      val bdim = java.nio.file.Files.createTempDirectory("graft-cs-bdim").toString
+      Bucketed.write(
+        report.select("gid").distinct().withColumn("k", col("gid") % 3),
+        "cs_bdim", s"$bdim/d", 4, Seq("gid"))
+      val j = report.hint("merge").join(Bucketed.table(spark, "cs_bdim").hint("merge"), "gid")
+      assert(!Bucketed.hasShuffle(j),
+        s"bucket_gids cache lost co-location:\n${j.queryExecution.executedPlan}")
+      assert(j.count() > 0)
+      spark.sql("DROP TABLE IF EXISTS cs_bdim")
+    } finally ma.close()
+  }
+
+  test("bucket_gids on a non-parquet store is rejected at config parse") {
+    val dir = fixture()
+    val cfgPath = analysisYaml(dir,
+      s"cache: {path: $dir/bad, store_type: feather, bucket_gids: 4}")
+    intercept[IllegalArgumentException] { MultiAnalyzer.fromFile(spark, cfgPath) }
+  }
+
   test("cache.clear wipes the analysis cache before attaching") {
     val dir = fixture()
     val keep = analysisYaml(dir, s"cache: {path: $dir/cc}")
