@@ -706,6 +706,56 @@ object Text {
         .select("doc_id", "source")
     },
 
+    // ---- Exact-substring overlap detection at the inverted-index
+    // granularity (the "long shared n-gram" dedup tier pretraining
+    // pipelines run alongside jaccard near-dup: a quoted/contained
+    // passage shares long word-grams even when whole-doc jaccard is
+    // small). Every doc's distinct word 8-grams feed an inverted index;
+    // grams with document frequency > 50 are dropped BEFORE the
+    // self-join — posting-list capping, the scale guard that keeps a hot
+    // boilerplate gram from generating O(df²) pairs (at 100 TB the cap
+    // is what makes this join feasible; dropped-gram counts are
+    // observable from the df frame). Pairs sharing grams are scored by
+    // containment = shared / min(|grams1|, |grams2|) — asymmetric
+    // overlap, the quantity jaccard under-reports for subset docs. ----
+    GQuery(
+      "t19_substring_overlap",
+      s"""WITH ${shinglesSql(8)},
+         |df AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY 1),
+         |rare AS (
+         |  SELECT s.doc_id, s.shingle FROM sh s
+         |  JOIN df ON df.shingle = s.shingle AND df.dfreq <= 50),
+         |n AS (SELECT doc_id, count(*) AS ng FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.doc1, p.doc2, p.shared,
+         |  CAST(p.shared AS DOUBLE) / least(n1.ng, n2.ng) AS containment
+         |FROM pairs p
+         |JOIN n n1 ON n1.doc_id = p.doc1 JOIN n n2 ON n2.doc_id = p.doc2
+         |WHERE CAST(p.shared AS DOUBLE) / least(n1.ng, n2.ng) >= 0.5""".stripMargin) {
+      (s, dir) =>
+        // raw gram strings keep the oracle bit-exact; the 100 TB form
+        // hashes each gram (xxhash64) before the shuffle — identical
+        // semantics up to collisions, 8× narrower exchange keys
+        val g = shingles(s, dir, 8)
+        val dfreq = g.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+        val rare = g.join(dfreq.filter(col("dfreq") <= 50), "shingle")
+        val shared = rare.select(col("doc_id").as("doc1"), col("shingle"))
+          .join(rare.select(col("doc_id").as("doc2"), col("shingle")), "shingle")
+          .filter(col("doc1") < col("doc2"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared"))
+        val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        shared
+          .join(n.select(col("doc_id").as("doc1"), col("ng").as("n1")), "doc1")
+          .join(n.select(col("doc_id").as("doc2"), col("ng").as("n2")), "doc2")
+          .select(col("doc1"), col("doc2"), col("shared"),
+            (col("shared").cast("double") / least(col("n1"), col("n2")))
+              .as("containment"))
+          .filter(col("containment") >= 0.5)
+    },
+
     // ---- The measured auto band-depth itself under the gate: run
     // autoRowsPerBand on the corpus, band at the chosen depth, and pin
     // the two invariants the 100 TB depth-choosing path must hold —
