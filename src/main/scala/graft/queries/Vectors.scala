@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (64-dim unit-norm float
   * vectors): brute-force cosine top-k as the correctness baseline, a
@@ -705,6 +706,123 @@ object Vectors {
           .join(autoCands, Seq("v1", "v2"), "left_anti").count()
         Seq((droppedPct, missed)).toDF("dropped_pct", "missed_neardups")
       } finally { sig.unpersist(); () }
+    },
+
+    // ---- Product quantization + ADC search: the memory-bound tier of
+    // the ANN stack (brute v1 -> LSH v2 -> IVF v5/v7 -> PQ). 64-dim
+    // vectors split into PqM x PqSub-dim subspaces; each subspace trains
+    // a PqK-code codebook with PqIters deterministic Lloyd iterations
+    // (init = the subvectors of vec_id 0..PqK-1; means decimal-exact so
+    // both engines land bit-identical codebooks); vectors encode to PqM
+    // small codes (64 floats -> 8 codes, 32x memory compression) and
+    // queries rank the corpus by ADC - asymmetric distance computation:
+    // the per-(query, subspace, code) distance table is tiny
+    // (Q x PqM x PqK) and BROADCAST onto the code table, so at 100 TB
+    // the corpus side touches only the codes, never the raw vectors, and
+    // the per-(query, vector) sum partial-aggregates map-side before its
+    // one shuffle. All distances go through the same three-dot expansion
+    // (d2 = aa - 2ab + bb, fused array_dot codegen) the oracle computes
+    // with list_dot_product, so assignment argmins agree across engines
+    // - the oracle CTE chain is GENERATED from the same constants as the
+    // Spark plan, never hand-mirrored. Top-5 per query; PqRecallSpec
+    // separately pins recall vs the exact top-5 so a degenerate codebook
+    // cannot hash-match its own garbage. ----
+    GQuery("v10_pq_adc", pqOracleSql) { (s, dir) =>
+      registered(s)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val sv = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> named_struct(" +
+          s"'s', s, 'sv', slice(v, s * $PqSub + 1, $PqSub)))")).as("t"))
+        .select(col("vec_id"), col("t.s").as("s"), col("t.sv").as("sv"))
+      // d2(a, b) via the same three-dot expansion the oracle uses
+      def l2(a: String, b: String) = expr(
+        s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)")
+      def assign(cb: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
+        sv.join(broadcast(cb), "s")
+          .withColumn("dist", l2("sv", "cv"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("vec_id", "s", "code")
+      }
+      def update(asg: DataFrame): DataFrame =
+        sv.join(asg, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+          .groupBy("s", "code", "d").agg(davg18(col("x")).as("c"))
+          .groupBy("s", "code")
+          .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)").as("cv"))
+      val c0 = sv.filter(col("vec_id") < PqK)
+        .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+      val cb = (1 to PqIters).foldLeft(c0)((c, _) => update(assign(c)))
+      val codes = assign(cb)
+      val qsv = sv.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtab = qsv.join(broadcast(cb), "s")
+        .select(col("q_id"), col("s"), col("code"), l2("qv", "cv").as("pdist"))
+      val approx = codes.join(broadcast(dtab), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("pdist").cast(DecimalType(38, 18))).cast("double").as("adist"))
+      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+      approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("q_id", "vec_id", "rk", "adist")
     }
   )
+
+  // PQ geometry: 8 subspaces x 8 dims, 64 codes, 2 Lloyd iterations -
+  // shared by the Spark plan and the generated oracle SQL below
+  private final val PqM = 8
+  private final val PqSub = 8
+  private final val PqK = 64
+  private final val PqIters = 2
+
+  /** DuckDB twin of the v10 plan, generated from the same constants. */
+  private def pqOracleSql: String = {
+    def dist(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    def assignCte(name: String, cb: String) =
+      s"""$name AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT sv.vec_id, sv.s, $cb.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
+         |        ORDER BY ${dist("sv.sv", s"$cb.cv")}, $cb.code) AS rn
+         |    FROM sv JOIN $cb ON $cb.s = sv.s)
+         |  WHERE rn = 1)"""
+    def updateCtes(mean: String, cbOut: String, asg: String) =
+      s"""$mean AS (
+         |  SELECT u.s, a.code, u.d,
+         |    CAST(SUM(CAST(u.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(u.x) AS c
+         |  FROM usv u JOIN $asg a ON a.vec_id = u.vec_id AND a.s = u.s
+         |  GROUP BY 1, 2, 3),
+         |$cbOut AS (SELECT s, code, list(c ORDER BY d) AS cv FROM $mean GROUP BY 1, 2)"""
+    val iterCtes = (1 to PqIters).map { i =>
+      assignCte(s"a${i - 1}", s"c${i - 1}") + ",\n" +
+        updateCtes(s"cx${i - 1}", s"c$i", s"a${i - 1}")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
+       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+       |usv AS (SELECT vec_id, s, unnest(sv) AS x,
+       |               unnest(generate_series(0, ${PqSub - 1})) AS d FROM sv),
+       |c0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM sv WHERE vec_id < $PqK),
+       |$iterCtes,
+       |${assignCte("af", s"c$PqIters")},
+       |qsv AS (SELECT vec_id AS q_id, s, sv AS qv FROM sv WHERE vec_id % 25 = 0),
+       |dtab AS (
+       |  SELECT q.q_id, q.s, c$PqIters.code,
+       |    ${dist("q.qv", s"c$PqIters.cv")} AS pdist
+       |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s),
+       |approx AS (
+       |  SELECT d.q_id, a.vec_id,
+       |    CAST(SUM(CAST(d.pdist AS DECIMAL(38,18))) AS DOUBLE) AS adist
+       |  FROM af a JOIN dtab d ON d.s = a.s AND d.code = a.code
+       |  WHERE a.vec_id <> d.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 5""".stripMargin
+  }
 }
