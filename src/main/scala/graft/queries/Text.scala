@@ -287,6 +287,42 @@ object Text {
   private val PunctRe = "[.,!?;:]"
   private val TokRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** Shared simhash CTEs: defines `sig(doc_id, simhash)` (64-char bit
+    * string). Used by t8 (signature dump) and t20 (hamming join).
+    */
+  private val simhashSql =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |    ((strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) - 1) >> (3 - (p % 4))) & 1 AS b
+      |  FROM th, (SELECT unnest(generate_series(0, 63)) AS p)),
+      |votes AS (
+      |  SELECT doc_id, p, CASE WHEN sum(2 * b - 1) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM bits GROUP BY doc_id, p),
+      |sig AS (
+      |  SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** The 64-bit simhash signature frame (doc_id, simhash) — the Spark
+    * twin of [[simhashSql]].
+    */
+  private def simhashFrame(s: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+    val ps = broadcast(s.range(0, 64).select(col("id").cast("int").as("p")))
+    val bit = expr("shiftright(instr('0123456789abcdef', substr(h, (p div 4) + 1, 1)) - 1, 3 - (p % 4)) & 1")
+    th.crossJoin(ps)
+      .select(col("doc_id"), col("p"), bit.as("b"))
+      .groupBy("doc_id", "p")
+      .agg(when(sum(lit(2) * col("b") - 1) > 0, 1).otherwise(0).as("bit"))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(p, bit))), x -> cast(x.bit as string)), '')")
+        .as("simhash"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---- Exact dedup: hash-groupBy on normalized text; survivor = min id ----
@@ -587,30 +623,54 @@ object Text {
     // bit position, emitted as a 64-char bit string ----
     GQuery(
       "t8_simhash",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-        |th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
-        |bits AS (
-        |  SELECT doc_id, p,
-        |    ((strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) - 1) >> (3 - (p % 4))) & 1 AS b
-        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS p)),
-        |votes AS (
-        |  SELECT doc_id, p, CASE WHEN sum(2 * b - 1) > 0 THEN 1 ELSE 0 END AS bit
-        |  FROM bits GROUP BY doc_id, p)
-        |SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY p) AS simhash
-        |FROM votes GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val th = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
-      val ps = broadcast(s.range(0, 64).select(col("id").cast("int").as("p")))
-      val bit = expr("shiftright(instr('0123456789abcdef', substr(h, (p div 4) + 1, 1)) - 1, 3 - (p % 4)) & 1")
-      th.crossJoin(ps)
-        .select(col("doc_id"), col("p"), bit.as("b"))
-        .groupBy("doc_id", "p")
-        .agg(when(sum(lit(2) * col("b") - 1) > 0, 1).otherwise(0).as("bit"))
-        .groupBy("doc_id")
-        .agg(expr("array_join(transform(sort_array(collect_list(struct(p, bit))), x -> cast(x.bit as string)), '')")
-          .as("simhash"))
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM sig""".stripMargin) { (s, dir) =>
+      simhashFrame(s, dir)
+    },
+
+    // ---- SimHash hamming-radius near-dup join (the Google-crawl dedup
+    // form): candidates come from the 4-block pigeonhole — any two
+    // signatures within hamming distance 3 must agree EXACTLY on at
+    // least one of four 16-bit blocks, so the quadratic hamming search
+    // becomes 4 equi-joins on short block keys (one shuffle by block
+    // key; at 100 TB the block tables are the inverted index and hot
+    // blocks cap exactly like LSH buckets). Candidates then get the
+    // exact 64-bit hamming re-rank; pairs <= 3 bits apart are near-dups
+    // at a granularity jaccard shingles miss (small in-place edits). ----
+    GQuery(
+      "t20_simhash_hamming",
+      s"""WITH $simhashSql,
+         |blocks AS (
+         |  SELECT doc_id, b, substr(simhash, b*16+1, 16) AS bkey, simhash
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2,
+         |    b1.simhash AS s1, b2.simhash AS s2
+         |  FROM blocks b1 JOIN blocks b2
+         |    ON b1.b = b2.b AND b1.bkey = b2.bkey AND b1.doc_id < b2.doc_id)
+         |SELECT doc1, doc2, hamming FROM (
+         |  SELECT doc1, doc2,
+         |    len(list_filter(generate_series(1, 64), i -> s1[i] <> s2[i])) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 3""".stripMargin) { (s, dir) =>
+      val sig = simhashFrame(s, dir)
+      val blocks = sig.select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct(" +
+          "'b', b, 'bkey', substring(simhash, b*16+1, 16)))")).as("t"))
+        .select(col("doc_id"), col("simhash"), col("t.b").as("b"), col("t.bkey").as("bkey"))
+      val cand = blocks
+        .select(col("doc_id").as("doc1"), col("simhash").as("s1"), col("b"), col("bkey"))
+        .join(blocks.select(
+          col("doc_id").as("doc2"), col("simhash").as("s2"), col("b"), col("bkey")),
+          Seq("b", "bkey"))
+        .filter(col("doc1") < col("doc2"))
+        .select("doc1", "doc2", "s1", "s2").distinct()
+      cand
+        .withColumn("hamming", expr(
+          "size(filter(sequence(1, 64), i -> substring(s1, i, 1) <> substring(s2, i, 1)))")
+          .cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc1", "doc2", "hamming")
     },
 
     // ---- PII scrubbing (training-data redaction): emails, NANP phone
