@@ -914,6 +914,28 @@ object Spikes {
         .withColumn("neuron_class",
           when(col("gid") % 2 === 0, "even").otherwise("odd"))
       graft.streaming.StreamOps.enrichedClassCounts(ev, classes, "1 day", "0 seconds")
+    },
+
+    // ---- Streaming extension: stream-stream attribution join — each
+    // purchase joined to the same user's clicks in the preceding hour,
+    // watermark-bounded buffers on both sides. The gate runs the batch
+    // form of the SAME StreamOps plan; StreamOpsSpec pins the streaming
+    // two-micro-batch run equal to it. ----
+    GQuery(
+      "s5_stream_attribution",
+      """SELECT p.user_id AS gid, c.event_id AS l_id, p.event_id AS r_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("gid"), col("event_id"), col("ts"), col("event_type"))
+      graft.streaming.StreamOps.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowMicros = 3600000000L, watermark = "2 days")
     }
   )
 }

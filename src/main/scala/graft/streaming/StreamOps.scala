@@ -77,6 +77,31 @@ object StreamOps {
       .select(col("window.start").as("day"), col("neuron_class"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream inner join with watermark-bounded buffers (the
+    * attribution join): pair each right-side event with the same gid's
+    * left-side events in the preceding `windowMicros`. Both sides carry
+    * watermarks and the event-time range condition bounds the buffered
+    * state — Spark evicts a buffered row once the opposite watermark
+    * passes its join horizon, so state is O(events per horizon), not
+    * O(stream). On batch frames the watermarks are no-ops and the plan is
+    * a plain time-range join (the s5 gate's oracle form).
+    */
+  def attributionJoin(lhs: DataFrame, rhs: DataFrame, windowMicros: Long,
+      watermark: String): DataFrame = {
+    val l = lhs.select(col("gid").as("l_gid"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = rhs.select(col("gid").as("r_gid"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_gid") === col("r_gid") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowMicros MICROSECOND"))
+      .select(col("l_gid").as("gid"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+  }
+
   /** Streaming exact dedup: drop repeated keys across micro-batches with
     * bounded state — dropDuplicatesWithinWatermark keeps each key only
     * until the watermark passes it, so state is O(keys per watermark

@@ -73,6 +73,43 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: two time-split micro-batches equal batch") {
+    val srcC = Files.createTempDirectory("graft-ssj-c").toString
+    val srcP = Files.createTempDirectory("graft-ssj-p").toString
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id").as("gid"), col("event_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    // time-split (not interleaved): batch 2 is strictly newer, so the
+    // 2-day watermark can never evict a row whose 1-hour partner is
+    // still to come
+    val cut = ev.agg(min(unix_micros(col("ts"))) + 15L * 86400000000L).head.getLong(0)
+    def firstHalf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(unix_micros(col("ts")) < cut)
+    def secondHalf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(unix_micros(col("ts")) >= cut)
+    firstHalf(clicks).coalesce(1).write.mode("overwrite").parquet(srcC)
+    firstHalf(purchases).coalesce(1).write.mode("overwrite").parquet(srcP)
+    val schema = spark.read.parquet(srcC).schema
+    val win = 3600000000L
+    val joined = StreamOps.attributionJoin(
+      spark.readStream.schema(schema).parquet(srcC),
+      spark.readStream.schema(schema).parquet(srcP),
+      windowMicros = win, watermark = "2 days")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      secondHalf(clicks).coalesce(1).write.mode("append").parquet(srcC)
+      secondHalf(purchases).coalesce(1).write.mode("append").parquet(srcP)
+      q.processAllAvailable()
+      val got = spark.table("ssj_test")
+      val batch = StreamOps.attributionJoin(clicks, purchases, win, "2 days")
+      assert(got.count() === batch.count())
+      assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates across micro-batches are dropped") {
     val src = Files.createTempDirectory("graft-dedup-src").toString
     val ev = graft.Tables.spikes(spark, sf0001).limit(200)
