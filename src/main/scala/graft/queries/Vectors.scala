@@ -738,13 +738,16 @@ object Vectors {
       // d2(a, b) via the same three-dot expansion the oracle uses
       def l2(a: String, b: String) = expr(
         s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)")
-      def assign(cb: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "s").orderBy(col("dist"), col("code"))
+      // argmin via min(struct(dist, code)): same deterministic choice as
+      // the oracle's row_number-by-(dist, code), but a map-side partial
+      // aggregate instead of a full sort-window over the N×K joined frame
+      // (the window form benched 5× slower at 2k vectors)
+      def assign(cb: DataFrame): DataFrame =
         sv.join(broadcast(cb), "s")
           .withColumn("dist", l2("sv", "cv"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("vec_id", "s", "code")
-      }
+          .groupBy("vec_id", "s")
+          .agg(min(struct(col("dist"), col("code"))).as("m"))
+          .select(col("vec_id"), col("s"), col("m.code").as("code"))
       def update(asg: DataFrame): DataFrame =
         sv.join(asg, Seq("vec_id", "s"))
           .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
@@ -753,7 +756,15 @@ object Vectors {
           .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)").as("cv"))
       val c0 = sv.filter(col("vec_id") < PqK)
         .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-      val cb = (1 to PqIters).foldLeft(c0)((c, _) => update(assign(c)))
+      // codebooks are kmeans centroids — M×K rows of driver-sized state.
+      // Materializing each iteration's codebook as a literal frame keeps
+      // the plan flat: without it the c1 subplan re-executes inside every
+      // consumer of c2 (Catalyst does not dedupe the recursive chain) —
+      // the window-free v10 still benched 4.7 s from exactly that
+      def materialize(cb: DataFrame): DataFrame =
+        s.createDataFrame(
+          java.util.Arrays.asList(cb.collect(): _*), cb.schema).coalesce(1)
+      val cb = (1 to PqIters).foldLeft(c0)((c, _) => materialize(update(assign(c))))
       val codes = assign(cb)
       val qsv = sv.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))

@@ -185,15 +185,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"), "cartesian")
   }
 
-  test("t20 simhash hamming: candidates via equi-join on block keys, no cartesian") {
+  test("t20 simhash hamming: candidates via capped block buckets, no cartesian") {
     val p = plan("t20_simhash_hamming")
     // (the one BroadcastNestedLoopJoin in the plan is t8's deliberate
     // 64-row position-table expansion, not the pair search)
     assert(!p.contains("CartesianProduct"),
-      s"hamming search must be block-key equi-join, not all-pairs:\n$p")
-    assert(p.contains("Join [b") || p.contains("HashJoin [b") ||
-      "Join \\[b#\\d+, bkey".r.findFirstIn(p).nonEmpty,
-      s"pair join must key on (b, bkey):\n$p")
+      s"hamming search must be block-bucketed, not all-pairs:\n$p")
+    // candidates come from the occupancy-capped within-bucket pairing:
+    // one hash partitioning by the block key, then collect_list + explode
+    assert("hashpartitioning\\(band".r.findFirstIn(p).nonEmpty ||
+      "hashpartitioning\\([^)]*bkey".r.findFirstIn(p).nonEmpty,
+      s"expected a (band, bkey) shuffle for the block index:\n$p")
+    assert(p.contains("collect_list"), s"expected within-bucket pairing:\n$p")
   }
 
   test("j10 bucketed co-located join: zero shuffle under the join (gate REQUIRE re-checked)") {
