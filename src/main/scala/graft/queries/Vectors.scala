@@ -340,6 +340,9 @@ object Vectors {
     */
   def clearIndexCache(s: SparkSession): Unit = {
     ivfCache.keys.filter(_._1 eq s).foreach(ivfCache.remove(_): Unit)
+    pqCache.keys.filter(_._1 eq s).foreach { k =>
+      pqCache.remove(k).foreach { case (c, d) => c.unpersist(); d.unpersist(); () }
+    }
     vecPairCache.keys.filter(_._1 eq s).foreach { k =>
       vecPairCache.remove(k).foreach(_.unpersist())
     }
@@ -729,6 +732,57 @@ object Vectors {
     // cannot hash-match its own garbage. ----
     GQuery("v10_pq_adc", pqOracleSql) { (s, dir) =>
       registered(s)
+      val (codes, dtab) = pqEncode(s, dir)
+      val approx = codes.join(broadcast(dtab), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("pdist").cast(DecimalType(38, 18))).cast("double").as("adist"))
+      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+      approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("q_id", "vec_id", "rk", "adist")
+    },
+
+    // ---- IVF-PQ: the composed index every production ANN system ships
+    // (FAISS IVFPQ) — coarse routing picks ONE centroid cell per query
+    // (v5's argmax, the partition-pruning tier), then ADC ranks ONLY the
+    // probed cell's PQ codes. At 100 TB the search touches one cell's
+    // 8-byte codes per query: the IVF tier bounds the scan, the PQ tier
+    // bounds the bytes. Codes + distance tables shared with v10 via the
+    // memoized encoder; routing shares v5's centroid frame semantics, so
+    // the three gates (v5, v10, v11) pin each tier AND the composition. ----
+    GQuery("v11_ivfpq_adc", ivfpqOracleSql) { (s, dir) =>
+      registered(s)
+      val (codes, dtab) = pqEncode(s, dir)
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
+      val route = routeQueries(q, cent, cent.count())
+      val el = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").as("cell"))
+      val cand = codes.join(el, "vec_id").join(broadcast(route), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+      val approx = cand.join(broadcast(dtab), Seq("q_id", "s", "code"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("pdist").cast(DecimalType(38, 18))).cast("double").as("adist"))
+      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
+      approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("q_id", "vec_id", "rk", "adist")
+    }
+  )
+
+  /** Train the PQ codebooks and encode the corpus, memoized + persisted
+    * per (session, dir): returns (codes(vec_id, s, code),
+    * dtab(q_id, s, code, pdist)) — shared by v10 (full-corpus ADC) and
+    * v11 (cell-pruned ADC). Codebooks are kmeans centroid state (M×K
+    * rows), materialized on the driver between Lloyd iterations so the
+    * recursive codebook subplan executes once per iteration, not once
+    * per downstream consumer.
+    */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def pqEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate((s, dir), {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       val sv = e.select(col("vec_id"), explode(expr(
@@ -756,29 +810,19 @@ object Vectors {
           .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)").as("cv"))
       val c0 = sv.filter(col("vec_id") < PqK)
         .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-      // codebooks are kmeans centroids — M×K rows of driver-sized state.
-      // Materializing each iteration's codebook as a literal frame keeps
-      // the plan flat: without it the c1 subplan re-executes inside every
-      // consumer of c2 (Catalyst does not dedupe the recursive chain) —
-      // the window-free v10 still benched 4.7 s from exactly that
       def materialize(cb: DataFrame): DataFrame =
         s.createDataFrame(
           java.util.Arrays.asList(cb.collect(): _*), cb.schema).coalesce(1)
       val cb = (1 to PqIters).foldLeft(c0)((c, _) => materialize(update(assign(c))))
       val codes = assign(cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qsv = sv.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
       val dtab = qsv.join(broadcast(cb), "s")
         .select(col("q_id"), col("s"), col("code"), l2("qv", "cv").as("pdist"))
-      val approx = codes.join(broadcast(dtab), Seq("s", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum(col("pdist").cast(DecimalType(38, 18))).cast("double").as("adist"))
-      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
-      approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select("q_id", "vec_id", "rk", "adist")
-    }
-  )
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (codes, dtab)
+    })
 
   // PQ geometry: 8 subspaces x 8 dims, 64 codes, 2 Lloyd iterations -
   // shared by the Spark plan and the generated oracle SQL below
@@ -787,8 +831,12 @@ object Vectors {
   private final val PqK = 64
   private final val PqIters = 2
 
-  /** DuckDB twin of the v10 plan, generated from the same constants. */
-  private def pqOracleSql: String = {
+  /** Shared PQ oracle core (DuckDB), generated from the same constants
+    * as the Spark plan: trains the codebooks (c0 → c{iters}), assigns
+    * final codes (`af`), and builds the per-query ADC distance table
+    * (`dtab`). v10 and v11 append their own candidate scope + top-k.
+    */
+  private def pqCoreCtes: String = {
     def dist(a: String, b: String) =
       s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
     def assignCte(name: String, cb: String) =
@@ -810,7 +858,7 @@ object Vectors {
       assignCte(s"a${i - 1}", s"c${i - 1}") + ",\n" +
         updateCtes(s"cx${i - 1}", s"c$i", s"a${i - 1}")
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sv AS (
        |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
        |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
@@ -823,7 +871,12 @@ object Vectors {
        |dtab AS (
        |  SELECT q.q_id, q.s, c$PqIters.code,
        |    ${dist("q.qv", s"c$PqIters.cv")} AS pdist
-       |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s),
+       |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s)"""
+  }
+
+  /** DuckDB twin of the v10 plan (full-corpus ADC). */
+  private def pqOracleSql: String =
+    s"""WITH $pqCoreCtes,
        |approx AS (
        |  SELECT d.q_id, a.vec_id,
        |    CAST(SUM(CAST(d.pdist AS DECIMAL(38,18))) AS DOUBLE) AS adist
@@ -835,5 +888,38 @@ object Vectors {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
        |  FROM approx)
        |WHERE rk <= 5""".stripMargin
-  }
+
+  /** DuckDB twin of the v11 plan: v5's argmax cell routing composed with
+    * the PQ core — ADC restricted to each query's routed cell.
+    */
+  private def ivfpqOracleSql: String =
+    s"""WITH $pqCoreCtes,
+       |xr AS (
+       |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings),
+       |cent AS (SELECT label, d, avg(x) AS c FROM xr GROUP BY label, d),
+       |qdot AS (
+       |  SELECT xr.vec_id AS q_id, cent.label, sum(xr.x * cent.c) AS dp
+       |  FROM xr JOIN cent ON cent.d = xr.d
+       |  WHERE xr.vec_id % 25 = 0 GROUP BY xr.vec_id, cent.label),
+       |qcell AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+       |    FROM qdot) WHERE rk = 1),
+       |approx AS (
+       |  SELECT d.q_id, a.vec_id,
+       |    CAST(SUM(CAST(d.pdist AS DECIMAL(38,18))) AS DOUBLE) AS adist
+       |  FROM af a
+       |  JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
+       |  JOIN qcell qc ON qc.label = el.label
+       |  JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |  WHERE a.vec_id <> qc.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
 }

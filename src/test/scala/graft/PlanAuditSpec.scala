@@ -164,13 +164,15 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
 
-  test("v10 PQ: codebooks and distance table broadcast, no cartesian") {
-    val p = plan("v10_pq_adc")
-    assert(!p.contains("CartesianProduct"),
-      s"PQ must never cross the corpus with itself:\n$p")
-    // every codebook/dtab join is a broadcast of the tiny side: the
-    // corpus-sized code table joins a Q×M×K distance table by hash lookup
-    assert("BroadcastExchange".r.findAllIn(p).length >= 3, p)
+  test("v10 PQ + v11 IVF-PQ: codebooks and distance table broadcast, no cartesian") {
+    for (q <- Seq("v10_pq_adc", "v11_ivfpq_adc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: PQ must never cross the corpus with itself:\n$p")
+      // every codebook/dtab/route join is a broadcast of the tiny side:
+      // the corpus-sized code table joins by hash lookup only
+      assert("BroadcastExchange".r.findAllIn(p).length >= 2, s"$q:\n$p")
+    }
   }
 
   test("t19 substring overlap: df cap filters the index before the pair self-join") {
