@@ -70,6 +70,7 @@ object Bench {
     def clearState(): Unit = if (!keepState) {
       queries.Text.clearCaches(spark)
       queries.Vectors.clearIndexCache(spark)
+      queries.Relational.clearBucketedCache(spark)
     }
     def pass(): (Map[String, Double], Double, Double) = {
       val g0 = gcMillis

@@ -175,6 +175,14 @@ final class CacheManager(
     // bucket spec through the session catalog — a plain read.parquet of
     // the same files would silently lose co-location and shuffle again
     val bucketed = bucketSpec.get(key)
+    // the bucket layout participates in the invalidation chain: changing
+    // bucket_gids over a warm cache must REBUILD, not re-register a wrong
+    // bucket count over the old files (Spark trusts filename bucket ids —
+    // a mismatched register would silently drop join rows)
+    val chainEff = bucketed match {
+      case Some((n, keys)) => s"$chain|bucket:$n:${keys.mkString(",")}"
+      case None => chain
+    }
     def bucketTable = "graft_cache_" + java.security.MessageDigest
       .getInstance("MD5").digest(s"$dir/$key".getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
@@ -186,7 +194,7 @@ final class CacheManager(
           spark, bucketTable, p, n, keys, spark.read.parquet(p).schema)
       case _ => spark.read.parquet(p)
     }
-    val fresh = manifest.get(key).contains(chain) && Files.exists(Paths.get(p)) &&
+    val fresh = manifest.get(key).contains(chainEff) && Files.exists(Paths.get(p)) &&
       manifest.get(s"$key#files").forall(_ == filesDigest(p))
     if (fresh)
       load()
@@ -200,7 +208,7 @@ final class CacheManager(
             graft.sources.Bucketed.write(df, bucketTable, p, n, keys)
           case _ => df.write.mode("overwrite").parquet(p)
         }
-        manifest += key -> chain
+        manifest += key -> chainEff
         manifest += s"$key#files" -> filesDigest(p)
         saveManifest()
         load()

@@ -338,9 +338,26 @@ object Relational {
     */
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+
+  /** Drop this session's memoized bucketed tables (catalog entries +
+    * cache keys); same lifecycle hook as Text.clearCaches /
+    * Vectors.clearIndexCache — Bench/Diag call it between runs. The
+    * external temp files are left for the OS reaper like the IVF index.
+    */
+  def clearBucketedCache(s: org.apache.spark.sql.SparkSession): Unit =
+    bucketCache.keys.filter(_._1 eq s).foreach { k =>
+      bucketCache.remove(k).foreach { case (t1, t2) =>
+        Seq(t1, t2).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      }
+    }
+
   private def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
     bucketCache.getOrElseUpdate((s, dir), {
-      val tag = (dir.hashCode & 0x7fffffff).toHexString
+      // md5 of the dir, not dir.hashCode: a 31-bit collision between two
+      // data dirs in one session would overwrite the shared catalog names
+      // while both memoized entries keep serving them
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
       val ev = Tables.events(s, dir)
         .select(col("user_id").as("gid"), col("event_id"), col("value"))

@@ -72,8 +72,7 @@ object StreamOps {
         col("neuron_class"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
-          .cast("double").as("sum_value"))
+        graft.queries.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("day"), col("neuron_class"),
         col("n"), col("sum_value"))
 

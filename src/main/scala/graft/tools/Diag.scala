@@ -52,6 +52,7 @@ object Diag {
     sample("state-resident")
     graft.queries.Text.clearCaches(spark)
     graft.queries.Vectors.clearIndexCache(spark)
+    graft.queries.Relational.clearBucketedCache(spark)
     System.gc()
     println(s"[diag] persisted RDDs after clear: ${sc.getPersistentRDDs.size}")
     sample("state-cleared")

@@ -178,12 +178,15 @@ class PlanAuditSpec extends SparkSuite {
   test("t19 substring overlap: df cap filters the index before the pair self-join") {
     val q = SparkEntry.queries("t19_substring_overlap")(spark, sf0001)
     val opt = q.queryExecution.optimizedPlan.toString
-    // the dfreq <= 50 posting-list cap must sit below (before) the
-    // doc1 < doc2 self-join in the optimized plan — capping after the
-    // join would defeat the quadratic guard
+    // the dfreq <= 50 posting-list cap must sit BELOW the doc1 < doc2
+    // self-join in the optimized plan (top-down print: deeper = later),
+    // i.e. every dfreq mention comes after the join line — capping after
+    // the join would defeat the quadratic guard
     val capIdx = opt.indexOf("dfreq")
     val joinIdx = opt.indexOf("Join Inner")
     assert(capIdx >= 0 && joinIdx >= 0, opt)
+    assert(joinIdx < capIdx,
+      s"df cap must be under the pair join, not above it:\n$opt")
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"), "cartesian")
   }
 

@@ -49,6 +49,29 @@ class CacheBucketedSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS cb_dim")
   }
 
+  test("changing the bucket count over a warm cache REBUILDS instead of mis-registering") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-rebucket").toString
+    val report = graft.Tables.spikes(spark, sf0001).select("gid", "time").limit(500)
+    val cm4 = new CacheManager(spark, dir,
+      bucketSpec = Map("repo/report" -> ((4, Seq("gid")))))
+    cm4.loadOrCompute("repo", "report", "chain-v1", report).count()
+    cm4.close()
+    // same config chain, different bucket count: a re-register of 8 over
+    // 4-bucket files would silently drop join rows — the layout is part
+    // of the invalidation chain, so this must RECOMPUTE
+    var recomputed = false
+    val cm8 = new CacheManager(spark, dir,
+      bucketSpec = Map("repo/report" -> ((8, Seq("gid")))))
+    spark.sessionState.catalog.listTables("default")
+      .filter(_.table.startsWith("graft_cache_"))
+      .foreach(t => spark.sql(s"DROP TABLE `${t.table}`"))
+    val served = cm8.loadOrCompute("repo", "report", "chain-v1",
+      { recomputed = true; report })
+    assert(served.count() == report.count())
+    assert(recomputed, "bucket-count change must invalidate the cached frame")
+    cm8.close()
+  }
+
   test("bucketSpec is refused on non-parquet stores") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cache-bad").toString
     intercept[IllegalArgumentException] {

@@ -21,16 +21,28 @@ class PqRecallSpec extends SparkSuite {
     val hits = exact.join(pq, Seq("q_id", "vec_id")).count()
     val recall = hits.toDouble / (nQueries * 5)
     info(f"PQ ADC recall@5 vs exact top-5: $recall%.3f over $nQueries queries")
-    // 64 floats → 4 codes is a 64× compression; on the clustered synthetic
-    // corpus one Lloyd iteration lands well above this floor (~0.5+ when
-    // authored) — the floor only guards against degenerate codebooks
+    // 64 floats → 8 codes is a 32× compression; on the clustered synthetic
+    // corpus the two Lloyd iterations land ~0.42 (measured when authored) —
+    // the floor only guards against degenerate codebooks
     assert(recall >= 0.25, f"PQ recall collapsed: $recall%.3f")
   }
 
-  test("every vector gets exactly 4 subspace codes and codes spread over the codebook") {
+  test("v10 output shape: exactly 5 ranked rows per query") {
     val pq = graft.SparkEntry.queries("v10_pq_adc")(spark, sf001)
     // 20 queries × top-5
     assert(pq.count() == 100)
     assert(pq.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
+  test("v11 cell-pruned results are a subset of the same query's cell") {
+    val v11 = graft.SparkEntry.queries("v11_ivfpq_adc")(spark, sf001)
+    assert(v11.count() == 60) // 20 queries × top-3
+    // every result shares its query's routed cell: joined to labels, each
+    // (q_id) group must span exactly one label
+    val lab = graft.Tables.embeddings(spark, sf001).select(col("vec_id"), col("label"))
+    val spread = v11.join(lab, "vec_id")
+      .groupBy("q_id").agg(countDistinct("label").as("nl"))
+      .filter(col("nl") =!= 1).count()
+    assert(spread == 0, "v11 returned vectors outside the routed cell")
   }
 }
