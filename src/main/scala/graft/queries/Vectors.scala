@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -732,11 +732,17 @@ object Vectors {
     // cannot hash-match its own garbage. ----
     GQuery("v10_pq_adc", pqOracleSql) { (s, dir) =>
       registered(s)
-      val (codes, dtab) = pqEncode(s, dir)
-      val approx = codes.join(broadcast(dtab), Seq("s", "code"))
+      val (codesArr, dtabArr) = pqEncode(s, dir)
+      // ADC as one fused lookup loop per (query, vector) row — brute
+      // force's row count with an 8-element table walk instead of a
+      // 64-dim dot. The first cut joined the sparse (s, code) frames and
+      // materialized corpus × queries × SUBSPACES rows — 8× brute's rows,
+      // and it benched 17× SLOWER than brute at 20k vectors. Decimal
+      // accumulation in fixed subspace order: decimal addition is exact,
+      // so this equals the oracle's any-order decimal SUM bit-for-bit.
+      val approx = codesArr.crossJoin(broadcast(dtabArr))
         .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum(col("pdist").cast(DecimalType(38, 18))).cast("double").as("adist"))
+        .withColumn("adist", adcLookup)
       val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
       approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
         .select("q_id", "vec_id", "rk", "adist")
@@ -752,7 +758,7 @@ object Vectors {
     // the three gates (v5, v10, v11) pin each tier AND the composition. ----
     GQuery("v11_ivfpq_adc", ivfpqOracleSql) { (s, dir) =>
       registered(s)
-      val (codes, dtab) = pqEncode(s, dir)
+      val (codesArr, dtabArr) = pqEncode(s, dir)
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -760,20 +766,35 @@ object Vectors {
       val route = routeQueries(q, cent, cent.count())
       val el = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label").as("cell"))
-      val cand = codes.join(el, "vec_id").join(broadcast(route), "cell")
+      // candidates = each query's routed cell only; then the same fused
+      // ADC lookup loop as v10 over the pruned (query, vector) rows
+      val approx = codesArr.join(el, "vec_id")
+        .join(broadcast(route), "cell")
+        .join(broadcast(dtabArr), "q_id")
         .filter(col("vec_id") =!= col("q_id"))
-      val approx = cand.join(broadcast(dtab), Seq("q_id", "s", "code"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum(col("pdist").cast(DecimalType(38, 18))).cast("double").as("adist"))
+        .withColumn("adist", adcLookup)
       val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
       approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select("q_id", "vec_id", "rk", "adist")
     }
   )
 
+  /** The fused ADC distance: 8 dense-array lookups summed as a FLAT
+    * left-associative double expression — whole-stage codegen end to end
+    * (an `aggregate` higher-order lambda is interpreted per row, and with
+    * a decimal accumulator it benched 8× slower than brute force; this
+    * flat form is what makes ADC actually cheaper than the 64-dim dot).
+    * The oracle adds the same 8 values in the same s-order via an
+    * ORDER BY s list, so the double rounding matches bit-for-bit.
+    */
+  private def adcLookup: Column = expr(
+    (0 until PqM).map(i =>
+      s"element_at(darr, $i * $PqK + element_at(carr, ${i + 1}) + 1)")
+      .mkString(" + "))
+
   /** Train the PQ codebooks and encode the corpus, memoized + persisted
-    * per (session, dir): returns (codes(vec_id, s, code),
-    * dtab(q_id, s, code, pdist)) — shared by v10 (full-corpus ADC) and
+    * per (session, dir): returns (codesArr(vec_id, carr[8]),
+    * dtabArr(q_id, darr[512])) — shared by v10 (full-corpus ADC) and
     * v11 (cell-pruned ADC). Codebooks are kmeans centroid state (M×K
     * rows), materialized on the driver between Lloyd iterations so the
     * recursive codebook subplan executes once per iteration, not once
@@ -814,14 +835,28 @@ object Vectors {
         s.createDataFrame(
           java.util.Arrays.asList(cb.collect(): _*), cb.schema).coalesce(1)
       val cb = (1 to PqIters).foldLeft(c0)((c, _) => materialize(update(assign(c))))
-      val codes = assign(cb)
+      // dense per-vector code array (8 bytes of index state per vector —
+      // the PQ memory story) and dense per-query 512-entry distance
+      // array, indexed darr[s*K + code]. Absent codes (an emptied cluster)
+      // fill with +inf: no carr ever references them, the fill only keeps
+      // the fixed s*K+code indexing aligned.
+      val codesArr = assign(cb)
+        .groupBy("vec_id")
+        .agg(expr("transform(sort_array(collect_list(struct(s, code))), t -> t.code)")
+          .as("carr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qsv = sv.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-      val dtab = qsv.join(broadcast(cb), "s")
-        .select(col("q_id"), col("s"), col("code"), l2("qv", "cv").as("pdist"))
+      val dtabArr = qsv.join(broadcast(cb), "s")
+        .select(col("q_id"), (col("s") * PqK + col("code")).as("i"),
+          l2("qv", "cv").as("pdist"))
+        .groupBy("q_id")
+        .agg(map_from_entries(collect_list(struct(col("i"), col("pdist")))).as("dm"))
+        .select(col("q_id"), expr(
+          s"transform(sequence(0, ${PqM * PqK - 1}), " +
+            "i -> coalesce(element_at(dm, i), CAST('Infinity' AS DOUBLE)))").as("darr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (codes, dtab)
+      (codesArr, dtabArr)
     })
 
   // PQ geometry: 8 subspaces x 8 dims, 64 codes, 2 Lloyd iterations -
@@ -874,15 +909,19 @@ object Vectors {
        |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s)"""
   }
 
-  /** DuckDB twin of the v10 plan (full-corpus ADC). */
+  /** DuckDB twin of the v10 plan (full-corpus ADC). The per-pair sum is
+    * an s-ordered list added left-to-right, matching the engine's flat
+    * fixed-order double addition exactly.
+    */
   private def pqOracleSql: String =
     s"""WITH $pqCoreCtes,
        |approx AS (
-       |  SELECT d.q_id, a.vec_id,
-       |    CAST(SUM(CAST(d.pdist AS DECIMAL(38,18))) AS DOUBLE) AS adist
-       |  FROM af a JOIN dtab d ON d.s = a.s AND d.code = a.code
-       |  WHERE a.vec_id <> d.q_id
-       |  GROUP BY 1, 2)
+       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  FROM (
+       |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |    FROM af a JOIN dtab d ON d.s = a.s AND d.code = a.code
+       |    WHERE a.vec_id <> d.q_id
+       |    GROUP BY 1, 2))
        |SELECT q_id, vec_id, rk, adist FROM (
        |  SELECT q_id, vec_id, adist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
@@ -909,14 +948,15 @@ object Vectors {
        |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
        |    FROM qdot) WHERE rk = 1),
        |approx AS (
-       |  SELECT d.q_id, a.vec_id,
-       |    CAST(SUM(CAST(d.pdist AS DECIMAL(38,18))) AS DOUBLE) AS adist
-       |  FROM af a
-       |  JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
-       |  JOIN qcell qc ON qc.label = el.label
-       |  JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
-       |  WHERE a.vec_id <> qc.q_id
-       |  GROUP BY 1, 2)
+       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  FROM (
+       |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |    FROM af a
+       |    JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
+       |    JOIN qcell qc ON qc.label = el.label
+       |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |    WHERE a.vec_id <> qc.q_id
+       |    GROUP BY 1, 2))
        |SELECT q_id, vec_id, rk, adist FROM (
        |  SELECT q_id, vec_id, adist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
