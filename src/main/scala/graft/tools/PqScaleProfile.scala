@@ -27,9 +27,15 @@ object PqScaleProfile {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val n = graft.Tables.embeddings(spark, dir).count()
-    println(s"[pqscale] corpus $n vectors ($dir)")
+    // GRAFT_PQSCALE_SKIP_BRUTE=1: past ~100k vectors the brute baseline's
+    // corpus × queries cross product is the thing the ladder exists to
+    // avoid — measuring it once is the finding, re-measuring it is waste
+    val skipBrute = sys.env.get("GRAFT_PQSCALE_SKIP_BRUTE").contains("1")
+    println(s"[pqscale] corpus $n vectors ($dir) skipBrute=$skipBrute")
     for (i <- 1 to iters) {
-      val (nb, tb) = time(graft.SparkEntry.queries("v1_knn_brute")(spark, dir).count())
+      val (nb, tb) =
+        if (skipBrute) (-1L, -1.0)
+        else time(graft.SparkEntry.queries("v1_knn_brute")(spark, dir).count())
       val (np, tp) = time(graft.SparkEntry.queries("v10_pq_adc")(spark, dir).count())
       val (ni, ti) = time(graft.SparkEntry.queries("v11_ivfpq_adc")(spark, dir).count())
       println(f"[pqscale] run$i brute=$tb%.2fs($nb) pq_adc=$tp%.2fs($np) ivfpq=$ti%.2fs($ni)")
