@@ -582,6 +582,24 @@ object Spikes {
       g.withColumn("idx", row_number().over(w) - 1)
     },
 
+    // ---- w2's SCALE PATH under the same oracle: plans.GroupIndex.dense,
+    // the two-pass range-repartitioned dense ranking that replaces the
+    // one-task-per-key window when a group outgrows a single task
+    // (BASELINE.md measured the crossover at x1000). Gating it means the
+    // driver checks the 100 TB ranking path itself every round, not just
+    // the window form it substitutes for. ----
+    GQuery(
+      "w5_group_index_dense",
+      cte +
+        """, g AS (SELECT DISTINCT event_type, gid FROM spikes)
+          |SELECT event_type, gid,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY gid) - 1 AS idx
+          |FROM g""".stripMargin) { (s, dir) =>
+      graft.plans.GroupIndex.dense(
+        Tables.spikes(s, dir).select("event_type", "gid").distinct(),
+        Seq("event_type"), Seq("gid"))
+    },
+
     // ---- §2.5: normalize by group max (hist/max_hist —
     // reference: bnac/calculate_features.py:81-84) ----
     GQuery(
