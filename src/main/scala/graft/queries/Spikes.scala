@@ -80,6 +80,17 @@ object Spikes {
        |    ON s.time >= w.w_offset + w.t_start AND s.time < w.w_offset + w.t_stop)
        |""".stripMargin
 
+  /** One oracle, two gates: w2's window form and w5's GroupIndex.dense
+    * scale path must stay the SAME query — sharing the constant removes
+    * the risk of the two copies drifting apart.
+    */
+  private val groupIndexOracle: String =
+    cte +
+      """, g AS (SELECT DISTINCT event_type, gid FROM spikes)
+        |SELECT event_type, gid,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY gid) - 1 AS idx
+        |FROM g""".stripMargin
+
   /** Dense per-event_type hourly histogram of a window as a DataFrame:
     * (event_type, bin, cnt) with empty bins filled (A5 dense fill —
     * reference: external/bnac/calculate_features.py:67-93 np.histogram).
@@ -572,11 +583,7 @@ object Spikes {
     // reference: extract/neurons.py:139-143) ----
     GQuery(
       "w2_group_index",
-      cte +
-        """, g AS (SELECT DISTINCT event_type, gid FROM spikes)
-          |SELECT event_type, gid,
-          |  row_number() OVER (PARTITION BY event_type ORDER BY gid) - 1 AS idx
-          |FROM g""".stripMargin) { (s, dir) =>
+groupIndexOracle) { (s, dir) =>
       val g = Tables.spikes(s, dir).select("event_type", "gid").distinct()
       val w = Window.partitionBy("event_type").orderBy("gid")
       g.withColumn("idx", row_number().over(w) - 1)
@@ -590,11 +597,7 @@ object Spikes {
     // the window form it substitutes for. ----
     GQuery(
       "w5_group_index_dense",
-      cte +
-        """, g AS (SELECT DISTINCT event_type, gid FROM spikes)
-          |SELECT event_type, gid,
-          |  row_number() OVER (PARTITION BY event_type ORDER BY gid) - 1 AS idx
-          |FROM g""".stripMargin) { (s, dir) =>
+groupIndexOracle) { (s, dir) =>
       graft.plans.GroupIndex.dense(
         Tables.spikes(s, dir).select("event_type", "gid").distinct(),
         Seq("event_type"), Seq("gid"))

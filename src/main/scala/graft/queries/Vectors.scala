@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (64-dim unit-norm float
   * vectors): brute-force cosine top-k as the correctness baseline, a
@@ -737,9 +736,9 @@ object Vectors {
       // force's row count with an 8-element table walk instead of a
       // 64-dim dot. The first cut joined the sparse (s, code) frames and
       // materialized corpus × queries × SUBSPACES rows — 8× brute's rows,
-      // and it benched 17× SLOWER than brute at 20k vectors. Decimal
-      // accumulation in fixed subspace order: decimal addition is exact,
-      // so this equals the oracle's any-order decimal SUM bit-for-bit.
+      // and it benched 17× SLOWER than brute at 20k vectors. The sum is
+      // FLAT fixed-order double addition (see adcLookup): the oracle adds
+      // the same 8 values in the same s-order, so the rounding matches.
       val approx = codesArr.crossJoin(broadcast(dtabArr))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)

@@ -27,10 +27,12 @@ object PqScaleProfile {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     val n = graft.Tables.embeddings(spark, dir).count()
-    // GRAFT_PQSCALE_SKIP_BRUTE=1: past ~100k vectors the brute baseline's
-    // corpus × queries cross product is the thing the ladder exists to
-    // avoid — measuring it once is the finding, re-measuring it is waste
-    val skipBrute = sys.env.get("GRAFT_PQSCALE_SKIP_BRUTE").contains("1")
+    // past ~100k vectors the brute baseline's corpus × queries cross
+    // product is the thing the ladder exists to avoid — measuring it once
+    // is the finding, re-measuring it is waste. Skipped by default above
+    // that size; GRAFT_PQSCALE_SKIP_BRUTE=1|0 overrides either way.
+    val skipBrute = sys.env.get("GRAFT_PQSCALE_SKIP_BRUTE")
+      .map(_ == "1").getOrElse(n > 100000)
     println(s"[pqscale] corpus $n vectors ($dir) skipBrute=$skipBrute")
     for (i <- 1 to iters) {
       val (nb, tb) =
