@@ -198,7 +198,7 @@ class CsvSpikesAdapter extends ParquetAdapter {
   * on. Used by the engine end-to-end oracle queries and specs.
   */
 class EventsAdapter extends DataAdapter {
-  private def raw(spark: SparkSession, path: String): DataFrame = {
+  protected def raw(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(path)
@@ -218,4 +218,18 @@ class EventsAdapter extends DataAdapter {
     raw(spark, circuitPath).select("gid").distinct()
       .withColumn("parity", (col("gid") % 2).cast("long"))
       .withColumn("cohort", (col("gid") % 5).cast("long"))
+}
+
+/** EventsAdapter variant serving a COMPARTMENT-style frame report: every
+  * sample carries a per-compartment `section` id alongside the value
+  * (reference: extract/compartment_report.py:42-48 — the long frame gains
+  * a section level under each gid). Sections are synthesized
+  * deterministically from the event id (`event_id % 3`) so a DuckDB
+  * oracle can replicate the whole extraction.
+  */
+class CompartmentEventsAdapter extends EventsAdapter {
+  override def frames(spark: SparkSession, simulationPath: String): DataFrame =
+    raw(spark, simulationPath).select(
+      col("time"), col("gid"), col("value").cast("double").as("value"),
+      (col("event_id") % 3).cast("long").as("section"))
 }

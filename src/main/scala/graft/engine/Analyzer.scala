@@ -133,8 +133,8 @@ final class Analyzer(
     * DataFrame (reference: features.py:233-305). Cached per feature-config
     * checksum (C2's per-FeaturesConfig keys, cache.py:378-382).
     */
-  def calculateFeatures(): Map[String, DataFrame] = {
-    val raw: Seq[(String, DataFrame, String)] = cfg.features.flatMap { spec =>
+  def calculateFeatures(): LazyFrames = {
+    val raw: Seq[(String, () => DataFrame, String)] = cfg.features.flatMap { spec =>
       val fn = FeatureFns.resolve(spec.function)
       // computed over the raw (stored-filter) frames so cached outputs
       // cover the cache's full row set; narrowing applies on the way out
@@ -142,8 +142,8 @@ final class Analyzer(
         spark, spec.groupby, spec.params, scoped(spec),
         rawDf("windows"), rawDf("neurons"), rawDf("neuron_classes"))
       val specSum = ConfigIO.checksum(Seq(chain("report"), Describe.features(spec)))
-      fn.compute(ctx).map { case (outName, outDf) =>
-        (s"$outName${spec.suffix}", outDf, specSum)
+      fn.computeLazy(ctx).map { case (outName, thunk) =>
+        (s"$outName${spec.suffix}", thunk, specSum)
       }
     }
     // duplicate output names would silently shadow each other in the map
@@ -157,16 +157,20 @@ final class Analyzer(
     require(dups.isEmpty,
       s"duplicate feature output name(s): ${dups.mkString(", ")} — " +
         "rename the feature function output or use params_product suffixes")
-    raw.map { case (name, outDf, specSum) =>
-      // skipFeatures only skips the dump; a warm cache is still loaded
-      // (reference cache.py:550-565 skip_features semantics)
-      val result = cache match {
-        case Some(cm) =>
-          cm.loadOrCompute("features", name, specSum, outDf, store = !skipFeatures)
-        case _ => outDf
+    // lazily-valued map: the frame a caller never touches is never planned,
+    // never cache-written (full-dump callers iterate, which forces all)
+    LazyFrames(raw.map { case (name, thunk, specSum) =>
+      name -> { () =>
+        // skipFeatures only skips the dump; a warm cache is still loaded
+        // (reference cache.py:550-565 skip_features semantics)
+        val result = cache match {
+          case Some(cm) =>
+            cm.loadOrCompute("features", name, specSum, thunk(), store = !skipFeatures)
+          case _ => thunk()
+        }
+        narrowed(name, result)
       }
-      name -> narrowed(name, result)
-    }.toMap
+    })
   }
 
   /** In-memory re-scope (P7 — reference: analysis.py:126-145 apply_filter):
@@ -192,12 +196,13 @@ final class FilteredAnalyzer(base: Analyzer, simIds: Seq[Int]) {
   def windows: DataFrame = f(base.windows)
   def report: DataFrame = f(base.report)
   def calculateFeatures(): Map[String, DataFrame] =
-    base.calculateFeatures().map { case (k, v) =>
+    // mapFrames, not .map: keeps untouched sibling frames unconstructed
+    base.calculateFeatures().mapFrames { (k, v) =>
       if (!v.columns.contains("simulation_id"))
         Analyzer.log.warn(
           s"applyFilter cannot narrow feature output '$k' (no simulation_id " +
             "column): it covers the unfiltered simulation set")
-      k -> (if (v.columns.contains("simulation_id")) f(v) else v)
+      if (v.columns.contains("simulation_id")) f(v) else v
     }
 }
 
@@ -257,7 +262,7 @@ object MultiAnalyzer {
     new MultiAnalyzer(spark, ConfigIO.loadAnalysis(path), adapter, useCache)
 
   /** cache.clear: wipe the analysis cache dir before attaching. */
-  private[engine] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }

@@ -94,7 +94,13 @@ object GraftFunctions {
       FunctionIdentifier("vp_distance"),
       new ExpressionInfo(classOf[VictorPurpuraDistance].getName, "vp_distance"),
       (children: Seq[Expression]) =>
-        VictorPurpuraDistance(children(0), children(1), children(2))))
+        VictorPurpuraDistance(children(0), children(1), children(2))),
+    (
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (children: Seq[Expression]) =>
+        // raw AggregateFunction: the analyzer wraps it in AggregateExpression
+        TopKBy(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (id, info, builder) =>

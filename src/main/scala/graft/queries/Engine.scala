@@ -621,6 +621,111 @@ object Engine {
       narrow.report
         .select("simulation_id", "circuit_id", "neuron_class", "window",
           "trial", "time", "gid")
+    },
+
+    // S4 under the oracle: COMPARTMENT report extraction — the frame
+    // variant carrying a per-compartment `section` id through extraction
+    // and aggregation (reference: extract/compartment_report.py:42-48,
+    // functional config analysis_config_06). Sections synthesized
+    // deterministically (event_id % 3) so DuckDB replicates them; stats
+    // grouped by (class, window, section) exercise the one extraction
+    // column the soma gate (e4) never sees.
+    GQuery(
+      "e17_engine_compartment_stats",
+      s"""WITH frames AS (
+         |  SELECT CAST(epoch_us(ts) - $Origin AS DOUBLE) AS time, user_id AS gid,
+         |    value, event_id % 3 AS section FROM events),
+         |classes AS (
+         |  SELECT gid, CASE WHEN gid % 2 = 0 THEN 'even' ELSE 'odd' END AS neuron_class
+         |  FROM (SELECT DISTINCT gid FROM frames)),
+         |wins AS (
+         |  SELECT * FROM (VALUES
+         |    ('w1', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('w1', 1, CAST($D AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('w1', 2, CAST(${2 * D} AS DOUBLE), CAST(0 AS DOUBLE), CAST(${12 * H} AS DOUBLE)),
+         |    ('w2', 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(${7 * D} AS DOUBLE))
+         |  ) AS w(win, trial, w_offset, t_start, t_stop))
+         |SELECT 0 AS simulation_id, 0 AS circuit_id, c.neuron_class, w.win AS window,
+         |  f.section,
+         |  avg(f.value) AS mean, stddev_samp(f.value) AS std,
+         |  min(f.value) AS min, max(f.value) AS max
+         |FROM frames f
+         |JOIN wins w ON f.time >= w.w_offset + w.t_start AND f.time < w.w_offset + w.t_stop
+         |JOIN classes c ON c.gid = f.gid
+         |GROUP BY c.neuron_class, w.win, f.section""".stripMargin) { (s, dir) =>
+      val cfg = SingleAnalysisConfig(
+        name = "compartment",
+        reportType = "compartment",
+        windows = Map(
+          "w1" -> WindowSpec(
+            bounds = (0.0, 12.0 * H), nTrials = 3, trialStepsValue = D.toDouble),
+          "w2" -> WindowSpec(bounds = (0.0, 7.0 * D))),
+        neuronClasses = Map(
+          "even" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(0)))),
+          "odd" -> NeuronClassSpec(query = QAnd("parity" -> QCond(QEq(1))))),
+        features = Seq(
+          FeaturesSpec(
+            groupby = Seq("simulation_id", "circuit_id", "neuron_class",
+              "window", "section"),
+            function = "soma_stats")))
+      val campaign = Campaign(
+        name = "testdata", pathPrefix = dir, attrs = Map.empty,
+        rows = Seq(Map(
+          "simulation_path" -> "events.parquet",
+          "circuit_path" -> s"$dir/events.parquet")))
+      new Analyzer(s, cfg, campaign, new CompartmentEventsAdapter, QTrue, None)
+        .calculateFeatures()("by_group")
+    },
+
+    // The YAML front door under the oracle: ConfigIO.loadAnalysis →
+    // MultiAnalyzer.fromFile → the e1 by_gid pipeline, configs parsed
+    // from files on disk, not constructed in Scala (reference:
+    // apps/run.py:35-77 + config/analysis.py:198-210). This closes the
+    // parse→plan→execute seam the Scala-constructed e-gates never cross.
+    GQuery(
+      "e18_engine_yaml_front_door",
+      oracleCte +
+        """, counts AS (
+          |  SELECT neuron_class, win, trial, gid, count(*) AS cnt, min(time) AS first_spike
+          |  FROM assigned GROUP BY 1, 2, 3, 4)
+          |SELECT 0 AS simulation_id, 0 AS circuit_id, c.neuron_class, w.win AS window, c.gid,
+          |  avg(COALESCE(k.cnt, 0)) AS mean_count,
+          |  avg(k.first_spike) AS mean_first_spike,
+          |  avg(COALESCE(k.cnt, 0)) * 1000.0 / w.duration AS mean_firing_rate
+          |FROM classes c
+          |CROSS JOIN wins w
+          |LEFT JOIN counts k ON k.neuron_class = c.neuron_class AND k.win = w.win
+          |  AND k.trial = w.trial AND k.gid = c.gid
+          |GROUP BY c.neuron_class, w.win, c.gid, w.duration""".stripMargin) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val tmp = Files.createTempDirectory("graft-e18")
+      Files.write(tmp.resolve("campaign.yaml"),
+        s"""name: yaml-front-door
+           |attrs:
+           |  path_prefix: $dir
+           |data:
+           |  - {simulation_path: events.parquet, circuit_path: $dir/events.parquet}
+           |""".stripMargin.getBytes("UTF-8"))
+      Files.write(tmp.resolve("analysis.yaml"),
+        s"""simulation_campaign: ${tmp.resolve("campaign.yaml")}
+           |analysis:
+           |  spikes:
+           |    extraction:
+           |      report: {type: spikes}
+           |      neuron_classes:
+           |        even: {query: {parity: 0}}
+           |        odd: {query: {parity: 1}}
+           |      windows:
+           |        w1: {bounds: [0, ${12 * H}], n_trials: 3, trial_steps_value: $D}
+           |        w2: {bounds: [0, ${7 * D}]}
+           |    features:
+           |      - groupby: [simulation_id, circuit_id, neuron_class, window]
+           |        function: mean_firing_rates
+           |        params: {hist_bin_size: ${6.0 * H}, sigma: 4.0}
+           |""".stripMargin.getBytes("UTF-8"))
+      MultiAnalyzer.fromFile(s, tmp.resolve("analysis.yaml").toString,
+          new EventsAdapter, useCache = false)("spikes")
+        .calculateFeatures()("by_gid")
     }
   )
 

@@ -337,36 +337,45 @@ object Relational {
     * (8 buckets on gid, one file per bucket), memoized per (session, dir).
     */
   private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (String, String, String)]
 
   /** Drop this session's memoized bucketed tables (catalog entries +
-    * cache keys); same lifecycle hook as Text.clearCaches /
-    * Vectors.clearIndexCache — Bench/Diag call it between runs. The
-    * external temp files are left for the OS reaper like the IVF index.
+    * cache keys) AND their temp files — the store path is stable per
+    * (session, dir), so a multi-pass bench that clears between passes
+    * rewrites in place instead of leaking one full copy per pass.
+    * Same lifecycle hook as Text.clearCaches / Vectors.clearIndexCache.
     */
   def clearBucketedCache(s: org.apache.spark.sql.SparkSession): Unit =
     bucketCache.keys.filter(_._1 eq s).foreach { k =>
-      bucketCache.remove(k).foreach { case (t1, t2) =>
+      bucketCache.remove(k).foreach { case (t1, t2, base) =>
         Seq(t1, t2).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(base))
       }
     }
 
-  private def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
-    bucketCache.getOrElseUpdate((s, dir), {
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val (t1, t2, _) = bucketCache.getOrElseUpdate((s, dir), {
       // md5 of the dir, not dir.hashCode: a 31-bit collision between two
       // data dirs in one session would overwrite the shared catalog names
-      // while both memoized entries keep serving them
+      // while both memoized entries keep serving them. The session token
+      // keys the CATALOG names the same way the memo is keyed: two
+      // sessions sharing one catalog (newSession / shared metastore) on
+      // the same dir must not overwrite each other's tables.
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+      val sess = Integer.toHexString(System.identityHashCode(s))
+      // stable per-(session, dir) path: rebuilds overwrite in place
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-${sess}_$tag"
       val ev = Tables.events(s, dir)
         .select(col("user_id").as("gid"), col("event_id"), col("value"))
-      val spikesT = s"graft_b_spikes_$tag"
-      val dimT = s"graft_b_gdim_$tag"
+      val spikesT = s"graft_b_spikes_${sess}_$tag"
+      val dimT = s"graft_b_gdim_${sess}_$tag"
       graft.sources.Bucketed.write(ev, spikesT, s"$base/spikes", 8, Seq("gid"))
       val dim = ev.select("gid").distinct().filter(col("gid") % 2 === 0)
         .withColumn("klass", col("gid") % 7)
       graft.sources.Bucketed.write(dim, dimT, s"$base/gdim", 8, Seq("gid"))
-      (spikesT, dimT)
+      (spikesT, dimT, base)
     })
+    (t1, t2)
+  }
 }

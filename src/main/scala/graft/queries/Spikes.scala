@@ -886,8 +886,8 @@ groupIndexOracle) { (s, dir) =>
          |  FROM ev),
          |tagged AS (
          |  SELECT gid, time,
-         |    SUM(new_session) OVER (PARTITION BY gid ORDER BY time
-         |                           ROWS UNBOUNDED PRECEDING) AS session_id
+         |    CAST(SUM(new_session) OVER (PARTITION BY gid ORDER BY time
+         |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          |  FROM marked)
          |SELECT gid, session_id, count(*) AS n_events,
          |  min(time) AS t_start, max(time) AS t_end,

@@ -826,7 +826,14 @@ object Text {
         // hashes each gram (xxhash64) before the shuffle — identical
         // semantics up to collisions, 8× narrower exchange keys
         val g = shingles(s, dir, 8)
+        graft.Metrics.logObserved(s)
+        // the cap's loss is monitored like every other cap's
+        // (Lsh.cappedPairs dropped_ids): grams the df ≤ 50 posting-list
+        // cap removes are counted on a named observe row, never silent
         val dfreq = g.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+          .observe("t19_df_cap",
+            sum(when(col("dfreq") > 50, 1L).otherwise(0L)).as("dropped_grams"),
+            max(col("dfreq")).as("max_df"))
         val rare = g.join(dfreq.filter(col("dfreq") <= 50), "shingle")
         val shared = rare.select(col("doc_id").as("doc1"), col("shingle"))
           .join(rare.select(col("doc_id").as("doc2"), col("shingle")), "shingle")

@@ -742,9 +742,11 @@ object Vectors {
       val approx = codesArr.crossJoin(broadcast(dtabArr))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
-      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
-      approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select("q_id", "vec_id", "rk", "adist")
+      // top-5 as a bounded partial aggregate, NOT a row_number window: the
+      // window form shuffled the full corpus×queries ADC set to rank it
+      // (117 s at x100); topk_by keeps ≤5 pairs per (map task, q_id) so
+      // the one exchange moves partitions×queries×5 rows.
+      topK(approx, 5)
     },
 
     // ---- IVF-PQ: the composed index every production ANN system ships
@@ -772,9 +774,10 @@ object Vectors {
         .join(broadcast(dtabArr), "q_id")
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
-      val w = Window.partitionBy("q_id").orderBy(col("adist"), col("vec_id"))
-      approx.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select("q_id", "vec_id", "rk", "adist")
+      // same bounded top-k aggregate as v10 (rows here are already pruned
+      // to one cell per query, but the window's all-rows exchange is still
+      // pure overhead)
+      topK(approx, 3)
     }
   )
 
@@ -790,6 +793,18 @@ object Vectors {
     (0 until PqM).map(i =>
       s"element_at(darr, $i * $PqK + element_at(carr, ${i + 1}) + 1)")
       .mkString(" + "))
+
+  /** (q_id, vec_id, rk, adist) top-k per query via the bounded `topk_by`
+    * partial aggregate (functions/TopKBy.scala) — same rows and rank
+    * order as `row_number() OVER (PARTITION BY q_id ORDER BY adist,
+    * vec_id) <= k`, without shuffling the pre-rank row set.
+    */
+  private def topK(approx: DataFrame, k: Int): DataFrame =
+    approx.groupBy("q_id")
+      .agg(expr(s"topk_by(adist, vec_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rk"), col("t.score").as("adist"))
 
   /** Train the PQ codebooks and encode the corpus, memoized + persisted
     * per (session, dir): returns (codesArr(vec_id, carr[8]),

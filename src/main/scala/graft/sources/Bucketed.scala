@@ -62,7 +62,29 @@ object Bucketed {
   def register(spark: SparkSession, name: String, path: String, buckets: Int,
       keys: Seq[String], schema: org.apache.spark.sql.types.StructType,
       sortCols: Seq[String] = Nil): DataFrame = {
+    // the path lands inside a SQL string literal — a quote would break the
+    // DDL (and is an injection surface for config-supplied cache roots)
+    require(!path.contains("'"), s"bucketed store path must not contain ': $path")
     val sorts = if (sortCols.isEmpty) keys else sortCols
+    // a stale same-name catalog entry (out-of-band rebuild, long-lived
+    // session, shared metastore) can carry a DIFFERENT bucket spec than
+    // the files now on disk — Spark trusts the catalog's bucket count per
+    // filename, so serving it would silently drop join rows. Validate and
+    // drop+recreate on any drift; DROP of an external table leaves files.
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(ident)) {
+      val meta = catalog.getTableMetadata(ident)
+      val sameSpec = meta.bucketSpec.exists(bs =>
+        bs.numBuckets == buckets && bs.bucketColumnNames == keys &&
+          bs.sortColumnNames == sorts)
+      val samePath = meta.storage.locationUri.exists { u =>
+        new java.io.File(u).getCanonicalPath ==
+          new java.io.File(path).getCanonicalPath
+      }
+      if (!sameSpec || !samePath)
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    }
     val cols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(

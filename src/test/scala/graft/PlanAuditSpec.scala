@@ -179,14 +179,19 @@ class PlanAuditSpec extends SparkSuite {
     val q = SparkEntry.queries("t19_substring_overlap")(spark, sf0001)
     val opt = q.queryExecution.optimizedPlan.toString
     // the dfreq <= 50 posting-list cap must sit BELOW the doc1 < doc2
-    // self-join in the optimized plan (top-down print: deeper = later),
-    // i.e. every dfreq mention comes after the join line — capping after
-    // the join would defeat the quadratic guard
-    val capIdx = opt.indexOf("dfreq")
-    val joinIdx = opt.indexOf("Join Inner")
-    assert(capIdx >= 0 && joinIdx >= 0, opt)
-    assert(joinIdx < capIdx,
-      s"df cap must be under the pair join, not above it:\n$opt")
+    // pair SELF-join in the optimized plan (top-down print: deeper =
+    // later). Anchored to the join carrying the doc1 < doc2 condition —
+    // the plan holds several other inner joins (df-cap, n1/n2) whose
+    // positions must not satisfy the check by accident.
+    val lines = opt.linesIterator.toSeq
+    val pairJoinLine = lines.indexWhere(l =>
+      l.contains("Join Inner") && l.contains("doc1") && l.contains("doc2"))
+    val capLine = lines.indexWhere(_.contains("dfreq"))
+    assert(pairJoinLine >= 0, s"pair self-join (doc1 < doc2) not found:\n$opt")
+    assert(capLine >= 0, s"dfreq cap not found:\n$opt")
+    // first dfreq mention below the pair join ⇒ EVERY mention is below it
+    assert(pairJoinLine < capLine,
+      s"df cap must be under the pair self-join, not above it:\n$opt")
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"), "cartesian")
   }
 

@@ -63,7 +63,16 @@ def main():
         try:
             files = glob.glob(f"{res_dir}/*.parquet")
             got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            exp = con.sql(sql).df()
+            rel = con.sql(sql)
+            # HUGEINT/UHUGEINT render differently from BIGINT in the driver's
+            # hash normalization (bit r12 on s2's uncast window SUM): flag any
+            # oracle whose output carries one so it gets an explicit CAST.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"WARN {name}: HUGEINT oracle column(s) {huge} — "
+                      "add CAST(... AS BIGINT) to the oracle SQL")
+            exp = rel.df()
             g, e = norm(got), norm(exp)
             if list(g.columns) != list(e.columns):
                 print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
