@@ -100,7 +100,27 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
       (children: Seq[Expression]) =>
         // raw AggregateFunction: the analyzer wraps it in AggregateExpression
-        TopKBy(children(0), children(1), children(2))))
+        TopKBy(children(0), children(1), children(2))),
+    // Spark's runtime-filter bloom expressions are internal-only (no SQL
+    // registration upstream); exposing them lets the decontamination path
+    // build the filter in-plan via a scalar subquery — the exact shape
+    // Spark's own InjectRuntimeFilter rule produces, no driver collect.
+    (
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2), 0, 0)),
+    (
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (id, info, builder) =>

@@ -884,6 +884,44 @@ object Text {
           .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
         Seq((droppedPct, missed)).toDF("dropped_pct", "missed_true_pairs")
       } finally { buckets.unpersist(); () }
+    },
+
+    // ---- Bloom-prefiltered decontamination: t13's exact shingle-overlap
+    // check when the benchmark set is too large to broadcast as an exact
+    // hash set. The bloom is built IN-PLAN from the bench shingles
+    // (scalar subquery over `bloom_agg`, the exact shape Spark's
+    // InjectRuntimeFilter rule produces — the sketch ships once per
+    // executor, ~10 bits/item at 1% fpp vs 8+ bytes for exact hashes)
+    // and `bloom_might_contain` prunes the corpus scan BEFORE the exact
+    // join; the join then removes the bloom's false positives, so the
+    // result is EXACTLY the t13 semi-join (blooms have no false
+    // negatives) and the DuckDB oracle is the exact computation. At
+    // 100 TB the win is the shuffle: only bloom-positive corpus shingles
+    // (the contaminated sliver + fpp of the rest) reach the exchange. ----
+    GQuery(
+      "t21_bloom_decontamination",
+      s"""WITH ${shinglesSql(3)},
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         |ov AS (
+         |  SELECT s.doc_id, count(*) AS n_overlap
+         |  FROM sh s JOIN bench b ON b.shingle = s.shingle
+         |  WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+         |SELECT doc_id, n_overlap FROM ov""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      persistedShingles(s, dir).createOrReplaceTempView("graft_t21_sh")
+      s.sql(
+        """WITH bench AS (
+          |  SELECT DISTINCT shingle FROM graft_t21_sh WHERE doc_id % 50 = 0),
+          |pruned AS (
+          |  SELECT c.doc_id, c.shingle
+          |  FROM (SELECT doc_id, shingle FROM graft_t21_sh
+          |        WHERE doc_id % 50 <> 0) c
+          |  WHERE bloom_might_contain(
+          |    (SELECT bloom_agg(xxhash64(shingle), 100000L, 960000L) FROM bench),
+          |    xxhash64(c.shingle)))
+          |SELECT p.doc_id, count(*) AS n_overlap
+          |FROM pruned p JOIN bench b ON b.shingle = p.shingle
+          |GROUP BY p.doc_id""".stripMargin)
     }
   )
 }

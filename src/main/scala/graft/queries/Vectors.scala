@@ -778,6 +778,47 @@ object Vectors {
       // to one cell per query, but the window's all-rows exchange is still
       // pure overhead)
       topK(approx, 3)
+    },
+
+    // ---- IVF-PQ + exact refine: the full production retrieval shape
+    // (FAISS IVFPQ + refine / two-stage retrieval). The compressed index
+    // answers cheaply but approximately — ADC distances carry quantization
+    // error — so the top-m ADC candidates (m=10, > the final k=3) are
+    // re-ranked by the EXACT cosine against the raw vectors. At 100 TB
+    // the refine join touches queries × m raw vectors (kilobytes per
+    // query, point lookups by vec_id) — the index bounds the scan, the
+    // refine restores exact ordering among the survivors. Composes the
+    // gated tiers: v5 routing, v10 ADC kernel, topk_by selection, v1's
+    // exact-dot scoring. ----
+    GQuery("v12_ivfpq_refine", ivfpqRefineOracleSql) { (s, dir) =>
+      registered(s)
+      val (codesArr, dtabArr) = pqEncode(s, dir)
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
+      val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
+      val el = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").as("cell"))
+      val approx = codesArr.join(el, "vec_id")
+        .join(broadcast(route), "cell")
+        .join(broadcast(dtabArr), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookup)
+      val cand = topK(approx, 10).select("q_id", "vec_id")
+      // refine: exact cosine over the m survivors only (raw vectors join
+      // a queries×m frame, never the corpus); final order by true cos
+      val scored = cand
+        .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+      scored.groupBy("q_id")
+        .agg(expr("topk_by(-cos, vec_id, 3)").as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("vec_id"),
+          (col("pos") + 1).cast("int").as("rk"), (-col("t.score")).as("cos"))
     }
   )
 
@@ -975,5 +1016,57 @@ object Vectors {
        |  SELECT q_id, vec_id, adist,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
        |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
+
+  /** DuckDB twin of the v12 plan: v11's routed-cell ADC taken to top-10,
+    * then exact-cosine re-rank of those survivors to top-3 (same
+    * `list_dot_product` scoring as the v1 oracle, so the doubles match
+    * the engine's `array_dot` bit-for-bit).
+    */
+  private def ivfpqRefineOracleSql: String =
+    s"""WITH $pqCoreCtes,
+       |xr AS (
+       |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings),
+       |cent AS (SELECT label, d, avg(x) AS c FROM xr GROUP BY label, d),
+       |qdot AS (
+       |  SELECT xr.vec_id AS q_id, cent.label, sum(xr.x * cent.c) AS dp
+       |  FROM xr JOIN cent ON cent.d = xr.d
+       |  WHERE xr.vec_id % 25 = 0 GROUP BY xr.vec_id, cent.label),
+       |qcell AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+       |    FROM qdot) WHERE rk = 1),
+       |approx AS (
+       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  FROM (
+       |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |    FROM af a
+       |    JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
+       |    JOIN qcell qc ON qc.label = el.label
+       |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |    WHERE a.vec_id <> qc.q_id
+       |    GROUP BY 1, 2)),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |    FROM approx)
+       |  WHERE rk <= 10),
+       |e2 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings)
+       |SELECT q_id, vec_id, rk, cos FROM (
+       |  SELECT c.q_id, c.vec_id,
+       |    list_dot_product(eq.v, ec.v) / (eq.nrm * ec.nrm) AS cos,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_dot_product(eq.v, ec.v) / (eq.nrm * ec.nrm) DESC,
+       |               c.vec_id) AS rk
+       |  FROM cand c
+       |  JOIN e2 eq ON eq.vec_id = c.q_id
+       |  JOIN e2 ec ON ec.vec_id = c.vec_id)
        |WHERE rk <= 3""".stripMargin
 }

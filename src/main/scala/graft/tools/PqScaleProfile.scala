@@ -40,7 +40,8 @@ object PqScaleProfile {
         else time(graft.SparkEntry.queries("v1_knn_brute")(spark, dir).count())
       val (np, tp) = time(graft.SparkEntry.queries("v10_pq_adc")(spark, dir).count())
       val (ni, ti) = time(graft.SparkEntry.queries("v11_ivfpq_adc")(spark, dir).count())
-      println(f"[pqscale] run$i brute=$tb%.2fs($nb) pq_adc=$tp%.2fs($np) ivfpq=$ti%.2fs($ni)")
+      val (nr, tr) = time(graft.SparkEntry.queries("v12_ivfpq_refine")(spark, dir).count())
+      println(f"[pqscale] run$i brute=$tb%.2fs($nb) pq_adc=$tp%.2fs($np) ivfpq=$ti%.2fs($ni) refine=$tr%.2fs($nr)")
     }
     spark.stop()
   }

@@ -164,8 +164,8 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
   }
 
-  test("v10 PQ + v11 IVF-PQ: codebooks and distance table broadcast, no cartesian") {
-    for (q <- Seq("v10_pq_adc", "v11_ivfpq_adc")) {
+  test("v10 PQ + v11 IVF-PQ + v12 refine: codebooks and distance table broadcast, no cartesian") {
+    for (q <- Seq("v10_pq_adc", "v11_ivfpq_adc", "v12_ivfpq_refine")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q: PQ must never cross the corpus with itself:\n$p")
@@ -193,6 +193,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(pairJoinLine < capLine,
       s"df cap must be under the pair self-join, not above it:\n$opt")
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"), "cartesian")
+  }
+
+  test("t21 bloom decontamination: in-plan bloom prunes the corpus below the exact join") {
+    val q = SparkEntry.queries("t21_bloom_decontamination")(spark, sf0001)
+    val opt = q.queryExecution.optimizedPlan.toString
+    // the bloom must be built IN-PLAN (scalar subquery over
+    // bloom_filter_agg — no driver collect) and its might_contain filter
+    // must sit BELOW the exact shingle join (top-down print: deeper =
+    // later), i.e. it prunes the corpus before rows reach the exchange
+    assert(opt.contains("bloom_filter_agg"), s"bloom not built in-plan:\n$opt")
+    val lines = opt.linesIterator.toSeq
+    val joinLine = lines.indexWhere(l =>
+      l.contains("Join Inner") && l.contains("shingle"))
+    val bloomLine = lines.indexWhere(_.contains("might_contain"))
+    assert(joinLine >= 0 && bloomLine >= 0, opt)
+    assert(joinLine < bloomLine,
+      s"might_contain must prune under the exact join, not above it:\n$opt")
   }
 
   test("t20 simhash hamming: candidates via capped block buckets, no cartesian") {
