@@ -235,7 +235,12 @@ object Text {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Int, Int)]
   private def autoRowsFor(s: SparkSession, dir: String): (Int, Int) =
     depthCache.getOrElseUpdate((s, dir), {
-      val depth = autoRowsPerBand(persistedShingles(s, dir))
+      // probe on the deterministic id-hash HALF of the corpus — the
+      // 100 TB path (the full-corpus probe was the t18 gate's dominant,
+      // drifting cost; BASELINE.md r12 spread 2.5-4.9 s). Safe by
+      // construction: t18 validates the CHOSen depth's invariants (zero
+      // cap drops, zero lost true pairs) on the FULL corpus every run.
+      val depth = autoRowsPerBand(persistedShingles(s, dir), sample = 0.5)
       (depth, Lsh.bandsForRecall(NearDupJaccard, depth, 1.0 - 1e-6))
     })
 

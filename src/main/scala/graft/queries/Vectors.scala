@@ -421,10 +421,12 @@ object Vectors {
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select("q_id", "vec_id", "rk", "cos")
+      // bounded top-k, not a rank window: brute force is deliberately
+      // linear in COMPUTE (corpus × queries dots), but the selection must
+      // not also shuffle the full scored set — topk_by keeps ≤5 rows per
+      // (map task, query) before the one exchange (the r12 x100 window
+      // form moved 1.6 B rows; see BASELINE.md)
+      topKByCos(scored, 5)
     },
 
     // ---- LSH-bucketed similar-pair search: 4 bands × 4 random hyperplanes;
@@ -553,10 +555,9 @@ object Vectors {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos",
           expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      probed.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("q_id", "vec_id", "rk", "cos")
+      // probed rows are cell-bounded but still corpus/cells × queries —
+      // bounded top-k instead of the rank window's full-shuffle
+      topKByCos(probed, 3)
     },
 
     // ---- int8 scalar quantization: per-dim [min, max] range → 256-level
@@ -660,13 +661,10 @@ object Vectors {
       val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val c = e.select(
         col("vec_id"), col("label"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      broadcast(qcell.join(q, "q_id"))
+      val scored = broadcast(qcell.join(q, "q_id"))
         .join(c, col("label") === col("cell") && col("vec_id") =!= col("q_id"))
         .withColumn("cos", expr(dotExpr("q_emb", "c_emb")) / (col("q_nrm") * col("c_nrm")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .select("q_id", "vec_id", "rk", "cos")
+      topKByCos(scored, 3)
     },
 
     // ---- The measured auto (depth, bands) under the gate (the t18
@@ -814,11 +812,7 @@ object Vectors {
         .join(broadcast(q), "q_id")
         .withColumn("cos",
           expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
-      scored.groupBy("q_id")
-        .agg(expr("topk_by(-cos, vec_id, 3)").as("top"))
-        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("q_id"), col("t.id").as("vec_id"),
-          (col("pos") + 1).cast("int").as("rk"), (-col("t.score")).as("cos"))
+      topKByCos(scored, 3)
     }
   )
 
@@ -846,6 +840,18 @@ object Vectors {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("vec_id"),
         (col("pos") + 1).cast("int").as("rk"), col("t.score").as("adist"))
+
+  /** Same bounded top-k for cosine SIMILARITY (descending): rank order of
+    * `ORDER BY cos DESC, vec_id` via the negated score — negation is
+    * exact in IEEE doubles, so ordering and the recovered `cos` match the
+    * window form bit-for-bit.
+    */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(expr(s"topk_by(-cos, vec_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rk"), (-col("t.score")).as("cos"))
 
   /** Train the PQ codebooks and encode the corpus, memoized + persisted
     * per (session, dir): returns (codesArr(vec_id, carr[8]),
