@@ -210,6 +210,37 @@ object Relational {
           col("sum_qty"), col("n"))
     },
 
+    // ---- g2: CUBE + explicit GROUPING SETS — the other multi-grain
+    // aggregation shapes (g1 covers ROLLUP's prefix lattice). One pass
+    // produces every grain with map-side partials (Catalyst Expand);
+    // grouping() disambiguates a real NULL key from a subtotal row,
+    // which COALESCE alone cannot. ----
+    GQuery(
+      "g2_cube_grouping_sets",
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+        |                        (l_linestatus), ())""".stripMargin) { (s, dir) =>
+      // cube(a, b) == GROUPING SETS of all 4 subsets; the oracle spells
+      // the sets out because DuckDB and Spark agree on CUBE too — the
+      // explicit form also documents the expansion the plan performs
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping("l_returnflag").cast("long").as("g_rf"),
+          grouping("l_linestatus").cast("long").as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("ls"),
+          col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+    },
+
     // ---- Skew pattern: two-stage salted aggregation. event_type has only
     // 5 values — at 100 TB a plain groupBy funnels everything through 5
     // reducers. Stage 1 aggregates on (key, salt) [32-way fan-out,

@@ -957,6 +957,29 @@ groupIndexOracle) { (s, dir) =>
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         windowMicros = 3600000000L, watermark = "2 days")
+    },
+
+    // ---- Streaming extension: stream-stream LEFT OUTER interval join —
+    // the semantics class s5 doesn't cover: a click with NO purchase in
+    // the following hour still emits (with nulls), but only after the
+    // watermark proves no partner can arrive. Batch restatement = plain
+    // left join; StreamOpsSpec pins the watermark-flushed streaming run
+    // equal to it. ----
+    GQuery(
+      "s6_stream_left_outer_attribution",
+      """SELECT c.user_id AS gid, c.event_id AS l_id, p.event_id AS r_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("gid"), col("event_id"), col("ts"), col("event_type"))
+      graft.streaming.StreamOps.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        windowMicros = 3600000000L, watermark = "2 days", joinType = "left_outer")
     }
   )
 }

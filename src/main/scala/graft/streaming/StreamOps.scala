@@ -86,17 +86,24 @@ object StreamOps {
     * a plain time-range join (the s5 gate's oracle form).
     */
   def attributionJoin(lhs: DataFrame, rhs: DataFrame, windowMicros: Long,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     val l = lhs.select(col("gid").as("l_gid"), col("event_id").as("l_id"),
         col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
     val r = rhs.select(col("gid").as("r_gid"), col("event_id").as("r_id"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", watermark)
+    // left_outer: the distinct streaming semantics class — an unmatched
+    // left row is HELD in state until the watermark proves no partner can
+    // still arrive, then emitted with nulls (batch left joins emit
+    // immediately; the equality of the two is what StreamOpsSpec pins).
+    // Both sides' time-bound predicates are what let the engine evict
+    // state at the watermark instead of buffering the streams forever.
     l.join(r,
       col("l_gid") === col("r_gid") &&
         col("l_ts") <= col("r_ts") &&
-        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowMicros MICROSECOND"))
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $windowMicros MICROSECOND"),
+      joinType)
       .select(col("l_gid").as("gid"), col("l_id"), col("r_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
   }

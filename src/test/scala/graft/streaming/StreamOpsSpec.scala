@@ -110,6 +110,54 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: watermark-flushed stream equals batch left join") {
+    val srcC = Files.createTempDirectory("graft-ssjo-c").toString
+    val srcP = Files.createTempDirectory("graft-ssjo-p").toString
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id").as("gid"), col("event_id"), col("ts"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val cut = ev.agg(min(unix_micros(col("ts"))) + 15L * 86400000000L).head.getLong(0)
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    def half(df: org.apache.spark.sql.DataFrame, first: Boolean) =
+      if (first) df.filter(unix_micros(col("ts")) < cut)
+      else df.filter(unix_micros(col("ts")) >= cut)
+    half(clicks, first = true).coalesce(1).write.mode("overwrite").parquet(srcC)
+    half(purchases, first = true).coalesce(1).write.mode("overwrite").parquet(srcP)
+    val schema = spark.read.parquet(srcC).schema
+    val win = 3600000000L
+    val joined = StreamOps.attributionJoin(
+      spark.readStream.schema(schema).parquet(srcC),
+      spark.readStream.schema(schema).parquet(srcP),
+      windowMicros = win, watermark = "2 days", joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ssjo_test").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      half(clicks, first = false).coalesce(1).write.mode("append").parquet(srcC)
+      half(purchases, first = false).coalesce(1).write.mode("append").parquet(srcP)
+      q.processAllAvailable()
+      // unmatched lefts near the stream end sit in state until the
+      // watermark passes them — a far-future sentinel row on BOTH inputs
+      // (the global watermark is the min across sources) forces the
+      // flush; gid -1 matches nothing and is excluded from the compare
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("gid"), lit(-1L).as("event_id"),
+        to_timestamp(lit((maxTs + 30L * 86400000000L) / 1000000.0)).as("ts"))
+      sentinel.coalesce(1).write.mode("append").parquet(srcC)
+      sentinel.coalesce(1).write.mode("append").parquet(srcP)
+      q.processAllAvailable()
+      val got = spark.table("ssjo_test").filter(col("gid") =!= -1L)
+      val batch = StreamOps.attributionJoin(
+        clicks, purchases, win, "2 days", joinType = "left_outer")
+      assert(got.count() === batch.count())
+      assert(got.except(batch).isEmpty && batch.except(got).isEmpty)
+      // the outer semantics actually exercised: some clicks have no
+      // purchase partner and emit null r_id
+      assert(got.filter(col("r_id").isNull).count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates across micro-batches are dropped") {
     val src = Files.createTempDirectory("graft-dedup-src").toString
     val ev = graft.Tables.spikes(spark, sf0001).limit(200)
