@@ -34,6 +34,42 @@ class PqRecallSpec extends SparkSuite {
     assert(pq.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("v12 refine: within-cell recall@3 beats or ties ADC-only v11") {
+    // global-truth recall is bounded by ROUTING (nprobe=1), a v5 property
+    // — the tier refine actually owns is ordering WITHIN the routed cell,
+    // so ground truth here is the exact-cosine top-3 of each query's cell
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.embeddings(spark, sf001)
+      .withColumn("nrm", sqrt(expr("array_dot(embedding, embedding)")))
+    val lab = emb.select(col("vec_id"), col("label"))
+    val v11 = graft.SparkEntry.queries("v11_ivfpq_adc")(spark, sf001)
+    val qcell = v11.join(lab, "vec_id").select("q_id", "label").distinct()
+    val q = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val exactCell = qcell.join(emb, "label")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(q, "q_id")
+      .withColumn("cos",
+        expr("array_dot(embedding, q_emb)") / (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("q_id", "vec_id")
+    val n = exactCell.select("q_id").distinct().count()
+    def recall(qname: String): Double = {
+      val got = graft.SparkEntry.queries(qname)(spark, sf001).select("q_id", "vec_id")
+      exactCell.join(got, Seq("q_id", "vec_id")).count().toDouble / (n * 3)
+    }
+    val rRefine = recall("v12_ivfpq_refine")
+    val rIvfpq = recall("v11_ivfpq_adc")
+    info(f"within-cell recall@3: refine $rRefine%.3f vs ADC-only $rIvfpq%.3f")
+    // refine re-ranks a top-10 ADC pool by EXACT cosine: within the cell
+    // it can only keep or improve agreement with the exact ordering
+    assert(rRefine >= rIvfpq - 1e-9,
+      f"refine recall $rRefine%.3f fell below ADC-only $rIvfpq%.3f")
+    assert(rRefine >= 0.5, f"refine within-cell recall collapsed: $rRefine%.3f")
+  }
+
   test("v11 cell-pruned results are a subset of the same query's cell") {
     val v11 = graft.SparkEntry.queries("v11_ivfpq_adc")(spark, sf001)
     assert(v11.count() == 60) // 20 queries × top-3
