@@ -28,8 +28,21 @@ final class LazyFrames(entries: Seq[(String, () => DataFrame)])
   override def removed(key: String): Map[String, DataFrame] =
     if (!thunks.contains(key)) this
     else new LazyFrames(entries.filterNot(_._1 == key))
+  // `updated`/`+` must stay lazy too: forcing siblings here would run
+  // their plan construction and cache side effects for a caller that
+  // only added/replaced one frame. A DataFrame value keeps the lazy
+  // facade; any other V1 falls back to a strict Map (rare, typed-widening
+  // callers that by construction want plain Map semantics).
   override def updated[V1 >: DataFrame](key: String, value: V1): Map[String, V1] =
-    order.iterator.map(k => k -> (this(k): V1)).toMap.updated(key, value)
+    value match {
+      case df: DataFrame =>
+        val thunk = (key, () => df)
+        new LazyFrames(if (thunks.contains(key))
+          entries.map(e => if (e._1 == key) thunk else e)
+        else entries :+ thunk).asInstanceOf[Map[String, V1]]
+      case _ =>
+        order.iterator.map(k => k -> (this(k): V1)).toMap.updated(key, value)
+    }
 
   /** Lazy value transform — the counterpart of strict `.map` that keeps
     * untouched frames unconstructed (FilteredAnalyzer narrowing).

@@ -17,8 +17,18 @@ final class TopKBuffer(val k: Int) {
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
-  @inline private def lt(s: Double, i: Long, j: Int): Boolean =
-    s < scores(j) || (s == scores(j) && i < ids(j))
+  // Ordering matches Spark SQL's: NaN sorts greater than every other
+  // double (incl. +Inf) and equal to itself; -0.0 == 0.0. A plain
+  // primitive `<` would let a NaN freeze or corrupt the sorted buffer
+  // (all NaN comparisons are false), diverging from the rank-window
+  // plan this aggregate replaces.
+  @inline private def lt(s: Double, i: Long, j: Int): Boolean = {
+    val t = scores(j)
+    if (s < t) true
+    else if (s == t) i < ids(j)
+    else if (s != s) t != t && i < ids(j) // s NaN: below only a NaN tie on id
+    else t != t                           // s finite, t NaN: s ranks first
+  }
 
   def insert(s: Double, i: Long): Unit = {
     if (n == k && !lt(s, i, n - 1)) return
@@ -63,7 +73,11 @@ case class TopKBy(
     val ok = score.dataType == DoubleType &&
       (id.dataType == LongType || id.dataType == IntegerType) &&
       kExpr.foldable && kExpr.dataType == IntegerType
-    if (ok && k > 0) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    // eval() only after the shape checks pass, and null-guarded: a
+    // foldable CAST(NULL AS INT) must yield this failure, not an NPE.
+    val kVal = if (ok) kExpr.eval() else null
+    if (kVal != null && kVal.asInstanceOf[Number].intValue() > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       "topk_by expects (score double, id bigint|int, k int-literal > 0), got " +
         s"(${score.dataType}, ${id.dataType}, $kExpr)")

@@ -723,9 +723,14 @@ object Engine {
            |        function: mean_firing_rates
            |        params: {hist_bin_size: ${6.0 * H}, sigma: 4.0}
            |""".stripMargin.getBytes("UTF-8"))
-      MultiAnalyzer.fromFile(s, tmp.resolve("analysis.yaml").toString,
-          new EventsAdapter, useCache = false)("spikes")
-        .calculateFeatures()("by_gid")
+      // fromFile parses both YAMLs eagerly and the returned plans read
+      // only the data dir, so the config dir can be reaped immediately —
+      // repeated bench/verify passes must not accumulate /tmp dirs.
+      try
+        MultiAnalyzer.fromFile(s, tmp.resolve("analysis.yaml").toString,
+            new EventsAdapter, useCache = false)("spikes")
+          .calculateFeatures()("by_gid")
+      finally MultiAnalyzer.deleteRecursively(tmp.toFile)
     }
   )
 

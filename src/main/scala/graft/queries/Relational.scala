@@ -370,19 +370,24 @@ object Relational {
   private val bucketCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (String, String, String)]
 
+  private val sessionTokens =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.sql.SparkSession, String]
+
   /** Drop this session's memoized bucketed tables (catalog entries +
     * cache keys) AND their temp files — the store path is stable per
     * (session, dir), so a multi-pass bench that clears between passes
     * rewrites in place instead of leaking one full copy per pass.
     * Same lifecycle hook as Text.clearCaches / Vectors.clearIndexCache.
     */
-  def clearBucketedCache(s: org.apache.spark.sql.SparkSession): Unit =
+  def clearBucketedCache(s: org.apache.spark.sql.SparkSession): Unit = {
     bucketCache.keys.filter(_._1 eq s).foreach { k =>
       bucketCache.remove(k).foreach { case (t1, t2, base) =>
         Seq(t1, t2).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
         graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(base))
       }
     }
+    sessionTokens.remove(s)
+  }
 
   private def bucketedTables(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
     val (t1, t2, _) = bucketCache.getOrElseUpdate((s, dir), {
@@ -394,7 +399,14 @@ object Relational {
       // the same dir must not overwrite each other's tables.
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val sess = Integer.toHexString(System.identityHashCode(s))
+      // per-session random token, NOT identityHashCode: identity hashes
+      // are a 32-bit space with no uniqueness guarantee, and two
+      // concurrent JVMs could land on the same value — sharing one live
+      // store path means overwrite-under-reader. 64 random bits per
+      // session are unique across sessions AND processes.
+      val sess = sessionTokens.getOrElseUpdate(s,
+        java.lang.Long.toHexString(
+          java.util.concurrent.ThreadLocalRandom.current().nextLong()))
       // stable per-(session, dir) path: rebuilds overwrite in place
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-${sess}_$tag"
       val ev = Tables.events(s, dir)

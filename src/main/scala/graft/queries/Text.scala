@@ -836,7 +836,7 @@ object Text {
         // (Lsh.cappedPairs dropped_ids): grams the df ≤ 50 posting-list
         // cap removes are counted on a named observe row, never silent
         val dfreq = g.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
-          .observe("t19_df_cap",
+          .observe("graft_t19_df_cap",
             sum(when(col("dfreq") > 50, 1L).otherwise(0L)).as("dropped_grams"),
             max(col("dfreq")).as("max_df"))
         val rare = g.join(dfreq.filter(col("dfreq") <= 50), "shingle")

@@ -22,13 +22,13 @@ class QueriesSmokeSpec extends SparkSuite {
     }
   }
 
-  test("t19 df-cap drops are observed (t19_df_cap metric row fires)") {
+  test("t19 df-cap drops are observed (graft_t19_df_cap metric row fires)") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     @volatile var observed: Option[(Long, Long)] = None
     val listener = new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
-        qe.observedMetrics.get("t19_df_cap").foreach { r =>
+        qe.observedMetrics.get("graft_t19_df_cap").foreach { r =>
           observed = Some((r.getLong(0), r.getLong(1)))
         }
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
@@ -38,7 +38,7 @@ class QueriesSmokeSpec extends SparkSuite {
       SparkEntry.queries("t19_substring_overlap")(spark, sf0001).count()
       val deadline = System.currentTimeMillis + 30000
       while (observed.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
-      assert(observed.nonEmpty, "t19_df_cap observe row never delivered")
+      assert(observed.nonEmpty, "graft_t19_df_cap observe row never delivered")
       val (dropped, maxDf) = observed.get
       assert(dropped >= 0 && maxDf >= 1)
     } finally spark.listenerManager.unregister(listener)

@@ -45,6 +45,19 @@ class LazyFramesSpec extends SparkSuite {
     assert(counts("b") === 1 && counts("a") === 0)
   }
 
+  test("updated/+ with a DataFrame keeps siblings unconstructed") {
+    val (lf, counts) = counted()
+    val plus = lf + ("c" -> spark.range(3).toDF())
+    assert(counts("a") === 0 && counts("b") === 0)
+    assert(plus.keySet === Set("a", "b", "c"))
+    assert(plus("c").count() === 3)
+    assert(counts("a") === 0 && counts("b") === 0)
+    // replacement keeps the other frame lazy too
+    val repl = lf.updated("a", spark.range(5).toDF())
+    assert(repl("a").count() === 5)
+    assert(counts("a") === 0 && counts("b") === 0)
+  }
+
   test("duplicate names are rejected") {
     intercept[IllegalArgumentException] {
       LazyFrames(Seq(

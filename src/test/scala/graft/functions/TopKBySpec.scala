@@ -72,6 +72,37 @@ class TopKBySpec extends SparkSuite {
     assert(ids === Seq(3L, 1L))
   }
 
+  test("NaN scores rank last, matching the window's sort order") {
+    registered()
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // NaN arrives first (so a naive primitive-< buffer would pin it at
+    // rank 1), plus a NaN-vs-NaN tie; Spark orders NaN greater than
+    // every double including +Inf, equal to itself
+    val df = Seq(
+      (1L, Double.NaN, 9L), (1L, 5.0, 1L), (1L, Double.NaN, 8L),
+      (1L, 1.0, 2L), (1L, Double.PositiveInfinity, 3L), (1L, 3.0, 4L))
+      .toDF("g", "s", "id").repartition(4)
+    val viaAgg = df.groupBy("g").agg(expr("topk_by(s, id, 5)").as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.id")).collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy("g").orderBy(col("s"), col("id"))
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).orderBy("rk")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg === Seq(2L, 4L, 1L, 3L, 8L))
+  }
+
+  test("a foldable NULL k fails type-check cleanly, not with an NPE") {
+    registered()
+    val df = spark.range(3).select(lit(0L).as("g"), lit(1.0).as("s"), col("id"))
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(expr("topk_by(s, id, cast(null as int))")).collect()
+    }
+    assert(!e.isInstanceOf[NullPointerException])
+  }
+
   test("non-literal or non-positive k is rejected at analysis") {
     registered()
     val df = spark.range(3).select(lit(0L).as("g"), lit(1.0).as("s"), col("id"))
