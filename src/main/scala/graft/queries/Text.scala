@@ -927,6 +927,94 @@ object Text {
           |SELECT p.doc_id, count(*) AS n_overlap
           |FROM pruned p JOIN bench b ON b.shingle = p.shingle
           |GROUP BY p.doc_id""".stripMargin)
+    },
+
+    // ---- Per-source document cap (the CommonCrawl per-domain cap):
+    // keep at most 25 docs per source, selected by a deterministic
+    // per-doc hash so the kept subset is reproducible across engines
+    // and runs. Selection is `topk_by` — a bounded partial aggregate —
+    // NOT a rank window: the window form shuffles the ENTIRE corpus to
+    // rank it, while the aggregate forwards ≤25 (hash, id) pairs per
+    // (map task, source), so the one shuffle moves ~sources×tasks×25
+    // rows. At 100 TB with millions of domains that is the difference
+    // between re-shuffling the corpus and shipping kilobytes per task. ----
+    GQuery(
+      "t22_source_cap",
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 25""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          ((col("doc_id") * lit(2654435761L)) % 1000000L).cast("double").as("u"))
+        .groupBy("source")
+        .agg(expr("topk_by(u, doc_id, 25)").as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rk"))
+    },
+
+    // ---- Deterministic train/valid/test split assignment (98/1/1 by a
+    // per-doc LCG hash): the reproducible-split primitive every corpus
+    // release needs — membership is a pure function of doc_id, so two
+    // engines (or two runs over re-partitioned data) assign identically.
+    // Map-only until the final counts aggregate; the gate pins actual
+    // MEMBERSHIP, not just sizes, via per-(source, split) id checksums. ----
+    GQuery(
+      "t23_split_assign",
+      """WITH a AS (
+        |  SELECT doc_id, source, (doc_id * 1103515245 + 12345) % 1000 AS h
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN h < 980 THEN 'train' WHEN h < 990 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM a)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM sp GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          ((col("doc_id") * 1103515245L + 12345L) % 1000L).as("h"))
+        .select(col("doc_id"), col("source"),
+          when(col("h") < 980, "train").when(col("h") < 990, "valid")
+            .otherwise("test").as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+    },
+
+    // ---- Vocabulary heavy-hitters: the 20 most frequent whitespace
+    // tokens with corpus share. The plan is the 100 TB shape already:
+    // the token groupBy partial-aggregates map-side (vocab-sized, not
+    // corpus-sized, rows reach the exchange) and the final top-20 is
+    // TakeOrderedAndProject — each partition forwards its own top 20,
+    // no global sort ever materializes. ----
+    GQuery(
+      "t24_heavy_hitters",
+      """WITH tk AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tk WHERE tok <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM cnt),
+        |top AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT 20)
+        |SELECT top.tok, top.cnt,
+        |  CAST(row_number() OVER (ORDER BY top.cnt DESC, top.tok) AS INT) AS rk,
+        |  CAST(top.cnt AS DOUBLE) / tot.tot AS share
+        |FROM top, tot""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = toks(s, dir)
+        .select(explode(col("ts")).as("tok")).filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.agg(sum("cnt").as("tot"))
+      cnt.orderBy(col("cnt").desc, col("tok")).limit(20)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .crossJoin(broadcast(tot))
+        .select(col("tok"), col("cnt"), col("rk"),
+          (col("cnt").cast("double") / col("tot")).as("share"))
     }
   )
 }

@@ -226,6 +226,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("collect_list"), s"expected within-bucket pairing:\n$p")
   }
 
+  test("t22 source cap: bounded topk_by aggregate with a map-side partial, no rank window") {
+    val p = plan("t22_source_cap")
+    // the whole point of the operator: selection is a partial aggregate
+    // (≤25 pairs per map task per source cross the exchange), never a
+    // corpus-wide rank window
+    assert(!p.contains("Window"), s"per-source cap must not rank-window the corpus:\n$p")
+    assert(p.contains("partial_topk_by") || p.contains("topk_by"),
+      s"expected the bounded topk_by aggregate:\n$p")
+    assert("ObjectHashAggregate.*partial".r.findFirstIn(p.toLowerCase).nonEmpty ||
+      p.contains("partial_topk_by"), s"expected a map-side partial aggregate:\n$p")
+  }
+
+  test("t23 split assign: map-only until the terminal counts aggregate (one exchange)") {
+    val p = plan("t23_split_assign")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"split assignment is a pure doc_id function — one terminal groupBy shuffle only:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("t24 heavy hitters: top-20 via TakeOrderedAndProject, not a global sort") {
+    val p = plan("t24_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must be per-partition bounded, not a global sort:\n$p")
+    // token counting partial-aggregates map-side: vocab-sized, not
+    // corpus-sized, rows reach the exchange
+    assert(p.toLowerCase.contains("partial"), s"expected map-side partial count:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast to the 20-row top frame:\n$p")
+  }
+
   test("j10 bucketed co-located join: zero shuffle under the join (gate REQUIRE re-checked)") {
     // the gate builder itself REQUIREs the exchange-free join plan; this
     // audit just proves the gate still constructs (a thrown require fails
