@@ -258,7 +258,30 @@ object Text {
       }
     }
     buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
+    jsonlDirs.keys.filter(_._1 eq s).foreach(jsonlDirs.remove(_): Unit)
   }
+
+  /** One JSONL copy of `documents` per (session, dir), written to a stable
+    * per-JVM tmp path (64 random bits per JVM: concurrent processes never
+    * share a live path; rewrites within a JVM overwrite in place) and
+    * reaped by a shutdown hook. This is the t25 fixture — the corpus AS a
+    * training pipeline receives it.
+    */
+  private val jsonlDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private lazy val jvmToken = java.lang.Long.toHexString(
+    java.util.concurrent.ThreadLocalRandom.current().nextLong())
+  private def jsonlCopy(s: SparkSession, dir: String): String =
+    jsonlDirs.getOrElseUpdate((s, dir), {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-${jvmToken}_$tag"
+      Tables.documents(s, dir).write.mode("overwrite").json(path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))))
+      path
+    })
 
   private val lshSql =
     s"""${shinglesSql(3)},
@@ -1015,6 +1038,30 @@ object Text {
         .crossJoin(broadcast(tot))
         .select(col("tok"), col("cnt"), col("rk"),
           (col("cnt").cast("double") / col("tot")).as("share"))
+    },
+
+    // ---- JSONL ingestion: the wire format training corpora actually
+    // arrive in. The gate writes the documents table as JSONL once per
+    // (session, dir), reads it back with an EXPLICIT schema — at 100 TB
+    // schema inference is a full extra pass over the corpus, so the
+    // explicit-schema read is the only acceptable shape — and proves the
+    // round-trip lossless (escaped newlines/quotes/unicode included) by
+    // per-lang counts + id checksums + min/max md5 of the text bodies
+    // against the parquet original. ----
+    GQuery(
+      "t25_jsonl_ingest",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(md5(text)) AS h_min, max(md5(text)) AS h_max
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      s.read.schema(schema).json(jsonlCopy(s, dir))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"), min(md5(col("text"))).as("h_min"),
+          max(md5(col("text"))).as("h_max"))
     }
   )
 }

@@ -256,6 +256,16 @@ class PlanAuditSpec extends SparkSuite {
       s"the 1-row total must broadcast to the 20-row top frame:\n$p")
   }
 
+  test("t25 jsonl ingest: explicit-schema json scan, unused columns pruned, one exchange") {
+    val p = plan("t25_jsonl_ingest")
+    assert(p.contains("FileScan json"), s"expected a json FileScan:\n$p")
+    // `source` is never referenced — column pruning must reach the scan
+    val readSchema =
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(!readSchema.contains("source"), s"unpruned json scan: $readSchema")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"one terminal groupBy shuffle only:\n$p")
+  }
+
   test("j10 bucketed co-located join: zero shuffle under the join (gate REQUIRE re-checked)") {
     // the gate builder itself REQUIREs the exchange-free join plan; this
     // audit just proves the gate still constructs (a thrown require fails
