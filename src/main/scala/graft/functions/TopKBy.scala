@@ -44,13 +44,16 @@ final class TopKBuffer(val k: Int) {
 /** `topk_by(score, id, k)`: the k smallest (score, id) pairs per group,
   * ascending, as `array<struct<score double, id bigint>>` — a partial
   * aggregate replacement for `row_number() OVER (PARTITION BY g ORDER BY
-  * score, id) <= k`. The window form shuffles EVERY input row to its
-  * group's reducer before ranking; this aggregate keeps at most k pairs
-  * per (map task, group) so the one shuffle moves ≤ partitions×groups×k
-  * rows — at ANN scale (corpus × queries ADC rows, r12: 1.6 B rows /
-  * 117 s at x100) the map-side prune is the difference between moving
-  * kilobytes and moving the corpus. Ties break on id, matching the
-  * window's deterministic ORDER BY score, id.
+  * score, id) <= k`. Spark 4's WindowGroupLimit rule already bounds the
+  * window form's SHUFFLE (a partial group-limit runs before the exchange),
+  * but it still SORTS every map partition in full to apply that limit,
+  * then sorts again after the exchange — at ANN scale (corpus × queries
+  * ADC rows, 1.6 B at x100) those sorts dominate and spill. This
+  * aggregate replaces them with a streaming O(k)-state insertion walk
+  * inside a hash aggregate: no sort, no spill, same bounded exchange
+  * (measured: v1 brute 466 s → 62.6 s, v10 ADC 117 s → 64 s at x100;
+  * shuffle rows identical to the window's, see tools/CapProfile).
+  * Ties break on id, matching the window's deterministic ORDER BY.
   */
 case class TopKBy(
     score: Expression,

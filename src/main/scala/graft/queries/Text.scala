@@ -956,11 +956,13 @@ object Text {
     // keep at most 25 docs per source, selected by a deterministic
     // per-doc hash so the kept subset is reproducible across engines
     // and runs. Selection is `topk_by` — a bounded partial aggregate —
-    // NOT a rank window: the window form shuffles the ENTIRE corpus to
-    // rank it, while the aggregate forwards ≤25 (hash, id) pairs per
-    // (map task, source), so the one shuffle moves ~sources×tasks×25
-    // rows. At 100 TB with millions of domains that is the difference
-    // between re-shuffling the corpus and shipping kilobytes per task. ----
+    // NOT a rank window: Spark's WindowGroupLimit bounds the window
+    // form's shuffle too, but only after fully SORTING every map
+    // partition (twice, pre- and post-exchange) — at 100 TB those
+    // corpus-wide sorts spill; the aggregate ranks with an O(25)-state
+    // insertion walk and no sort at all. Both forward ≤25 (hash, id)
+    // pairs per (map task, source) to the one exchange (measured
+    // identical shuffle rows: tools/CapProfile). ----
     GQuery(
       "t22_source_cap",
       """SELECT source, doc_id, rk FROM (

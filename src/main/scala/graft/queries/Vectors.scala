@@ -642,7 +642,7 @@ object Vectors {
       // of one fused array_dot each — the per-dimension join would be
       // queries × cells × dims rows (the x1000 scaling study caught that
       // shape going super-linear), and max_by aggregates map-side where a
-      // row_number window would shuffle every scored pair
+      // row_number window would sort every map partition of scored pairs
       val centArr = x.groupBy(col("label").as("cell"), col("d"))
         .agg(avg("x").as("c"))
         .groupBy("cell")
@@ -740,10 +740,11 @@ object Vectors {
       val approx = codesArr.crossJoin(broadcast(dtabArr))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
-      // top-5 as a bounded partial aggregate, NOT a row_number window: the
-      // window form shuffled the full corpus×queries ADC set to rank it
-      // (117 s at x100); topk_by keeps ≤5 pairs per (map task, q_id) so
-      // the one exchange moves partitions×queries×5 rows.
+      // top-5 as a bounded partial aggregate, NOT a row_number window:
+      // the window form fully SORTS every map partition of the
+      // corpus×queries ADC set (WindowGroupLimit bounds its shuffle but
+      // not its sorts — 117 s at x100, spilling); topk_by ranks with an
+      // O(k)-state insertion walk instead (64 s), same bounded exchange.
       topK(approx, 5)
     },
 

@@ -228,10 +228,11 @@ class PlanAuditSpec extends SparkSuite {
 
   test("t22 source cap: bounded topk_by aggregate with a map-side partial, no rank window") {
     val p = plan("t22_source_cap")
-    // the whole point of the operator: selection is a partial aggregate
-    // (≤25 pairs per map task per source cross the exchange), never a
-    // corpus-wide rank window
+    // selection is a sort-free partial aggregate: no Window, and no Sort
+    // anywhere (the WindowGroupLimit alternative would sort every map
+    // partition in full, twice)
     assert(!p.contains("Window"), s"per-source cap must not rank-window the corpus:\n$p")
+    assert(!p.contains("Sort "), s"the cap must rank without sorting:\n$p")
     assert(p.contains("partial_topk_by") || p.contains("topk_by"),
       s"expected the bounded topk_by aggregate:\n$p")
     assert("ObjectHashAggregate.*partial".r.findFirstIn(p.toLowerCase).nonEmpty ||
