@@ -259,7 +259,40 @@ object Text {
     }
     buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
     jsonlDirs.keys.filter(_._1 eq s).foreach(jsonlDirs.remove(_): Unit)
+    idxCache.keys.filter(_._1 eq s).foreach { k =>
+      idxCache.remove(k).foreach { case (_, name, path) =>
+        s.sql(s"DROP TABLE IF EXISTS `$name`")
+        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
+      }
+    }
   }
+
+  /** Persisted corpus LSH signature index for incremental dedup (t26),
+    * bucketed by the flattened band key `bk = band|bkey`: the corpus pays
+    * its signature aggregation and its shuffle ONCE at index-build time;
+    * every subsequent delta-shard dedup joins against the bucketed scan
+    * exchange-free on the corpus side — only the (small) shard's
+    * signatures move. At 100 TB this is the production dedup shape: the
+    * corpus index is maintained, not recomputed per arriving shard.
+    */
+  private val idxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, String, String)]
+  private def incrementalIndex(s: SparkSession, dir: String): DataFrame =
+    idxCache.getOrElseUpdate((s, dir), {
+      val corpus = lshBuckets(
+          persistedShingles(s, dir).filter(col("doc_id") % 10 =!= 7))
+        .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+      // unique per build (64 random bits): two sessions or JVMs never
+      // share a live path/table name — same policy as bucketedTables
+      val tok = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val name = s"graft_t26_idx_$tok"
+      val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+      val t0 = System.nanoTime()
+      graft.sources.Bucketed.write(corpus, name, path, 8, Seq("bk"))
+      buildSecs.put((s, "t26_index"), (System.nanoTime() - t0) / 1e9)
+      (graft.sources.Bucketed.table(s, name), name, path)
+    })._1
 
   /** One JSONL copy of `documents` per (session, dir), written to a stable
     * per-JVM tmp path (64 random bits per JVM: concurrent processes never
