@@ -85,22 +85,44 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
   * (the SparkSessionExtensions route for clusters).
   */
 object GraftFunctions {
+  // builders index children directly; a wrong argument count must surface
+  // as a clean analysis error, not an IndexOutOfBoundsException from the
+  // builder body
+  private def arity(name: String, sig: String, n: Int)(
+      children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`", "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> s"expected $sig"))
+    children
+  }
+
   val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        val c = arity("array_dot", "array_dot(a, b)", 2)(children)
+        ArrayDot(c(0), c(1))
+      }),
     (
       FunctionIdentifier("vp_distance"),
       new ExpressionInfo(classOf[VictorPurpuraDistance].getName, "vp_distance"),
-      (children: Seq[Expression]) =>
-        VictorPurpuraDistance(children(0), children(1), children(2))),
+      (children: Seq[Expression]) => {
+        val c = arity("vp_distance", "vp_distance(a, b, q)", 3)(children)
+        VictorPurpuraDistance(c(0), c(1), c(2))
+      }),
     (
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        val c = arity("topk_by", "topk_by(score, id, k)", 3)(children)
         // raw AggregateFunction: the analyzer wraps it in AggregateExpression
-        TopKBy(children(0), children(1), children(2))),
+        TopKBy(c(0), c(1), c(2))
+      }),
     // Spark's runtime-filter bloom expressions are internal-only (no SQL
     // registration upstream); exposing them lets the decontamination path
     // build the filter in-plan via a scalar subquery — the exact shape
@@ -110,17 +132,21 @@ object GraftFunctions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        val c = arity("bloom_agg", "bloom_agg(hash, n_items, n_bits)", 3)(children)
         org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          children(0), children(1), children(2), 0, 0)),
+          c(0), c(1), c(2), 0, 0)
+      }),
     (
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
-      (children: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1))))
+      (children: Seq[Expression]) => {
+        val c =
+          arity("bloom_might_contain", "bloom_might_contain(bloom, hash)", 2)(children)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))
+      }))
 
   def register(spark: SparkSession): Unit = {
     fns.foreach { case (id, info, builder) =>

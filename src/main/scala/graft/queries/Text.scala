@@ -277,6 +277,14 @@ object Text {
     */
   private val idxCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, String, String)]
+
+  /** Bucket count of the persisted signature index — the shard side
+    * pre-partitions to exactly this spec so the join needs no extra
+    * exchange. 8 at gate scale; at 100 TB size so one bucket ≈ one HDFS
+    * block per file (hundreds to thousands).
+    */
+  private val IndexBuckets = 8
+
   private def incrementalIndex(s: SparkSession, dir: String): DataFrame =
     idxCache.getOrElseUpdate((s, dir), {
       val corpus = lshBuckets(
@@ -289,7 +297,7 @@ object Text {
       val name = s"graft_t26_idx_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
       val t0 = System.nanoTime()
-      graft.sources.Bucketed.write(corpus, name, path, 8, Seq("bk"))
+      graft.sources.Bucketed.write(corpus, name, path, IndexBuckets, Seq("bk"))
       buildSecs.put((s, "t26_index"), (System.nanoTime() - t0) / 1e9)
       (graft.sources.Bucketed.table(s, name), name, path)
     })._1
@@ -304,6 +312,14 @@ object Text {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private lazy val jvmToken = java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong())
+  // ONE shutdown hook per JVM over a shared path set (same pattern as
+  // jvmToken): a hook per (session, dir) entry would accumulate
+  // unboundedly across sessions, each pinning its path for JVM lifetime
+  private val jsonlReap = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val jsonlHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      jsonlReap.forEach(p =>
+        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(p)))))
   private def jsonlCopy(s: SparkSession, dir: String): String =
     jsonlDirs.getOrElseUpdate((s, dir), {
       val tag = java.security.MessageDigest.getInstance("MD5")
@@ -311,8 +327,8 @@ object Text {
       val path =
         s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-${jvmToken}_$tag"
       Tables.documents(s, dir).write.mode("overwrite").json(path)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))))
+      jsonlHookInstalled
+      jsonlReap.add(path)
       path
     })
 
@@ -1097,6 +1113,74 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
           sum("doc_id").as("id_sum"), min(md5(col("text"))).as("h_min"),
           max(md5(col("text"))).as("h_max"))
+    },
+
+    // ---- Incremental dedup against the maintained corpus index: the
+    // production shape at 100 TB — the corpus's LSH signatures are a
+    // PERSISTED bucketed table (built once, [[incrementalIndex]]), and an
+    // arriving delta shard (doc_id % 10 = 7 here) dedups against it by
+    // joining on the bucketed band key `bk`: only the shard's signatures
+    // shuffle; the corpus side is a bucketed scan with NO exchange, which
+    // the builder REQUIREs every run (the j10 pattern) by counting
+    // exchanges — the join must add zero beyond the prepared shard
+    // subplan's own. Candidates then re-rank by exact shingle jaccard
+    // (shard-bounded pair set). The oracle is the full recompute: the
+    // same 4×2 minhash banding over the whole corpus, pairs restricted to
+    // corpus×delta. Reference precedent: blueetl's cache subsystem
+    // (src/blueetl/cache.py:306-410) reuses prior extractions instead of
+    // recomputing — here applied to the dedup index itself. ----
+    GQuery(
+      "t26_incremental_dedup",
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+         |  FROM mh GROUP BY doc_id, j // 2),
+         |cand AS (
+         |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+         |  FROM bands b1 JOIN bands b2
+         |    ON b1.band = b2.band AND b1.bkey = b2.bkey
+         |  WHERE b1.doc_id % 10 <> 7 AND b2.doc_id % 10 = 7),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS ic
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc1
+         |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+         |  GROUP BY c.doc1, c.doc2)
+         |SELECT i.doc1, i.doc2,
+         |  CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) AS jaccard
+         |FROM inter i
+         |JOIN n na ON na.doc_id = i.doc1
+         |JOIN n nb ON nb.doc_id = i.doc2""".stripMargin) { (s, dir) =>
+      val idx = incrementalIndex(s, dir)
+      val sh = persistedShingles(s, dir)
+      // the shard's signatures, pre-partitioned to the index's exact
+      // bucket spec (8 × hash(bk)) so EnsureRequirements inserts nothing
+      val shard = lshBuckets(sh.filter(col("doc_id") % 10 === 7))
+        .select(concat_ws("|", col("band"), col("bkey")).as("bk"),
+          col("doc_id").as("doc2"))
+        .repartition(IndexBuckets, col("bk"))
+      val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
+        .join(shard.hint("merge"), "bk")
+      val added = graft.sources.Bucketed.shuffleCount(joined) -
+        graft.sources.Bucketed.shuffleCount(shard)
+      require(added == 0,
+        s"incremental dedup: corpus index side shuffled ($added extra " +
+          s"exchange(s)):\n${joined.queryExecution.executedPlan}")
+      val cand = joined.select("doc1", "doc2").distinct()
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+        .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+        .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+        .select(col("doc1"), col("doc2"),
+          (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
+            .as("jaccard"))
     }
   )
 }

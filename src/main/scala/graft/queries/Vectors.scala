@@ -339,6 +339,7 @@ object Vectors {
     */
   def clearIndexCache(s: SparkSession): Unit = {
     ivfCache.keys.filter(_._1 eq s).foreach(ivfCache.remove(_): Unit)
+    ivfIncrCache.keys.filter(_._1 eq s).foreach(ivfIncrCache.remove(_): Unit)
     pqCache.keys.filter(_._1 eq s).foreach { k =>
       pqCache.remove(k).foreach { case (c, d) => c.unpersist(); d.unpersist(); () }
     }
@@ -370,6 +371,84 @@ object Vectors {
         .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
       out
     })
+
+  /** v13: the MAINTAINED IVF index — built over the corpus minus a delta
+    * shard (vec_id % 20 = 3), then the delta INSERTED the way FAISS
+    * `add()` does: each new vector is assigned to its nearest cell under
+    * the FROZEN trained coarse quantizer (centroids do not move on
+    * insert) and appended as new per-cell files; small-file compaction
+    * then folds the appended files back to one file per cell. At 100 TB
+    * this is the production shape for a living corpus: inserting a shard
+    * costs routing the shard + appending shard-sized files — the corpus
+    * partitions are never rewritten — and compaction amortizes across
+    * insert batches (threshold dozens of files; the gate uses 1 so every
+    * touched cell exercises the swap every run).
+    */
+  private val ivfIncrCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[queries] def ivfIncrementalIndex(s: SparkSession, dir: String): String =
+    ivfIncrCache.getOrElseUpdate((s, dir), {
+      registered(s) // withNorm/routeQueries need array_dot
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 20 =!= 3)
+      val cent = base
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+          .as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+      withNorm(base).withColumn("cell", col("label"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
+      // INSERT: route the delta against the frozen base centroids, append
+      // per-cell files (same routing argmax the queries use), compact
+      val centArr = s.read.parquet(s"$out/centroids")
+      val delta = emb.filter(col("vec_id") % 20 === 3)
+      val routed = routeQueries(
+        delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        centArr, centArr.count())
+        .select(col("q_id").as("vec_id"), col("cell"))
+      withNorm(delta).join(routed, "vec_id")
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cell"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("append").parquet(s"$out/vectors")
+      compactCells(s, s"$out/vectors", maxFiles = 1)
+      out
+    })
+
+  /** Compact every `cell=` directory holding more than `maxFiles` parquet
+    * files down to one (read → rewrite into a `_`-prefixed sibling, which
+    * partitioned reads of the root ignore → swap). Returns the number of
+    * compacted cells. Hadoop FS API throughout, so the same code drives
+    * HDFS/S3A on a cluster.
+    */
+  private[queries] def compactCells(
+      s: SparkSession, vectors: String, maxFiles: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(vectors)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var n = 0
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { st =>
+        val files = fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        if (files > maxFiles) {
+          val tmp = new Path(root, s"_compact_tmp_${st.getPath.getName}")
+          s.read.parquet(st.getPath.toString).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(st.getPath, true)
+          if (!fs.rename(tmp, st.getPath))
+            throw new java.io.IOException(
+              s"compaction rename failed: $tmp -> ${st.getPath}")
+          n += 1
+        }
+      }
+    n
+  }
 
   /** Shared oracle CTEs for the hyperplane-LSH candidate pipeline (the
     * SQL twin of [[lshSignatures]] at the oracle-locked 4×4 depth):
@@ -814,6 +893,33 @@ object Vectors {
         .withColumn("cos",
           expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
       topKByCos(scored, 3)
+    },
+
+    // ---- Incremental IVF maintenance (the v7 index as a LIVING store,
+    // the t26 twin for vectors): index built over the corpus minus the
+    // delta shard, delta inserted by routing against the FROZEN base
+    // centroids (FAISS add(): assignment only, centroids don't move) and
+    // appended as per-cell files, then compacted back to one file per
+    // cell. Search runs the standard v7 path over the maintained index;
+    // the oracle is the full recompute with the same membership (base in
+    // its label cell, delta in its routed cell), so a lost / double /
+    // misrouted insert or a row dropped by compaction hash-fails. ----
+    GQuery("v13_ivf_incremental", ivfIncrOracleSql) { (s, dir) =>
+      registered(s)
+      val idx = ivfIncrementalIndex(s, dir)
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val cent = s.read.parquet(s"$idx/centroids")
+      val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
+      val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
+      val probed = s.read.parquet(s"$idx/vectors")
+        .join(broadcast(qcell), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+      topKByCos(probed, 3)
     }
   )
 
@@ -844,8 +950,12 @@ object Vectors {
 
   /** Same bounded top-k for cosine SIMILARITY (descending): rank order of
     * `ORDER BY cos DESC, vec_id` via the negated score — negation is
-    * exact in IEEE doubles, so ordering and the recovered `cos` match the
-    * window form bit-for-bit.
+    * exact in IEEE doubles, so for non-NaN, non-null scores ordering and
+    * the recovered `cos` match the window form bit-for-bit. NaN (a
+    * zero-norm embedding's 0/0) and null diverge by design: the window
+    * ranks NaN order-greatest (first under DESC) and nulls first, while
+    * `topk_by` skips both — callers here score finite embeddings with
+    * nonzero norms, where neither case arises.
     */
   private def topKByCos(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("q_id")
@@ -1030,6 +1140,57 @@ object Vectors {
     * `list_dot_product` scoring as the v1 oracle, so the doubles match
     * the engine's `array_dot` bit-for-bit).
     */
+  /** v13 oracle: full recompute of the maintained index's membership —
+    * centroids from the base 95% (vec_id % 20 <> 3), delta routed to its
+    * argmax-centroid cell, queries routed the same way, exact cosine
+    * top-3 within the probed cell. Mirrors the v5/v7 oracle chain with
+    * membership = base∪routed-delta instead of label cells.
+    */
+  private def ivfIncrOracleSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS d
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, d, avg(x) AS c FROM x WHERE vec_id % 20 <> 3
+      |  GROUP BY label, d),
+      |ddot AS (
+      |  SELECT x.vec_id, cent.label, sum(x.x * cent.c) AS dp
+      |  FROM x JOIN cent ON cent.d = x.d
+      |  WHERE x.vec_id % 20 = 3 GROUP BY x.vec_id, cent.label),
+      |dcell AS (
+      |  SELECT vec_id, label AS cell FROM (
+      |    SELECT vec_id, label,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, label) AS rk
+      |    FROM ddot) WHERE rk = 1),
+      |mem AS (
+      |  SELECT vec_id, label AS cell FROM embeddings WHERE vec_id % 20 <> 3
+      |  UNION ALL SELECT vec_id, cell FROM dcell),
+      |qdot AS (
+      |  SELECT x.vec_id AS q_id, cent.label, sum(x.x * cent.c) AS dp
+      |  FROM x JOIN cent ON cent.d = x.d
+      |  WHERE x.vec_id % 25 = 0 GROUP BY x.vec_id, cent.label),
+      |qcell AS (
+      |  SELECT q_id, label AS cell FROM (
+      |    SELECT q_id, label,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+      |    FROM qdot) WHERE rk = 1),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |SELECT q_id, vec_id, rk, cos FROM (
+      |  SELECT qc.q_id, m.vec_id,
+      |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY qc.q_id
+      |                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+      |                                m.vec_id) AS rk
+      |  FROM qcell qc
+      |  JOIN e q ON q.vec_id = qc.q_id
+      |  JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
+      |  JOIN e c ON c.vec_id = m.vec_id)
+      |WHERE rk <= 3""".stripMargin
+
   private def ivfpqRefineOracleSql: String =
     s"""WITH $pqCoreCtes,
        |xr AS (

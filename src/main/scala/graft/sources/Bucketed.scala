@@ -78,9 +78,13 @@ object Bucketed {
       val sameSpec = meta.bucketSpec.exists(bs =>
         bs.numBuckets == buckets && bs.bucketColumnNames == keys &&
           bs.sortColumnNames == sorts)
+      // non-file location schemes (hdfs/s3 in a shared metastore) make the
+      // File conversion throw — treat any unconvertible location as drifted
+      // rather than erroring the re-register
       val samePath = meta.storage.locationUri.exists { u =>
-        new java.io.File(u).getCanonicalPath ==
+        try new java.io.File(u).getCanonicalPath ==
           new java.io.File(path).getCanonicalPath
+        catch { case _: IllegalArgumentException => false }
       }
       if (!sameSpec || !samePath)
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -106,4 +110,15 @@ object Bucketed {
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.linesIterator
       .exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  /** Number of shuffle-exchange nodes in the frame's executed plan
+    * (rendered-tree count, same caveats as [[hasShuffle]]). Used to
+    * REQUIRE that joining a small delta against a bucketed store adds
+    * ZERO exchanges beyond the delta side's own: the plan of
+    * `delta ⋈ bucketedStore` must count exactly what the prepared delta
+    * subplan counts alone — the store side reads exchange-free.
+    */
+  def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
 }

@@ -273,4 +273,16 @@ class PlanAuditSpec extends SparkSuite {
     // here loudly)
     assert(SparkEntry.queries("j10_bucketed_colocated")(spark, sf0001).count() > 0)
   }
+
+  test("t26 incremental dedup: corpus side is a bucketed scan (gate REQUIRE re-checked)") {
+    // the builder REQUIREs the shard⋈index join adds zero exchanges over
+    // the shard subplan alone; here additionally pin that the corpus side
+    // really is the persisted BUCKETED index scan (the zero-extra-exchange
+    // count alone could in principle be satisfied by a degenerate plan)
+    val q = SparkEntry.queries("t26_incremental_dedup")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+      s"corpus index side is not a bucketed scan:\n$plan")
+    assert(q.count() > 0)
+  }
 }

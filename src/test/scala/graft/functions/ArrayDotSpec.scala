@@ -8,6 +8,19 @@ class ArrayDotSpec extends SparkSuite {
 
   private def registered = { GraftFunctions.register(spark); spark }
 
+  test("wrong argument counts fail analysis cleanly, not with IndexOutOfBounds") {
+    val s = registered
+    for (bad <- Seq(
+        "SELECT array_dot(array(1.0))",
+        "SELECT vp_distance(array(1.0), array(2.0))",
+        "SELECT topk_by(1.0, 2)",
+        "SELECT bloom_might_contain(NULL)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](s.sql(bad).collect())
+      assert(e.getMessage.toLowerCase.contains("parameter") ||
+        e.getMessage.toLowerCase.contains("arg"), s"unexpected error for $bad: $e")
+    }
+  }
+
   test("array_dot equals the zip_with/aggregate form bit-for-bit") {
     val s = registered
     import s.implicits._
