@@ -260,7 +260,7 @@ object Text {
     buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
     jsonlDirs.keys.filter(_._1 eq s).foreach(jsonlDirs.remove(_): Unit)
     idxCache.keys.filter(_._1 eq s).foreach { k =>
-      idxCache.remove(k).foreach { case (_, name, path) =>
+      idxCache.remove(k).foreach { case (_, name, path, _) =>
         s.sql(s"DROP TABLE IF EXISTS `$name`")
         graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
       }
@@ -276,20 +276,38 @@ object Text {
     * corpus index is maintained, not recomputed per arriving shard.
     */
   private val idxCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, String, String)]
+    .empty[(SparkSession, String), (DataFrame, String, String, Int)]
 
-  /** Bucket count of the persisted signature index — the shard side
-    * pre-partitions to exactly this spec so the join needs no extra
-    * exchange. 8 at gate scale; at 100 TB size so one bucket ≈ one HDFS
-    * block per file (hundreds to thousands).
+  /** Bucket count for the persisted signature index, sized with the
+    * corpus — ~500k signature rows (docs × bands) per bucket, floor 8.
+    * A fixed count is the scale bug the x1000 study caught: at 5M docs,
+    * 8 buckets forced 18M rows through 8 write tasks, each sorting
+    * 2.25M rows single-threaded (508 s build, then OOM). The shard side
+    * pre-partitions to the SAME count (returned with the index) so the
+    * join still adds no exchange. At 100 TB: thousands of buckets, one
+    * bucket ≈ one HDFS block per file.
     */
-  private val IndexBuckets = 8
+  private def indexBuckets(nDocs: Long): Int =
+    math.max(8L, (nDocs * 4 + 499999) / 500000).toInt
 
-  private def incrementalIndex(s: SparkSession, dir: String): DataFrame =
-    idxCache.getOrElseUpdate((s, dir), {
-      val corpus = lshBuckets(
-          persistedShingles(s, dir).filter(col("doc_id") % 10 =!= 7))
-        .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+  /** A shingle frame's LSH signatures in the index layout `(bk, doc_id)`
+    * with the flattened band key `bk = band|bkey` — the row format the
+    * persisted index stores and shards join on ([[graft.sources.Bucketed]]
+    * `write`/`append` both consume it; append matches by position, so
+    * keep this column order).
+    */
+  private[queries] def signatureFrame(sh: DataFrame): DataFrame =
+    lshBuckets(sh)
+      .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+
+  /** The persisted index scan and its bucket count (the shard must
+    * repartition to exactly that count for the exchange-free join).
+    */
+  private def incrementalIndex(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val t = idxCache.getOrElseUpdate((s, dir), {
+      val corpus = signatureFrame(
+        persistedShingles(s, dir).filter(col("doc_id") % 10 =!= 7))
+      val buckets = indexBuckets(Tables.documents(s, dir).count())
       // unique per build (64 random bits): two sessions or JVMs never
       // share a live path/table name — same policy as bucketedTables
       val tok = java.lang.Long.toHexString(
@@ -297,10 +315,12 @@ object Text {
       val name = s"graft_t26_idx_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
       val t0 = System.nanoTime()
-      graft.sources.Bucketed.write(corpus, name, path, IndexBuckets, Seq("bk"))
+      graft.sources.Bucketed.write(corpus, name, path, buckets, Seq("bk"))
       buildSecs.put((s, "t26_index"), (System.nanoTime() - t0) / 1e9)
-      (graft.sources.Bucketed.table(s, name), name, path)
-    })._1
+      (graft.sources.Bucketed.table(s, name), name, path, buckets)
+    })
+    (t._1, t._4)
+  }
 
   /** One JSONL copy of `documents` per (session, dir), written to a stable
     * per-JVM tmp path (64 random bits per JVM: concurrent processes never
@@ -398,18 +418,27 @@ object Text {
         simhashBuild(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   private def simhashBuild(s: SparkSession, dir: String): DataFrame = {
+    // The vote as 64 flat sum columns over the token rows, NOT a ×64
+    // position explode: the explode form shuffles tokens×64 rows through
+    // a (doc_id, p) aggregate (the 12.9 s r13 cold build); this form
+    // partial-aggregates map-side, so the exchange carries one 64-column
+    // partial row per (doc, map partition) — corpus-scale tokens never
+    // cross the wire. Bit derivation matches [[simhashSql]]: the 64-bit
+    // prefix of md5(tok) read as 4 big-endian 16-bit chunks.
     val th = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
-    val ps = broadcast(s.range(0, 64).select(col("id").cast("int").as("p")))
-    val bit = expr("shiftright(instr('0123456789abcdef', substr(h, (p div 4) + 1, 1)) - 1, 3 - (p % 4)) & 1")
-    th.crossJoin(ps)
-      .select(col("doc_id"), col("p"), bit.as("b"))
-      .groupBy("doc_id", "p")
-      .agg(when(sum(lit(2) * col("b") - 1) > 0, 1).otherwise(0).as("bit"))
+    val chunks = (0 until 4).map(c =>
+      expr(s"cast(conv(substr(h, ${c * 4 + 1}, 4), 16, 10) as int)").as(s"c$c"))
+    val votes = (0 until 64).map { p =>
+      sum(expr(s"(shiftright(c${p / 16}, ${15 - p % 16}) & 1) * 2 - 1")).as(s"v$p")
+    }
+    th.select(col("doc_id") +: chunks: _*)
       .groupBy("doc_id")
-      .agg(expr("array_join(transform(sort_array(collect_list(struct(p, bit))), x -> cast(x.bit as string)), '')")
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(p =>
+          when(col(s"v$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   val all: Seq[GQuery] = Seq(
@@ -1155,14 +1184,15 @@ object Text {
          |FROM inter i
          |JOIN n na ON na.doc_id = i.doc1
          |JOIN n nb ON nb.doc_id = i.doc2""".stripMargin) { (s, dir) =>
-      val idx = incrementalIndex(s, dir)
+      val (idx, buckets) = incrementalIndex(s, dir)
       val sh = persistedShingles(s, dir)
       // the shard's signatures, pre-partitioned to the index's exact
-      // bucket spec (8 × hash(bk)) so EnsureRequirements inserts nothing
+      // bucket spec (buckets × hash(bk)) so EnsureRequirements inserts
+      // nothing
       val shard = lshBuckets(sh.filter(col("doc_id") % 10 === 7))
         .select(concat_ws("|", col("band"), col("bkey")).as("bk"),
           col("doc_id").as("doc2"))
-        .repartition(IndexBuckets, col("bk"))
+        .repartition(buckets, col("bk"))
       val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
         .join(shard.hint("merge"), "bk")
       val added = graft.sources.Bucketed.shuffleCount(joined) -

@@ -334,12 +334,18 @@ object Vectors {
     })
 
   /** Forget this session's built IVF index paths and memoized pair/depth
-    * frames (the next search rebuilds); index files on disk are left for
-    * the OS temp reaper.
+    * frames (the next search rebuilds), and DELETE the index dirs — they
+    * are rebuildable derived state, and leaving one behind per
+    * clear/rebuild cycle grows tmp unboundedly in a long-lived session
+    * (pinned by TempStoreLifecycleSpec).
     */
   def clearIndexCache(s: SparkSession): Unit = {
-    ivfCache.keys.filter(_._1 eq s).foreach(ivfCache.remove(_): Unit)
-    ivfIncrCache.keys.filter(_._1 eq s).foreach(ivfIncrCache.remove(_): Unit)
+    Seq(ivfCache, ivfIncrCache).foreach { m =>
+      m.keys.filter(_._1 eq s).foreach { k =>
+        m.remove(k).foreach(p =>
+          graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(p)))
+      }
+    }
     pqCache.keys.filter(_._1 eq s).foreach { k =>
       pqCache.remove(k).foreach { case (c, d) => c.unpersist(); d.unpersist(); () }
     }
@@ -420,34 +426,44 @@ object Vectors {
     })
 
   /** Compact every `cell=` directory holding more than `maxFiles` parquet
-    * files down to one (read → rewrite into a `_`-prefixed sibling, which
-    * partitioned reads of the root ignore → swap). Returns the number of
-    * compacted cells. Hadoop FS API throughout, so the same code drives
-    * HDFS/S3A on a cluster.
+    * files down to one, as ONE Spark job: the needy cells are selected by
+    * a driver-side listing, rewritten together into a `_`-prefixed
+    * staging dir (which partitioned reads of the root ignore) with
+    * `repartition(cell)` so each cell lands in exactly one task → one
+    * file, then swapped in by per-cell renames. Returns the number of
+    * compacted cells. A first cut ran one tiny job PER cell — 600
+    * sequential driver round-trips at x100 (measured 173 s cold); the
+    * one-job form is the cluster shape (the scan parallelizes across
+    * cells, renames are metadata ops). Hadoop FS API throughout, so the
+    * same code drives HDFS/S3A.
     */
   private[queries] def compactCells(
       s: SparkSession, vectors: String, maxFiles: Int): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(vectors)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    var n = 0
-    fs.listStatus(root)
+    val need = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("cell="))
+    if (need.isEmpty) return 0
+    val staging = new Path(root, "_compact_staging")
+    s.read.parquet(vectors)
+      .filter(col("cell").cast("string").isin(need.toSeq: _*))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
+    fs.listStatus(staging)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .foreach { st =>
-        val files = fs.listStatus(st.getPath)
-          .count(_.getPath.getName.endsWith(".parquet"))
-        if (files > maxFiles) {
-          val tmp = new Path(root, s"_compact_tmp_${st.getPath.getName}")
-          s.read.parquet(st.getPath.toString).coalesce(1)
-            .write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(st.getPath, true)
-          if (!fs.rename(tmp, st.getPath))
-            throw new java.io.IOException(
-              s"compaction rename failed: $tmp -> ${st.getPath}")
-          n += 1
-        }
+        val dst = new Path(root, st.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(st.getPath, dst))
+          throw new java.io.IOException(
+            s"compaction rename failed: ${st.getPath} -> $dst")
       }
-    n
+    fs.delete(staging, true)
+    need.length
   }
 
   /** Shared oracle CTEs for the hyperplane-LSH candidate pipeline (the

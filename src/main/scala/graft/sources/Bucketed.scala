@@ -47,6 +47,21 @@ object Bucketed {
       .saveAsTable(name)
   }
 
+  /** Append rows to an existing bucketed table, preserving its bucket
+    * spec: rows are pre-partitioned to the exact bucket hash so each
+    * task holds one bucket, and `insertInto` routes them to the
+    * catalog's spec — one NEW file per (insert, bucket). The scan keeps
+    * its exchange-free `HashPartitioning`; with more than one file per
+    * bucket Spark no longer trusts the per-bucket sort order, so
+    * co-bucketed sort-merge joins re-SORT partitions (still no
+    * exchange) until a compacting rewrite restores one file per bucket.
+    * NOTE `insertInto` matches columns by POSITION — `df` must have the
+    * table's column order.
+    */
+  def append(df: DataFrame, name: String, buckets: Int, keys: Seq[String]): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("append").insertInto(name)
+
   /** The bucketed table as a DataFrame (catalog-backed scan — this is
     * what carries the bucket spec into the plan; a plain
     * `read.parquet(path)` of the same files would NOT).
