@@ -290,15 +290,114 @@ object Text {
   private def indexBuckets(nDocs: Long): Int =
     math.max(8L, (nDocs * 4 + 499999) / 500000).toInt
 
-  /** A shingle frame's LSH signatures in the index layout `(bk, doc_id)`
+  /** A document frame's LSH signatures in the index layout `(bk, doc_id)`
     * with the flattened band key `bk = band|bkey` — the row format the
     * persisted index stores and shards join on ([[graft.sources.Bucketed]]
     * `write`/`append` both consume it; append matches by position, so
-    * keep this column order).
+    * keep this column order). Built with [[rowLshKeys]], NOT the
+    * shingle-explode + groupBy form: `min(md5str)` has a string
+    * aggregation buffer, so Spark plans it as SortAggregateExec — at
+    * x1000 that SORTS the 225M-row shingle explode per partition and
+    * died allocating sorter pages; the per-row closed form computes the
+    * same rows with no aggregate and no sort.
     */
-  private[queries] def signatureFrame(sh: DataFrame): DataFrame =
-    lshBuckets(sh)
-      .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+  private[queries] def signatureFrame(docs: DataFrame): DataFrame =
+    rowLshKeys(docs)
+
+  /** Per-ROW LSH band keys: the same `(bk, doc_id)` rows
+    * [[signatureFrame]] derives via the shingle explode + groupBy,
+    * computed entirely map-side — the shingle set, all 8 salted minhash
+    * slots, and the 4 band keys are closed-form array expressions over
+    * ONE document row (`array_min(transform(...))` replaces the
+    * `min(...) GROUP BY doc_id` aggregate; min over the exploded rows and
+    * min over the array are the same value, duplicates included). Two
+    * properties follow: the form shuffles nothing at any corpus size, and
+    * it is legal in a Structured Streaming append-mode plan, where an
+    * aggregation before a join is not — this is the streaming front door
+    * for probing the persisted signature index (s7).
+    */
+  private[graft] def rowLshKeys(docs: DataFrame): DataFrame = {
+    val parts = (0 until 3).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    val mh = (0 until 8).map(j =>
+      s"array_min(transform(sh, x -> md5(concat('$j|', x)))) AS mh$j")
+    val bandStructs = (0 until 4).map(b =>
+      s"struct($b AS band, concat(mh${2 * b}, '|', mh${2 * b + 1}) AS bkey)")
+      .mkString(", ")
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, size(ts)-2), i -> concat_ws(' ', $parts)) AS sh")
+      .selectExpr(Seq("doc_id") ++ mh: _*)
+      .selectExpr("doc_id", s"explode(array($bandStructs)) AS b")
+      .select(concat_ws("|", col("b.band"), col("b.bkey")).as("bk"), col("doc_id"))
+  }
+
+  /** The persisted index scan, for specs that drive it from a streaming
+    * plan ([[incrementalIndex]] stays private — gates go through the
+    * GQuery front door).
+    */
+  private[graft] def indexForTesting(s: SparkSession, dir: String): DataFrame =
+    incrementalIndex(s, dir)._1
+
+  /** Signature rows occupancy-capped for the persisted index: at most
+    * `cap` doc_ids (the smallest, for determinism) per band key, with
+    * everything beyond the cap counted on the `graft_t26_index_cap`
+    * observe metric — the same capped-never-silent contract as
+    * [[Lsh.cappedPairs]]. The cap is the skew BACKSTOP, not the tuning
+    * knob: the x1000 study (BASELINE.md, IncrProfile) measured the
+    * oracle-locked 4×2 banding's chance buckets reaching 5,415 docs on a
+    * 4.5M-doc corpus, which explodes the probe join to 45M candidate
+    * pairs; a production build tunes band depth from measured occupancy
+    * (the t18 machinery) so real drops stay ≈ 0, and the cap bounds the
+    * damage when the corpus is more degenerate than the tuning sample.
+    *
+    * Plan shape: the frame is FIRST repartitioned to the index's exact
+    * bucket spec, and the capping window + filter + observe all preserve
+    * that partitioning — so capping adds zero exchanges and the result
+    * feeds [[graft.sources.Bucketed.writePrepared]] directly (the
+    * window's (bk, doc_id) sort is also the written sort order).
+    */
+  private[graft] def cappedIndexFrame(sigs: DataFrame, buckets: Int,
+      cap: Int = Lsh.DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Metrics.logObserved(sigs.sparkSession)
+    val byBk = Window.partitionBy("bk")
+    sigs.repartition(buckets, col("bk"))
+      .withColumn("rn", row_number().over(byBk.orderBy(col("doc_id"))))
+      .withColumn("bn", count(lit(1)).over(byBk))
+      .filter(col("rn") <= cap)
+      .observe("graft_t26_index_cap",
+        sum(when(col("rn") === 1, greatest(col("bn") - cap, lit(0)))
+          .otherwise(lit(0))).as("dropped_ids"),
+        max(col("bn")).as("max_bucket"))
+      .select("bk", "doc_id")
+  }
+
+  /** A delta shard's signature rows capped against the LIVE index's
+    * per-bucket occupancy, for cap-preserving [[graft.sources.Bucketed
+    * .append]] maintenance: buckets the index already fills past `cap`
+    * accept nothing; partially-filled ones accept the delta's smallest
+    * doc_ids up to the remainder. Exchange accounting: the index side's
+    * `groupBy(bk)` aggregates ON the bucketed scan (no exchange), the
+    * delta repartitions once to the index's exact bucket spec, and the
+    * window + join reuse that partitioning — so maintenance moves only
+    * delta-sized data, never the corpus. Append-then-cap equals
+    * rebuild-with-cap exactly when delta doc_ids are larger than the
+    * corpus's within every shared capped bucket (monotone ingestion, the
+    * production arrival order) or when no bucket crosses the cap.
+    */
+  private[graft] def cappedDelta(idx: DataFrame, deltaSigs: DataFrame,
+      buckets: Int, cap: Int = Lsh.DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = idx.groupBy("bk").agg(count(lit(1)).as("base"))
+    deltaSigs.repartition(buckets, col("bk"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("bk").orderBy(col("doc_id"))))
+      .join(occ, Seq("bk"), "left")
+      .filter(col("rn") + coalesce(col("base"), lit(0)) <= cap)
+      .select("bk", "doc_id")
+  }
 
   /** The persisted index scan and its bucket count (the shard must
     * repartition to exactly that count for the exchange-free join).
@@ -306,7 +405,7 @@ object Text {
   private def incrementalIndex(s: SparkSession, dir: String): (DataFrame, Int) = {
     val t = idxCache.getOrElseUpdate((s, dir), {
       val corpus = signatureFrame(
-        persistedShingles(s, dir).filter(col("doc_id") % 10 =!= 7))
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
       val buckets = indexBuckets(Tables.documents(s, dir).count())
       // unique per build (64 random bits): two sessions or JVMs never
       // share a live path/table name — same policy as bucketedTables
@@ -315,7 +414,11 @@ object Text {
       val name = s"graft_t26_idx_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
       val t0 = System.nanoTime()
-      graft.sources.Bucketed.write(corpus, name, path, buckets, Seq("bk"))
+      // capped frame is already partitioned to the exact bucket spec —
+      // writePrepared skips the second corpus-sized exchange
+      graft.sources.Bucketed.writePrepared(
+        cappedIndexFrame(corpus, buckets), name, path, buckets,
+        Seq("bk"), Seq("bk", "doc_id"))
       buildSecs.put((s, "t26_index"), (System.nanoTime() - t0) / 1e9)
       (graft.sources.Bucketed.table(s, name), name, path, buckets)
     })
@@ -1186,12 +1289,12 @@ object Text {
          |JOIN n nb ON nb.doc_id = i.doc2""".stripMargin) { (s, dir) =>
       val (idx, buckets) = incrementalIndex(s, dir)
       val sh = persistedShingles(s, dir)
-      // the shard's signatures, pre-partitioned to the index's exact
-      // bucket spec (buckets × hash(bk)) so EnsureRequirements inserts
-      // nothing
-      val shard = lshBuckets(sh.filter(col("doc_id") % 10 === 7))
-        .select(concat_ws("|", col("band"), col("bkey")).as("bk"),
-          col("doc_id").as("doc2"))
+      // the shard's signatures (same per-row closed form as the index),
+      // pre-partitioned to the index's exact bucket spec
+      // (buckets × hash(bk)) so EnsureRequirements inserts nothing
+      val shard = rowLshKeys(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))
+        .withColumnRenamed("doc_id", "doc2")
         .repartition(buckets, col("bk"))
       val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
         .join(shard.hint("merge"), "bk")
@@ -1211,6 +1314,43 @@ object Text {
         .select(col("doc1"), col("doc2"),
           (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
             .as("jaccard"))
+    },
+
+    // ---- Streaming near-dup candidates against the maintained index
+    // (the s7 streaming extension of t26): arriving documents probe the
+    // PERSISTED bucketed corpus index with per-row closed-form LSH keys
+    // ([[rowLshKeys]] — map-only, so the identical plan runs under
+    // Structured Streaming append mode as a stream-static join;
+    // StreamIncrementalDedupSpec pins the two-micro-batch streaming run
+    // equal to this batch form). The corpus side is REQUIREd
+    // exchange-free exactly as in t26; dropDuplicates is batch-distinct
+    // here and watermark-bounded state in a real stream. ----
+    GQuery(
+      "s7_stream_neardup_candidates",
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+         |  FROM mh GROUP BY doc_id, j // 2)
+         |SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+         |FROM bands b1 JOIN bands b2
+         |  ON b1.band = b2.band AND b1.bkey = b2.bkey
+         |WHERE b1.doc_id % 10 <> 7 AND b2.doc_id % 10 = 7""".stripMargin) { (s, dir) =>
+      val (idx, buckets) = incrementalIndex(s, dir)
+      val probe = rowLshKeys(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))
+        .withColumnRenamed("doc_id", "doc2")
+        .repartition(buckets, col("bk"))
+      val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
+        .join(probe.hint("merge"), "bk")
+      val added = graft.sources.Bucketed.shuffleCount(joined) -
+        graft.sources.Bucketed.shuffleCount(probe)
+      require(added == 0,
+        s"s7: corpus index side shuffled ($added extra exchange(s)):\n" +
+          joined.queryExecution.executedPlan)
+      joined.select("doc1", "doc2").dropDuplicates("doc1", "doc2")
     }
   )
 }

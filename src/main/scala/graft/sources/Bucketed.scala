@@ -36,11 +36,24 @@ object Bucketed {
     * metadata travels through the catalog, not the files).
     */
   def write(df: DataFrame, name: String, path: String, buckets: Int,
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit =
+    writePrepared(df.repartition(buckets, keys.map(col): _*),
+      name, path, buckets, keys, sortCols)
+
+  /** [[write]] minus the repartition: for callers whose frame is ALREADY
+    * hash-partitioned by `pmod(hash(keys), buckets)` (i.e. built on top
+    * of `repartition(buckets, keys)` through partitioning-preserving
+    * operators — window/filter/project), so a second exchange of the
+    * full frame would be pure waste. The caller's partitioning contract
+    * is what keeps one bucket per task and therefore ONE file per
+    * bucket; a frame partitioned any other way still writes correct
+    * buckets, just fragmented across files (and loses the trusted sort).
+    */
+  def writePrepared(df: DataFrame, name: String, path: String, buckets: Int,
       keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "bucket keys must be non-empty")
     val sorts = if (sortCols.isEmpty) keys else sortCols
-    df.repartition(buckets, keys.map(col): _*)
-      .write.mode("overwrite")
+    df.write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(sorts.head, sorts.tail: _*)

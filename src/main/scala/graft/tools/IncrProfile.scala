@@ -45,6 +45,9 @@ object IncrProfile {
     val corpusSh = sh.filter(col("doc_id") % 10 =!= 7)
     val deltaSh = sh.filter(col("doc_id") % 10 === 7)
 
+    // NOTE deliberately the aggregate (lshBuckets) form, not rowLshKeys:
+    // this tool varies (bands, depth), which the per-row builder fixes at
+    // the oracle-locked 4×2; occupancy/pair counts are identical either way
     def sig(base: DataFrame, bands: Int, depth: Int): DataFrame =
       graft.queries.Text.lshBuckets(base, bands, depth)
         .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))

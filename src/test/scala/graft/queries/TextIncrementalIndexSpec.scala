@@ -17,21 +17,26 @@ class TextIncrementalIndexSpec extends SparkSuite {
 
   test("append shard signatures == rebuilt index; next shard still exchange-free") {
     val s = spark
-    val sh = Text.shingles(s, sf0001, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.Tables.documents(s, sf0001)
     try {
       val tok = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       val name = s"graft_t26_spec_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
       try {
-        val corpus = Text.signatureFrame(sh.filter(col("doc_id") % 10 =!= 7))
-        Bucketed.write(corpus, name, path, 8, Seq("bk"))
-        val delta = Text.signatureFrame(sh.filter(col("doc_id") % 10 === 7))
-        Bucketed.append(delta, name, 8, Seq("bk"))
+        // the production build/maintain pair: capped build, then the
+        // delta capped against the live index's occupancy before append
+        // (no bucket crosses the cap at this scale, so the result must
+        // equal the UNcapped full rebuild exactly)
+        val corpus = Text.signatureFrame(docs.filter(col("doc_id") % 10 =!= 7))
+        Bucketed.writePrepared(Text.cappedIndexFrame(corpus, 8), name, path,
+          8, Seq("bk"), Seq("bk", "doc_id"))
+        val delta = Text.signatureFrame(docs.filter(col("doc_id") % 10 === 7))
+        Bucketed.append(
+          Text.cappedDelta(Bucketed.table(s, name), delta, 8), name, 8, Seq("bk"))
 
         val got = Bucketed.table(s, name)
-        val want = Text.signatureFrame(sh)
+        val want = Text.signatureFrame(docs)
         assert(got.count() == want.count(), "appended index row count drifted")
         assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
           "appended index rows differ from the full-corpus rebuild")
@@ -53,6 +58,44 @@ class TextIncrementalIndexSpec extends SparkSuite {
         s.sql(s"DROP TABLE IF EXISTS `$name`")
         graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
       }
-    } finally { sh.unpersist(); () }
+    } finally ()
+  }
+
+  test("occupancy cap: skewed bucket keeps the cap smallest ids; append respects remaining room") {
+    val s = spark
+    import s.implicits._
+    // one mega-bucket (200 rows > cap 16), one small bucket (3 rows)
+    val sigs = ((1L to 200L).map(i => ("0|hot", i)) ++
+      Seq(("1|cold", 10L), ("1|cold", 11L), ("1|cold", 12L)))
+      .toDF("bk", "doc_id")
+    val capped = Text.cappedIndexFrame(sigs, 4, cap = 16)
+    val byBk = capped.groupBy("bk").agg(
+      count(lit(1)).as("n"), max(col("doc_id")).as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byBk("0|hot") == ((16L, 16L)), "hot bucket must keep the 16 smallest ids")
+    assert(byBk("1|cold") == ((3L, 12L)), "under-cap bucket must be untouched")
+
+    // delta against a live index: hot bucket is full (nothing accepted),
+    // cold has room for 13 more — smallest delta ids win
+    val delta = ((300L to 310L).map(i => ("0|hot", i)) ++
+      (100L to 120L).map(i => ("1|cold", i))).toDF("bk", "doc_id")
+    val kept = Text.cappedDelta(capped, delta, 4, cap = 16)
+    val byBk2 = kept.groupBy("bk").agg(
+      count(lit(1)).as("n"), max(col("doc_id")).as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!byBk2.contains("0|hot"), "full bucket must accept no delta rows")
+    assert(byBk2("1|cold") == ((13L, 112L)),
+      "partially-filled bucket must accept the smallest delta ids up to the cap")
+  }
+
+  test("per-row closed-form signatures == the shingle-explode + groupBy form") {
+    val s = spark
+    val sh = Text.shingles(s, sf0001, 3)
+    val viaAgg = Text.lshBuckets(sh)
+      .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+    val viaRow = Text.rowLshKeys(graft.Tables.documents(s, sf0001))
+    assert(viaRow.count() == viaAgg.count())
+    assert(viaRow.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaRow).isEmpty,
+      "rowLshKeys diverges from the aggregate signature form")
   }
 }
