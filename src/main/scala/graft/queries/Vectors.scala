@@ -355,6 +355,12 @@ object Vectors {
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
   }
 
+  /** The persisted index root, for specs that drive it from a streaming
+    * plan (the gates go through the GQuery front door).
+    */
+  private[graft] def ivfIndexForTesting(s: SparkSession, dir: String): String =
+    ivfIndex(s, dir)
+
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfCache.getOrElseUpdate((s, dir), {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
@@ -936,8 +942,94 @@ object Vectors {
         .withColumn("cos",
           expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
       topKByCos(probed, 3)
+    },
+
+    // ---- Streaming vector search against the persisted IVF index (the
+    // v-family twin of Text's s7): arriving query vectors route to their
+    // cell PER ROW — [[rowRoute]] folds the whole coarse quantizer into
+    // one closed-form argmax expression over broadcast centroid literals,
+    // so routing is map-only (REQUIREd zero exchanges below) and legal in
+    // a Structured Streaming append-mode plan, where routeQueries'
+    // groupBy/max_by is not — then probe ONLY the routed cell's vectors
+    // as a stream-static join. Output is the routed cell's scored
+    // candidates (q_id, vec_id, cos): per-query top-k is an aggregation,
+    // which append mode forbids without a watermark, and over ≤cell-size
+    // candidates it is the consumer's cheap final reduce — the part the
+    // engine must do at 100 TB (touch one cell per query, not the
+    // corpus) is all in-plan. StreamVectorSearchSpec pins a
+    // two-micro-batch streaming run equal to this batch form. ----
+    GQuery(
+      "s8_stream_vector_search",
+      """WITH x AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS d
+        |  FROM embeddings),
+        |cent AS (SELECT label, d, avg(x) AS c FROM x GROUP BY label, d),
+        |qdot AS (
+        |  SELECT x.vec_id AS q_id, cent.label, sum(x.x * cent.c) AS dp
+        |  FROM x JOIN cent ON cent.d = x.d
+        |  WHERE x.vec_id % 25 = 0 GROUP BY x.vec_id, cent.label),
+        |qcell AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+        |    FROM qdot) WHERE rk = 1),
+        |e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT qc.q_id, c.vec_id,
+        |  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |FROM qcell qc
+        |JOIN e q ON q.vec_id = qc.q_id
+        |JOIN e c ON c.label = qc.label AND c.vec_id <> qc.q_id""".stripMargin) {
+      (s, dir) =>
+      registered(s)
+      val idx = ivfIndex(s, dir)
+      val cents = s.read.parquet(s"$idx/centroids")
+        .orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val routed = rowRoute(q, cents)
+        .withColumn("q_nrm", expr(s"sqrt(${dotExpr("q_emb", "q_emb")})"))
+      require(graft.sources.Bucketed.shuffleCount(routed) == 0,
+        s"s8: per-row routing must be map-only:\n" +
+          routed.queryExecution.executedPlan)
+      s.read.parquet(s"$idx/vectors")
+        .join(broadcast(routed), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+            .as("cos"))
     }
   )
+
+  /** Per-ROW IVF routing: the coarse quantizer (every cell's centroid) as
+    * literal arrays inside ONE argmax expression, so each query row picks
+    * its nearest cell with no join, no aggregate, and no exchange —
+    * identical assignments (same `array_dot` products, same
+    * min-cell tie-break) to [[routeQueries]]' flat max_by path. This is
+    * the serving/streaming form of the quantizer: ~cells × dims doubles
+    * ride the plan as literals (45 × 64 at gate scale — the same data
+    * routeQueries broadcasts), which holds to a few thousand cells; past
+    * [[HierarchicalRoutingThreshold]] a production stream would fold in
+    * only the √cells super-centroids and probe the winner's children the
+    * same way.
+    */
+  private[graft] def rowRoute(
+      queries: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
+    registered(queries.sparkSession)
+    require(cents.nonEmpty, "rowRoute needs at least one centroid")
+    queries
+      .withColumn("_cl", typedLit(cents.map(_._1).toSeq))
+      .withColumn("_ce", typedLit(cents.map(_._2).toSeq))
+      .withColumn("cell", expr(
+        """-array_max(transform(sequence(0, size(_cl)-1), i ->
+          |  struct(array_dot(q_emb, element_at(_ce, i+1)) AS dp,
+          |         -element_at(_cl, i+1) AS negc))).negc""".stripMargin))
+      .drop("_cl", "_ce")
+  }
 
   /** The fused ADC distance: 8 dense-array lookups summed as a FLAT
     * left-associative double expression — whole-stage codegen end to end

@@ -57,16 +57,24 @@ object IncrProfile {
         if (depth == 2) 4
         else graft.queries.Lsh.bandsForRecall(0.9, depth, 1.0 - 1e-6)
       val t0 = System.nanoTime()
+      val cap = graft.queries.Lsh.DefaultBucketCap
       val c = sig(corpusSh, bands, depth).groupBy("bk").agg(count(lit(1)).as("nc"))
       val d = sig(deltaSh, bands, depth).groupBy("bk").agg(count(lit(1)).as("nd"))
       val j = c.join(d, "bk")
-        .agg(sum(col("nc") * col("nd")).as("pairs"), max("nc").as("max_bucket"))
+        .agg(sum(col("nc") * col("nd")).as("pairs"), max("nc").as("max_bucket"),
+          // what the build-time occupancy cap changes: index rows dropped
+          // and the bounded probe fan-out that remains
+          sum(greatest(col("nc") - cap, lit(0))).as("dropped"),
+          sum(least(col("nc"), lit(cap)) * col("nd")).as("capped_pairs"))
         .head()
       val pairs = Option(j.get(0)).map(_.toString.toLong).getOrElse(0L)
       val maxB = Option(j.get(1)).map(_.toString.toLong).getOrElse(0L)
+      val dropped = Option(j.get(2)).map(_.toString.toLong).getOrElse(0L)
+      val cappedPairs = Option(j.get(3)).map(_.toString.toLong).getOrElse(0L)
       val measureSec = (System.nanoTime() - t0) / 1e9
       println(f"[incr] depth=$depth bands=$bands pre-distinct pairs=$pairs%,d " +
-        f"max corpus bucket=$maxB%,d (measure ${measureSec}%.1f s)")
+        f"max corpus bucket=$maxB%,d (measure ${measureSec}%.1f s); " +
+        f"cap=$cap: dropped index rows=$dropped%,d, capped pairs=$cappedPairs%,d")
       if (pairs < 5_000_000L) {
         // end-to-end at this depth: persisted bucketed index build, then
         // the timed shard dedup (bucket join → distinct pairs → exact
