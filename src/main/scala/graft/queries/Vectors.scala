@@ -443,7 +443,7 @@ object Vectors {
     * cells, renames are metadata ops). Hadoop FS API throughout, so the
     * same code drives HDFS/S3A.
     */
-  private[queries] def compactCells(
+  private[graft] def compactCells(
       s: SparkSession, vectors: String, maxFiles: Int): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(vectors)
