@@ -347,7 +347,7 @@ object Vectors {
       }
     }
     pqCache.keys.filter(_._1 eq s).foreach { k =>
-      pqCache.remove(k).foreach { case (c, d) => c.unpersist(); d.unpersist(); () }
+      pqCache.remove(k).foreach { case (c, d, _) => c.unpersist(); d.unpersist(); () }
     }
     vecPairCache.keys.filter(_._1 eq s).foreach { k =>
       vecPairCache.remove(k).foreach(_.unpersist())
@@ -830,7 +830,7 @@ object Vectors {
     // cannot hash-match its own garbage. ----
     GQuery("v10_pq_adc", pqOracleSql) { (s, dir) =>
       registered(s)
-      val (codesArr, dtabArr) = pqEncode(s, dir)
+      val (codesArr, dtabArr, _) = pqEncode(s, dir)
       // ADC as one fused lookup loop per (query, vector) row — brute
       // force's row count with an 8-element table walk instead of a
       // 64-dim dot. The first cut joined the sparse (s, code) frames and
@@ -859,7 +859,7 @@ object Vectors {
     // the three gates (v5, v10, v11) pin each tier AND the composition. ----
     GQuery("v11_ivfpq_adc", ivfpqOracleSql) { (s, dir) =>
       registered(s)
-      val (codesArr, dtabArr) = pqEncode(s, dir)
+      val (codesArr, dtabArr, _) = pqEncode(s, dir)
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -892,7 +892,7 @@ object Vectors {
     // exact-dot scoring. ----
     GQuery("v12_ivfpq_refine", ivfpqRefineOracleSql) { (s, dir) =>
       registered(s)
-      val (codesArr, dtabArr) = pqEncode(s, dir)
+      val (codesArr, dtabArr, _) = pqEncode(s, dir)
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -1002,8 +1002,75 @@ object Vectors {
         .select(col("q_id"), col("vec_id"),
           (expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
             .as("cos"))
+    },
+
+    // ---- Streaming IVF-PQ search: the compressed-index (PQ) tier under
+    // the same streaming contract as s7 (LSH) and s8 (IVF), completing
+    // the story across all three index families. Each arriving query row
+    // derives BOTH its routing (rowRoute: coarse-quantizer argmax) and
+    // its full ADC distance table (rowAdcProbe: codebook literals,
+    // closed-form) map-side — REQUIREd zero exchanges — then probes the
+    // static PQ code table restricted to the routed cell and emits ADC
+    // distances. This is the production serving shape: the stream
+    // touches 8 B/vector codes in ONE cell per query; raw vectors are
+    // never read. Per-query top-k is the consumer's final reduce (append
+    // mode forbids the aggregation; the candidate set is cell-bounded).
+    // StreamAdcSearchSpec pins two micro-batches == this batch form. ----
+    GQuery("s9_stream_ivfpq_adc", s9OracleSql) { (s, dir) =>
+      registered(s)
+      val (codesArr, _, cb) = pqEncode(s, dir)
+      val idx = ivfIndex(s, dir)
+      val cents = s.read.parquet(s"$idx/centroids")
+        .orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probe = rowAdcProbe(rowRoute(q, cents), cb).drop("q_emb")
+      require(graft.sources.Bucketed.shuffleCount(probe) == 0,
+        s"s9: per-row route+dtab must be map-only:\n" +
+          probe.queryExecution.executedPlan)
+      val el = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").as("cell"))
+      codesArr.join(el, "vec_id")
+        .join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
     }
   )
+
+  /** Per-ROW ADC distance table: the trained PQ codebook (M×K subvector
+    * centroids) as a literal array indexed `s·K + code`, so each query
+    * row derives its full 512-entry `darr` in one closed-form `transform`
+    * — the same `d² = q·q − 2·q·c + c·c` three-dot expansion (and
+    * therefore bit-identical doubles) as the memoized `dtabArr`, but with
+    * no join and no aggregate, which makes the whole PQ probe legal in a
+    * Structured Streaming append-mode plan (s9). Codebook slots emptied
+    * during training are null literals → +Infinity, exactly dtabArr's
+    * fill (no corpus code ever references them). ~M·K·sub = 4,096
+    * doubles of literal state — the quantizer IS small; that's the PQ
+    * premise.
+    */
+  private[graft] def rowAdcProbe(
+      queries: DataFrame, cb: Array[(Int, Int, Seq[Double])]): DataFrame = {
+    registered(queries.sparkSession)
+    val slots: Seq[Seq[Double]] = (0 until PqM * PqK).map { i =>
+      cb.collectFirst { case (s, c, cv) if s == i / PqK && c == i % PqK => cv }
+        .orNull
+    }
+    val sub = s"slice(v, (i div $PqK) * $PqSub + 1, $PqSub)"
+    queries
+      .withColumn("_cb", typedLit(slots))
+      .withColumn("v", expr("transform(q_emb, x -> CAST(x AS DOUBLE))"))
+      .withColumn("darr", expr(
+        s"""transform(sequence(0, ${PqM * PqK - 1}), i ->
+           |  CASE WHEN element_at(_cb, i+1) IS NULL
+           |       THEN CAST('Infinity' AS DOUBLE)
+           |       ELSE array_dot($sub, $sub)
+           |          - 2 * array_dot($sub, element_at(_cb, i+1))
+           |          + array_dot(element_at(_cb, i+1), element_at(_cb, i+1))
+           |  END)""".stripMargin))
+      .drop("_cb", "v")
+  }
 
   /** Per-ROW IVF routing: the coarse quantizer (every cell's centroid) as
     * literal arrays inside ONE argmax expression, so each query row picks
@@ -1039,7 +1106,7 @@ object Vectors {
     * The oracle adds the same 8 values in the same s-order via an
     * ORDER BY s list, so the double rounding matches bit-for-bit.
     */
-  private def adcLookup: Column = expr(
+  private[graft] def adcLookup: Column = expr(
     (0 until PqM).map(i =>
       s"element_at(darr, $i * $PqK + element_at(carr, ${i + 1}) + 1)")
       .mkString(" + "))
@@ -1080,9 +1147,17 @@ object Vectors {
     * recursive codebook subplan executes once per iteration, not once
     * per downstream consumer.
     */
-  private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
-  private def pqEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  /** The memoized PQ state, for specs that drive it from a streaming
+    * plan (the gates go through the GQuery front door).
+    */
+  private[graft] def pqForTesting(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
+    pqEncode(s, dir)
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])])]
+  private def pqEncode(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
     pqCache.getOrElseUpdate((s, dir), {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -1136,7 +1211,11 @@ object Vectors {
           s"transform(sequence(0, ${PqM * PqK - 1}), " +
             "i -> coalesce(element_at(dm, i), CAST('Infinity' AS DOUBLE)))").as("darr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (codesArr, dtabArr)
+      // the trained codebook itself, driver-side (M×K rows, tiny): s9's
+      // per-row distance-table expression folds it in as literals
+      val cbRows = cb.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      (codesArr, dtabArr, cbRows)
     })
 
   // PQ geometry: 8 subspaces x 8 dims, 64 codes, 2 Lloyd iterations -
@@ -1242,6 +1321,37 @@ object Vectors {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
        |  FROM approx)
        |WHERE rk <= 3""".stripMargin
+
+  /** DuckDB twin of the s9 plan: v11's routed-cell ADC candidates WITHOUT
+    * the top-k (append-mode streaming emits the scored candidates; the
+    * rank is the consumer's reduce), so the oracle checks every ADC
+    * distance the stream would emit.
+    */
+  private def s9OracleSql: String =
+    s"""WITH $pqCoreCtes,
+       |xr AS (
+       |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings),
+       |cent AS (SELECT label, d, avg(x) AS c FROM xr GROUP BY label, d),
+       |qdot AS (
+       |  SELECT xr.vec_id AS q_id, cent.label, sum(xr.x * cent.c) AS dp
+       |  FROM xr JOIN cent ON cent.d = xr.d
+       |  WHERE xr.vec_id % 25 = 0 GROUP BY xr.vec_id, cent.label),
+       |qcell AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+       |    FROM qdot) WHERE rk = 1)
+       |SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |FROM (
+       |  SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |  FROM af a
+       |  JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
+       |  JOIN qcell qc ON qc.label = el.label
+       |  JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |  WHERE a.vec_id <> qc.q_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB twin of the v12 plan: v11's routed-cell ADC taken to top-10,
     * then exact-cosine re-rank of those survivors to top-3 (same
