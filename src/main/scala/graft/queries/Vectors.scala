@@ -364,25 +364,47 @@ object Vectors {
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfCache.getOrElseUpdate((s, dir), {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
-      val cent = Tables.embeddings(s, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
-          .as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-      // cluster by cell BEFORE the partitioned write: without it every
-      // input task writes a file into every cell directory — cells × tasks
-      // files (the x1000 decade measured a 13-minute build and an OOM-ing
-      // probe from the ~300k-file listing); clustered, the layout is one
-      // file per cell and the probe's listing stays proportional to cells
-      withNorm(Tables.embeddings(s, dir))
-        .withColumn("cell", col("label"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
+      buildIvfIndex(Tables.embeddings(s, dir), out)
       out
     })
+
+  /** THE index-build recipe — label-cell centroid training + clustered
+    * cell-partitioned vector write — shared by the persisted index (v7),
+    * the maintained index's base (v13), and the IvfMaintProfile tool (so
+    * the tool's insert-vs-rebuild ratios always time the shipped shape).
+    * Clustering by cell BEFORE the partitioned write matters: without it
+    * every input task writes a file into every cell directory —
+    * cells × tasks files (the x1000 decade measured a 13-minute build
+    * and an OOM-ing probe from the ~300k-file listing); clustered, the
+    * layout is one file per cell and the probe's listing stays
+    * proportional to cells.
+    */
+  private[graft] def buildIvfIndex(of: DataFrame, out: String): Unit = {
+    val cent = of
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+        .as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+    withNorm(of)
+      .withColumn("cell", col("label"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
+  }
+
+  /** The persisted coarse quantizer as driver-side rows (cell, centroid),
+    * deterministically ordered — the literal state [[rowRoute]] folds
+    * into its per-row argmax. One loader for the four call sites (s8/s9
+    * gates, both streaming specs) so the centroids file schema has one
+    * reader to keep in sync.
+    */
+  private[graft] def loadCentroids(
+      s: SparkSession, idx: String): Array[(Int, Seq[Double])] =
+    s.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
 
   /** v13: the MAINTAINED IVF index — built over the corpus minus a delta
     * shard (vec_id % 20 = 3), then the delta INSERTED the way FAISS
@@ -404,17 +426,7 @@ object Vectors {
       val out = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 20 =!= 3)
-      val cent = base
-        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
-          .as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      cent.coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-      withNorm(base).withColumn("cell", col("label"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
+      buildIvfIndex(base, out)
       // INSERT: route the delta against the frozen base centroids, append
       // per-cell files (same routing argmax the queries use), compact
       val centArr = s.read.parquet(s"$out/centroids")
@@ -986,9 +998,7 @@ object Vectors {
       (s, dir) =>
       registered(s)
       val idx = ivfIndex(s, dir)
-      val cents = s.read.parquet(s"$idx/centroids")
-        .orderBy("cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val cents = loadCentroids(s, idx)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val routed = rowRoute(q, cents)
@@ -1020,9 +1030,7 @@ object Vectors {
       registered(s)
       val (codesArr, _, cb) = pqEncode(s, dir)
       val idx = ivfIndex(s, dir)
-      val cents = s.read.parquet(s"$idx/centroids")
-        .orderBy("cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val cents = loadCentroids(s, idx)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val probe = rowAdcProbe(rowRoute(q, cents), cb).drop("q_emb")

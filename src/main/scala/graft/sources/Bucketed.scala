@@ -72,8 +72,17 @@ object Bucketed {
     * table's column order.
     */
   def append(df: DataFrame, name: String, buckets: Int, keys: Seq[String]): Unit =
-    df.repartition(buckets, keys.map(col): _*)
-      .write.mode("append").insertInto(name)
+    appendPrepared(df.repartition(buckets, keys.map(col): _*), name)
+
+  /** [[append]] minus the repartition — same caller contract as
+    * [[writePrepared]]: the frame already carries the table's exact
+    * bucket partitioning (e.g. [[graft.queries.Text.cappedDelta]]'s
+    * output, whose occupancy window and left join both preserve the
+    * repartition they ride), so re-exchanging it before the insert
+    * would double the delta's shuffle for nothing.
+    */
+  def appendPrepared(df: DataFrame, name: String): Unit =
+    df.write.mode("append").insertInto(name)
 
   /** The bucketed table as a DataFrame (catalog-backed scan — this is
     * what carries the bucket spec into the plan; a plain

@@ -48,13 +48,14 @@ object AppendProbe {
 
     val out = java.nio.file.Files.createTempDirectory("graft-appendprobe").toString
     try {
-      // the existing 600-partition index the append lands in
-      base.withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
-        .withColumn("cell", col("label"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
-
       (1 to runs).foreach { r =>
+        // REBUILT per run: appending into a target that already holds
+        // run r-1's files would conflate the per-file floor under test
+        // with directory growth across runs
+        base.withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
+          .withColumn("cell", col("label"))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
         val noop = timed {
           delta.repartition(col("cell")).write.mode("overwrite").format("noop").save()
         }
@@ -68,7 +69,7 @@ object AppendProbe {
         }
         val single = timed {
           delta.repartition(col("cell"))
-            .write.mode("append").parquet(s"$out/single")
+            .write.mode("append").parquet(s"$out/single_$r")
         }
         println(f"[append] run $r upstream(noop) ${noop}%.1f s; " +
           f"fresh-dir partitioned ${fresh}%.1f s; append-to-600-dirs ${append}%.1f s; " +

@@ -59,18 +59,23 @@ object IncrProfile {
       val t0 = System.nanoTime()
       val cap = graft.queries.Lsh.DefaultBucketCap
       val c = sig(corpusSh, bands, depth).groupBy("bk").agg(count(lit(1)).as("nc"))
+        .persist()
       val d = sig(deltaSh, bands, depth).groupBy("bk").agg(count(lit(1)).as("nd"))
+      // dropped index rows aggregate over ALL corpus buckets — a left
+      // join would hide nothing, but an inner join with the delta would
+      // exclude over-cap buckets the delta happens not to probe
+      val dr = c.agg(sum(greatest(col("nc") - cap, lit(0))).as("dropped"),
+        max("nc").as("max_bucket")).head()
       val j = c.join(d, "bk")
-        .agg(sum(col("nc") * col("nd")).as("pairs"), max("nc").as("max_bucket"),
-          // what the build-time occupancy cap changes: index rows dropped
-          // and the bounded probe fan-out that remains
-          sum(greatest(col("nc") - cap, lit(0))).as("dropped"),
+        .agg(sum(col("nc") * col("nd")).as("pairs"),
+          // the bounded probe fan-out the build-time cap leaves
           sum(least(col("nc"), lit(cap)) * col("nd")).as("capped_pairs"))
         .head()
+      c.unpersist()
       val pairs = Option(j.get(0)).map(_.toString.toLong).getOrElse(0L)
-      val maxB = Option(j.get(1)).map(_.toString.toLong).getOrElse(0L)
-      val dropped = Option(j.get(2)).map(_.toString.toLong).getOrElse(0L)
-      val cappedPairs = Option(j.get(3)).map(_.toString.toLong).getOrElse(0L)
+      val maxB = Option(dr.get(1)).map(_.toString.toLong).getOrElse(0L)
+      val dropped = Option(dr.get(0)).map(_.toString.toLong).getOrElse(0L)
+      val cappedPairs = Option(j.get(1)).map(_.toString.toLong).getOrElse(0L)
       val measureSec = (System.nanoTime() - t0) / 1e9
       println(f"[incr] depth=$depth bands=$bands pre-distinct pairs=$pairs%,d " +
         f"max corpus bucket=$maxB%,d (measure ${measureSec}%.1f s); " +
@@ -78,7 +83,9 @@ object IncrProfile {
       if (pairs < 5_000_000L) {
         // end-to-end at this depth: persisted bucketed index build, then
         // the timed shard dedup (bucket join → distinct pairs → exact
-        // jaccard) — the gate's exact plan shape at a scale-correct depth
+        // jaccard) — the gate's exact plan shape at a scale-correct
+        // depth, including the shipped occupancy-capped build
+        // (cappedIndexFrame + writePrepared, one shuffle total)
         val corpus = sig(corpusSh, bands, depth)
         val buckets = math.max(8L, (pairs.max(1L) / 500000L).max(
           corpus.count() / 500000L)).toInt
@@ -86,7 +93,9 @@ object IncrProfile {
         val path = s"${System.getProperty("java.io.tmpdir")}/$name"
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         val tb = System.nanoTime()
-        graft.sources.Bucketed.write(corpus, name, path, buckets, Seq("bk"))
+        graft.sources.Bucketed.writePrepared(
+          graft.queries.Text.cappedIndexFrame(corpus, buckets),
+          name, path, buckets, Seq("bk"), Seq("bk", "doc_id"))
         val buildSec = (System.nanoTime() - tb) / 1e9
         val tq = System.nanoTime()
         val shard = sig(deltaSh, bands, depth)

@@ -40,26 +40,17 @@ object IvfMaintProfile {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
 
-    def centroids(of: DataFrame): DataFrame = of
-      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
-      .groupBy("label")
-      .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
-        .as("centroid"))
-      .select(col("label").as("cell"), col("centroid"))
+    // THE shipped build recipe — not a local copy, so a layout change in
+    // Vectors keeps this profile honest automatically
+    def writeIndex(of: DataFrame, out: String): Unit =
+      graft.queries.Vectors.buildIvfIndex(of, out)
     def withNorm(df: DataFrame): DataFrame =
       df.withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
-    def writeIndex(of: DataFrame, out: String): Unit = {
-      centroids(of).coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-      withNorm(of).withColumn("cell", col("label"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
-    }
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val emb = Tables(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
     val base = emb.filter(col("vec_id") % 20 =!= 3)
     val delta = emb.filter(col("vec_id") % 20 === 3)
     val (nBase, nDelta) = (base.count(), delta.count())
@@ -112,7 +103,4 @@ object IvfMaintProfile {
     }
     spark.stop()
   }
-
-  private def Tables(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.embeddings(s, dir)
 }

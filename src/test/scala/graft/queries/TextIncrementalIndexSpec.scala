@@ -32,8 +32,10 @@ class TextIncrementalIndexSpec extends SparkSuite {
         Bucketed.writePrepared(Text.cappedIndexFrame(corpus, 8), name, path,
           8, Seq("bk"), Seq("bk", "doc_id"))
         val delta = Text.signatureFrame(docs.filter(col("doc_id") % 10 === 7))
-        Bucketed.append(
-          Text.cappedDelta(Bucketed.table(s, name), delta, 8), name, 8, Seq("bk"))
+        // appendPrepared: cappedDelta's output already carries the
+        // table's exact bucket partitioning — one delta shuffle total
+        Bucketed.appendPrepared(
+          Text.cappedDelta(Bucketed.table(s, name), delta, 8), name)
 
         val got = Bucketed.table(s, name)
         val want = Text.signatureFrame(docs)
@@ -86,6 +88,16 @@ class TextIncrementalIndexSpec extends SparkSuite {
     assert(!byBk2.contains("0|hot"), "full bucket must accept no delta rows")
     assert(byBk2("1|cold") == ((13L, 112L)),
       "partially-filled bucket must accept the smallest delta ids up to the cap")
+  }
+
+  test("gate-scale index build drops nothing — the license for the uncapped oracle") {
+    val s = spark
+    Text.indexForTesting(s, sf0001)
+    val stats = Text.idxCapStats.get((s, sf0001))
+    assert(stats.nonEmpty, "index build recorded no cap stats")
+    assert(stats.exists(_._1 == 0L),
+      s"occupancy cap dropped signature rows at gate scale $stats — " +
+        "t26/s7's uncapped full-recompute oracles are no longer valid here")
   }
 
   test("per-row closed-form signatures == the shingle-explode + groupBy form") {

@@ -24,9 +24,7 @@ class StreamAdcSearchSpec extends SparkSuite {
 
     val (codesArr, _, cb) = Vectors.pqForTesting(s, sf0001)
     val idx = Vectors.ivfIndexForTesting(s, sf0001)
-    val cents = s.read.parquet(s"$idx/centroids")
-      .orderBy("cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val cents = Vectors.loadCentroids(s, idx)
     // the static side: per-vector PQ codes with their cell
     val codes = codesArr.join(
       graft.Tables.embeddings(s, sf0001)

@@ -22,9 +22,7 @@ class StreamVectorSearchSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
     val idx = Vectors.ivfIndexForTesting(s, sf0001)
-    val cents = s.read.parquet(s"$idx/centroids")
-      .orderBy("cell").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val cents = Vectors.loadCentroids(s, idx)
 
     // the arriving queries as a file stream, split into two micro-batches
     val queries = graft.Tables.embeddings(s, sf0001)
