@@ -285,4 +285,18 @@ class PlanAuditSpec extends SparkSuite {
       s"corpus index side is not a bucketed scan:\n$plan")
     assert(q.count() > 0)
   }
+
+  test("s8/v7 IVF probe: the cell-partitioned index scan is dynamically partition-pruned") {
+    // the 100 TB claim is "search touches only the routed cells' files";
+    // the mechanism is dynamic partition pruning off the broadcast routed
+    // queries — pin the dynamicpruning expression on the index scan's
+    // PartitionFilters so a lost broadcast (or a DPP-breaking plan change)
+    // can't silently degrade the probe to a full index scan
+    Seq("s8_stream_vector_search", "v7_ivf_persisted").foreach { name =>
+      val q = SparkEntry.queries(name)(spark, sf0001)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"$name: index scan lost dynamic partition pruning:\n$plan")
+    }
+  }
 }
