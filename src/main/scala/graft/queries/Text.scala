@@ -323,13 +323,29 @@ object Text {
     * aggregation before a join is not — this is the streaming front door
     * for probing the persisted signature index (s7).
     */
-  private[graft] def rowLshKeys(docs: DataFrame): DataFrame = {
+  private[graft] def rowLshKeys(docs: DataFrame): DataFrame =
+    rowLshKeysAt(docs, bands = 4, depth = 2)
+
+  /** [[rowLshKeys]] at an arbitrary banding — the scale-study form
+    * (IncrProfile varies depth, which the t18 machinery tunes in
+    * production; the gates stay oracle-locked at 4×2). Slot `j`'s salted
+    * minhash is `array_min` over the per-row shingle array; band `b`
+    * concatenates its own `depth` slots `[depth·b, depth·b+depth)`.
+    * The aggregate (`lshBuckets`) form computes identical rows but plans
+    * `min(md5str)` as SortAggregateExec — which per-partition-SORTS the
+    * exploded shingles and died at x1000 — so every corpus-scale caller
+    * must use this per-row form.
+    */
+  private[graft] def rowLshKeysAt(
+      docs: DataFrame, bands: Int, depth: Int): DataFrame = {
     val parts = (0 until 3).map(k => s"element_at(ts, i+$k)").mkString(", ")
-    val mh = (0 until 8).map(j =>
+    val mh = (0 until bands * depth).map(j =>
       s"array_min(transform(sh, x -> md5(concat('$j|', x)))) AS mh$j")
-    val bandStructs = (0 until 4).map(b =>
-      s"struct($b AS band, concat(mh${2 * b}, '|', mh${2 * b + 1}) AS bkey)")
-      .mkString(", ")
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until depth).map(r => s"mh${depth * b + r}")
+        .mkString("concat(", ", '|', ", ")")
+      s"struct($b AS band, $key AS bkey)"
+    }.mkString(", ")
     docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -1381,6 +1397,38 @@ object Text {
         s"s7: corpus index side shuffled ($added extra exchange(s)):\n" +
           joined.queryExecution.executedPlan)
       joined.select("doc1", "doc2").dropDuplicates("doc1", "doc2")
+    },
+
+    // ---- FUZZY decontamination: flag corpus documents sharing an LSH
+    // band key with any benchmark document — the paraphrase-robust
+    // complement to t13/t21, whose exact-shingle checks miss a
+    // contaminated example the moment one word changes. Both sides use
+    // the per-row closed-form signatures (rowLshKeys), so the plan is:
+    // bench signatures broadcast (4 rows/doc — ~25× smaller than t13's
+    // full shingle set), corpus side MAP-ONLY through the broadcast join,
+    // one terminal groupBy(doc_id). At 100 TB that is the minimal shape:
+    // the corpus shuffles once, by doc_id, carrying only bench-matched
+    // rows. PlanAuditSpec pins broadcast + the single exchange. ----
+    GQuery(
+      "t27_fuzzy_decontamination",
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+         |  FROM mh GROUP BY doc_id, j // 2)
+         |SELECT c.doc_id, count(DISTINCT b.doc_id) AS n_bench
+         |FROM bands c JOIN bands b ON b.band = c.band AND b.bkey = c.bkey
+         |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = rowLshKeys(docs.filter(col("doc_id") % 50 === 0))
+        .withColumnRenamed("doc_id", "bench_id")
+      rowLshKeys(docs.filter(col("doc_id") % 50 =!= 0))
+        .join(broadcast(bench), "bk")
+        .groupBy("doc_id")
+        .agg(countDistinct("bench_id").as("n_bench"))
     }
   )
 }

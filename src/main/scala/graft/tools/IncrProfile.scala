@@ -42,15 +42,17 @@ object IncrProfile {
     val sh = graft.queries.Text.shingles(spark, dir, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[incr] shingle rows: ${sh.count()}")
-    val corpusSh = sh.filter(col("doc_id") % 10 =!= 7)
-    val deltaSh = sh.filter(col("doc_id") % 10 === 7)
+    val docs = graft.Tables.documents(spark, dir)
+    val corpusDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val deltaDocs = docs.filter(col("doc_id") % 10 === 7)
 
-    // NOTE deliberately the aggregate (lshBuckets) form, not rowLshKeys:
-    // this tool varies (bands, depth), which the per-row builder fixes at
-    // the oracle-locked 4×2; occupancy/pair counts are identical either way
+    // the per-row closed form at the probed banding (rowLshKeysAt — same
+    // salts/band layout as lshBuckets, proven row-identical at 4x2 by
+    // TextIncrementalIndexSpec): the aggregate form's min(md5str)
+    // SortAggregate per-partition-sorts the exploded shingles and died
+    // at x1000 depth 3 before printing anything
     def sig(base: DataFrame, bands: Int, depth: Int): DataFrame =
-      graft.queries.Text.lshBuckets(base, bands, depth)
-        .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+      graft.queries.Text.rowLshKeysAt(base, bands, depth)
 
     depths.foreach { depth =>
       val bands =
@@ -58,9 +60,9 @@ object IncrProfile {
         else graft.queries.Lsh.bandsForRecall(0.9, depth, 1.0 - 1e-6)
       val t0 = System.nanoTime()
       val cap = graft.queries.Lsh.DefaultBucketCap
-      val c = sig(corpusSh, bands, depth).groupBy("bk").agg(count(lit(1)).as("nc"))
+      val c = sig(corpusDocs, bands, depth).groupBy("bk").agg(count(lit(1)).as("nc"))
         .persist()
-      val d = sig(deltaSh, bands, depth).groupBy("bk").agg(count(lit(1)).as("nd"))
+      val d = sig(deltaDocs, bands, depth).groupBy("bk").agg(count(lit(1)).as("nd"))
       // dropped index rows aggregate over ALL corpus buckets — a left
       // join would hide nothing, but an inner join with the delta would
       // exclude over-cap buckets the delta happens not to probe
@@ -86,7 +88,7 @@ object IncrProfile {
         // jaccard) — the gate's exact plan shape at a scale-correct
         // depth, including the shipped occupancy-capped build
         // (cappedIndexFrame + writePrepared, one shuffle total)
-        val corpus = sig(corpusSh, bands, depth)
+        val corpus = sig(corpusDocs, bands, depth)
         val buckets = math.max(8L, (pairs.max(1L) / 500000L).max(
           corpus.count() / 500000L)).toInt
         val name = s"graft_incrprof_d$depth"
@@ -98,7 +100,7 @@ object IncrProfile {
           name, path, buckets, Seq("bk"), Seq("bk", "doc_id"))
         val buildSec = (System.nanoTime() - tb) / 1e9
         val tq = System.nanoTime()
-        val shard = sig(deltaSh, bands, depth)
+        val shard = sig(deltaDocs, bands, depth)
           .withColumnRenamed("doc_id", "doc2")
           .repartition(buckets, col("bk"))
         val cand = graft.sources.Bucketed.table(spark, name)

@@ -286,6 +286,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(q.count() > 0)
   }
 
+  test("t27 fuzzy decontamination: bench broadcast, corpus exchange-free below the join") {
+    val q = SparkEntry.queries("t27_fuzzy_decontamination")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side not broadcast:\n$plan")
+    // countDistinct plans as its canonical two-exchange shape — hash by
+    // (doc_id, bench_id) for the distinct, then by doc_id — but BOTH
+    // exchanges sit ABOVE the broadcast join, so they carry only the
+    // bench-matched sliver, never the corpus: the corpus scan must reach
+    // the join with zero exchanges below it
+    assert(graft.sources.Bucketed.shuffleCount(q) <= 2,
+      s"unexpected extra exchange:\n$plan")
+    val joinLine = plan.linesIterator.indexWhere(_.contains("BroadcastHashJoin"))
+    val belowJoin = plan.linesIterator.drop(joinLine + 1)
+    assert(!belowJoin.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"corpus side shuffled below the broadcast join:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("s8/v7 IVF probe: the cell-partitioned index scan is dynamically partition-pruned") {
     // the 100 TB claim is "search touches only the routed cells' files";
     // the mechanism is dynamic partition pruning off the broadcast routed

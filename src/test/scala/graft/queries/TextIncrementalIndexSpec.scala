@@ -109,5 +109,12 @@ class TextIncrementalIndexSpec extends SparkSuite {
     assert(viaRow.count() == viaAgg.count())
     assert(viaRow.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaRow).isEmpty,
       "rowLshKeys diverges from the aggregate signature form")
+
+    // and at a non-default banding (IncrProfile's variable-depth probes)
+    val aggD3 = Text.lshBuckets(sh, bands = 3, rowsPerBand = 3)
+      .select(concat_ws("|", col("band"), col("bkey")).as("bk"), col("doc_id"))
+    val rowD3 = Text.rowLshKeysAt(graft.Tables.documents(s, sf0001), 3, 3)
+    assert(rowD3.exceptAll(aggD3).isEmpty && aggD3.exceptAll(rowD3).isEmpty,
+      "rowLshKeysAt(3,3) diverges from lshBuckets(3,3)")
   }
 }
