@@ -258,6 +258,7 @@ object Text {
       }
     }
     buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
+    idxCapStats.keys.filter(_._1 eq s).foreach(idxCapStats.remove(_): Unit)
     jsonlDirs.keys.filter(_._1 eq s).foreach(jsonlDirs.remove(_): Unit)
     idxCache.keys.filter(_._1 eq s).foreach { k =>
       idxCache.remove(k).foreach { case (_, name, path, _) =>

@@ -877,11 +877,10 @@ object Vectors {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
       val route = routeQueries(q, cent, cent.count())
-      val el = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label").as("cell"))
-      // candidates = each query's routed cell only; then the same fused
-      // ADC lookup loop as v10 over the pruned (query, vector) rows
-      val approx = codesArr.join(el, "vec_id")
+      // candidates = each query's routed cell only (cell rides the
+      // memoized codes); then the same fused ADC lookup loop as v10 over
+      // the pruned (query, vector) rows
+      val approx = codesArr
         .join(broadcast(route), "cell")
         .join(broadcast(dtabArr), "q_id")
         .filter(col("vec_id") =!= col("q_id"))
@@ -911,9 +910,7 @@ object Vectors {
           col("nrm").as("q_nrm"))
       val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
       val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
-      val el = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label").as("cell"))
-      val approx = codesArr.join(el, "vec_id")
+      val approx = codesArr
         .join(broadcast(route), "cell")
         .join(broadcast(dtabArr), "q_id")
         .filter(col("vec_id") =!= col("q_id"))
@@ -1037,9 +1034,7 @@ object Vectors {
       require(graft.sources.Bucketed.shuffleCount(probe) == 0,
         s"s9: per-row route+dtab must be map-only:\n" +
           probe.queryExecution.executedPlan)
-      val el = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label").as("cell"))
-      codesArr.join(el, "vec_id")
+      codesArr
         .join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
@@ -1065,19 +1060,37 @@ object Vectors {
       cb.collectFirst { case (s, c, cv) if s == i / PqK && c == i % PqK => cv }
         .orNull
     }
-    val sub = s"slice(v, (i div $PqK) * $PqSub + 1, $PqSub)"
+    // c·c folded to literals at plan-build time (query-independent) with
+    // ArrayDot's exact left-to-right double accumulation, so the doubles
+    // stay bit-identical to the in-plan form; empty slots (guarded by the
+    // _cb null check, never read) carry NaN
+    val cn: Seq[Double] = slots.map {
+      case null => Double.NaN
+      case cv =>
+        var acc = 0.0; var i = 0
+        while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+        acc
+    }
+    // query-constant work hoisted out of the 512-slot loop: the 8
+    // subvector slices and their 8 q·q dots compute once per row, not
+    // ~1500 times per row inside it
     queries
       .withColumn("_cb", typedLit(slots))
+      .withColumn("_cn", typedLit(cn))
       .withColumn("v", expr("transform(q_emb, x -> CAST(x AS DOUBLE))"))
+      .withColumn("_qs", expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(v, s * $PqSub + 1, $PqSub))"))
+      .withColumn("_qq", expr("transform(_qs, q -> array_dot(q, q))"))
       .withColumn("darr", expr(
         s"""transform(sequence(0, ${PqM * PqK - 1}), i ->
            |  CASE WHEN element_at(_cb, i+1) IS NULL
            |       THEN CAST('Infinity' AS DOUBLE)
-           |       ELSE array_dot($sub, $sub)
-           |          - 2 * array_dot($sub, element_at(_cb, i+1))
-           |          + array_dot(element_at(_cb, i+1), element_at(_cb, i+1))
+           |       ELSE element_at(_qq, CAST(i div $PqK AS INT) + 1)
+           |          - 2 * array_dot(element_at(_qs, CAST(i div $PqK AS INT) + 1),
+           |                          element_at(_cb, i+1))
+           |          + element_at(_cn, i+1)
            |  END)""".stripMargin))
-      .drop("_cb", "v")
+      .drop("_cb", "_cn", "v", "_qs", "_qq")
   }
 
   /** Per-ROW IVF routing: the coarse quantizer (every cell's centroid) as
@@ -1147,14 +1160,6 @@ object Vectors {
       .select(col("q_id"), col("t.id").as("vec_id"),
         (col("pos") + 1).cast("int").as("rk"), (-col("t.score")).as("cos"))
 
-  /** Train the PQ codebooks and encode the corpus, memoized + persisted
-    * per (session, dir): returns (codesArr(vec_id, carr[8]),
-    * dtabArr(q_id, darr[512])) — shared by v10 (full-corpus ADC) and
-    * v11 (cell-pruned ADC). Codebooks are kmeans centroid state (M×K
-    * rows), materialized on the driver between Lloyd iterations so the
-    * recursive codebook subplan executes once per iteration, not once
-    * per downstream consumer.
-    */
   /** The memoized PQ state, for specs that drive it from a streaming
     * plan (the gates go through the GQuery front door).
     */
@@ -1164,6 +1169,18 @@ object Vectors {
 
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])])]
+
+  /** Train the PQ codebooks and encode the corpus, memoized + persisted
+    * per (session, dir): returns (codesArr(vec_id, cell, carr[8]),
+    * dtabArr(q_id, darr[512]), driver-side codebook rows) — shared by
+    * v10 (full-corpus ADC), v11/v12 (cell-pruned), and s9 (streaming).
+    * Codebooks are kmeans centroid state (M×K rows), materialized on
+    * the driver between Lloyd iterations so the recursive codebook
+    * subplan executes once per iteration, not once per downstream
+    * consumer. `cell` (the vector's IVF cell = label) rides codesArr so
+    * cell-pruned consumers don't re-join a corpus-sized embeddings scan
+    * per execution.
+    */
   private def pqEncode(
       s: SparkSession, dir: String): (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
     pqCache.getOrElseUpdate((s, dir), {
@@ -1207,6 +1224,10 @@ object Vectors {
         .groupBy("vec_id")
         .agg(expr("transform(sort_array(collect_list(struct(s, code))), t -> t.code)")
           .as("carr"))
+        // cell rides the memoized codes: one join at encode time instead
+        // of a corpus-sized embeddings re-join per cell-pruned execution
+        .join(Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label").as("cell")), "vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qsv = sv.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Where do v13's append seconds go? The x100 IvfMaintProfile measured a
   * ~11 s floor for appending a 10k-row delta into 600 `cell=` partition
   * dirs — 2-3× the full-corpus rebuild — which is metadata, not data.
-  * This probe separates the candidate costs by timing the same routed
-  * delta through:
+  * This probe separates the candidate costs by timing a LABEL-assigned
+  * delta (cell = label directly — the routing step is deliberately
+  * skipped; IvfMaintProfile times the shipped route phase separately,
+  * and the file-layout cost under test here only depends on how many
+  * cell dirs receive rows) through:
   *
   *   1. `noop` sink            — upstream plan only (join + shuffle)
   *   2. partitionBy → FRESH dir — dynamic-partition write + commit,

@@ -31,11 +31,18 @@ class TextIncrementalIndexSpec extends SparkSuite {
         val corpus = Text.signatureFrame(docs.filter(col("doc_id") % 10 =!= 7))
         Bucketed.writePrepared(Text.cappedIndexFrame(corpus, 8), name, path,
           8, Seq("bk"), Seq("bk", "doc_id"))
-        val delta = Text.signatureFrame(docs.filter(col("doc_id") % 10 === 7))
-        // appendPrepared: cappedDelta's output already carries the
-        // table's exact bucket partitioning — one delta shuffle total
+        // two arriving shards exercise BOTH insert paths: the first half
+        // through plain append (repartition inside), the second through
+        // cappedDelta -> appendPrepared (the one-shuffle maintenance
+        // recipe); rebuild equality below pins them jointly
+        val delta = docs.filter(col("doc_id") % 10 === 7)
+        Bucketed.append(
+          Text.signatureFrame(delta.filter(col("doc_id") % 20 === 7)),
+          name, 8, Seq("bk"))
         Bucketed.appendPrepared(
-          Text.cappedDelta(Bucketed.table(s, name), delta, 8), name)
+          Text.cappedDelta(Bucketed.table(s, name),
+            Text.signatureFrame(delta.filter(col("doc_id") % 20 =!= 7)), 8),
+          name)
 
         val got = Bucketed.table(s, name)
         val want = Text.signatureFrame(docs)
@@ -45,7 +52,8 @@ class TextIncrementalIndexSpec extends SparkSuite {
 
         // a SECOND shard (re-using the delta's signatures as a stand-in)
         // must still join the appended index with zero added exchanges
-        val shard2 = delta.withColumnRenamed("doc_id", "doc2")
+        val shard2 = Text.signatureFrame(delta)
+          .withColumnRenamed("doc_id", "doc2")
           .repartition(8, col("bk"))
         val joined = Bucketed.table(s, name).hint("merge")
           .join(shard2.hint("merge"), "bk")

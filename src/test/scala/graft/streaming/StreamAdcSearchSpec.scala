@@ -25,10 +25,8 @@ class StreamAdcSearchSpec extends SparkSuite {
     val (codesArr, _, cb) = Vectors.pqForTesting(s, sf0001)
     val idx = Vectors.ivfIndexForTesting(s, sf0001)
     val cents = Vectors.loadCentroids(s, idx)
-    // the static side: per-vector PQ codes with their cell
-    val codes = codesArr.join(
-      graft.Tables.embeddings(s, sf0001)
-        .select(col("vec_id"), col("label").as("cell")), "vec_id")
+    // the static side: per-vector PQ codes, cell carried at encode time
+    val codes = codesArr
 
     val queries = graft.Tables.embeddings(s, sf0001)
       .filter(col("vec_id") % 25 === 0)
