@@ -87,16 +87,19 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 object GraftFunctions {
   // builders index children directly; a wrong argument count must surface
   // as a clean analysis error, not an IndexOutOfBoundsException from the
-  // builder body
+  // builder body. The expected signature rides in the functionName slot
+  // (the template's only free-text position); docroot must be the real
+  // docs base — the template renders it as a URL prefix.
   private def arity(name: String, sig: String, n: Int)(
       children: Seq[Expression]): Seq[Expression] = {
     if (children.length != n)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
         messageParameters = Map(
-          "functionName" -> s"`$name`", "expectedNum" -> n.toString,
+          "functionName" -> s"`$name` (expected $sig)",
+          "expectedNum" -> n.toString,
           "actualNum" -> children.length.toString,
-          "docroot" -> s"expected $sig"))
+          "docroot" -> "https://spark.apache.org/docs/latest"))
     children
   }
 

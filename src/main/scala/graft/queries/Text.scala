@@ -418,17 +418,43 @@ object Text {
     * rebuild-with-cap exactly when delta doc_ids are larger than the
     * corpus's within every shared capped bucket (monotone ingestion, the
     * production arrival order) or when no bucket crosses the cap.
+    *
+    * Capped-never-silent, both halves: `dropped_ids` counts delta rows
+    * the cap rejected (the build-side `graft_t26_index_cap` twin), and
+    * `undercut_ids` is the EXACTNESS sentinel for the condition above —
+    * delta rows whose doc_id is SMALLER than the index's max kept id in
+    * a bucket the combined occupancy pushes past the cap. A rebuild
+    * would have kept those ids and evicted the index's larger ones;
+    * append cannot evict, so any nonzero count means append-then-cap
+    * has diverged from rebuild-with-cap (non-monotone arrival) and the
+    * affected buckets need a rebuild to restore exactness. Both counts
+    * surface through [[graft.Metrics.logObserved]] (warn on nonzero).
     */
   private[graft] def cappedDelta(idx: DataFrame, deltaSigs: DataFrame,
-      buckets: Int, cap: Int = Lsh.DefaultBucketCap): DataFrame = {
+      buckets: Int, cap: Int = Lsh.DefaultBucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val occ = idx.groupBy("bk").agg(count(lit(1)).as("base"))
-    deltaSigs.repartition(buckets, col("bk"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("bk").orderBy(col("doc_id"))))
+    graft.Metrics.logObserved(deltaSigs.sparkSession)
+    val occ = idx.groupBy("bk")
+      .agg(count(lit(1)).as("base"), max(col("doc_id")).as("imax"))
+    val byBk = Window.partitionBy("bk")
+    val flagged = deltaSigs.repartition(buckets, col("bk"))
+      .withColumn("rn", row_number().over(byBk.orderBy(col("doc_id"))))
+      .withColumn("dn", count(lit(1)).over(byBk))
       .join(occ, Seq("bk"), "left")
-      .filter(col("rn") + coalesce(col("base"), lit(0)) <= cap)
-      .select("bk", "doc_id")
+      .withColumn("kept", col("rn") + coalesce(col("base"), lit(0)) <= cap)
+      .withColumn("undercut",
+        (coalesce(col("base"), lit(0)) + col("dn") > cap) &&
+          (col("doc_id") < col("imax")))
+    val metrics = Seq(
+      sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("dropped_ids"),
+      sum(when(col("undercut"), lit(1L)).otherwise(lit(0L))).as("undercut_ids"))
+    val observed = obs match {
+      case Some(o) => flagged.observe(o, metrics.head, metrics.tail: _*)
+      case None =>
+        flagged.observe("graft_t26_delta_cap", metrics.head, metrics.tail: _*)
+    }
+    observed.filter(col("kept")).select("bk", "doc_id")
   }
 
   /** The persisted index scan and its bucket count (the shard must
@@ -1403,13 +1429,18 @@ object Text {
     // ---- FUZZY decontamination: flag corpus documents sharing an LSH
     // band key with any benchmark document — the paraphrase-robust
     // complement to t13/t21, whose exact-shingle checks miss a
-    // contaminated example the moment one word changes. Both sides use
-    // the per-row closed-form signatures (rowLshKeys), so the plan is:
-    // bench signatures broadcast (4 rows/doc — ~25× smaller than t13's
-    // full shingle set), corpus side MAP-ONLY through the broadcast join,
-    // one terminal groupBy(doc_id). At 100 TB that is the minimal shape:
-    // the corpus shuffles once, by doc_id, carrying only bench-matched
-    // rows. PlanAuditSpec pins broadcast + the single exchange. ----
+    // contaminated example the moment one word changes. The corpus side
+    // is the MAINTAINED t26 signature index (the persisted bucketed
+    // table already holds exactly these rows — zero signature recompute,
+    // REQUIREd exchange-free below the join), topped up with per-row
+    // signatures for the one shard the gate's index intentionally
+    // excludes; bench signatures are per-row closed form and broadcast
+    // (4 rows/doc — ~25× smaller than t13's full shingle set). One
+    // terminal groupBy(doc_id). At 100 TB this is delta-cost
+    // decontamination: an index probe, not a corpus scan — the r14
+    // x1000 measurement (54.5 s, entirely signature derivation) drops
+    // to the bench-join + sliver-shuffle cost. PlanAuditSpec pins
+    // broadcast + bucketed corpus scan + exchange placement. ----
     GQuery(
       "t27_fuzzy_decontamination",
       s"""WITH ${shinglesSql(3)},
@@ -1426,10 +1457,20 @@ object Text {
       val docs = Tables.documents(s, dir)
       val bench = rowLshKeys(docs.filter(col("doc_id") % 50 === 0))
         .withColumnRenamed("doc_id", "bench_id")
-      rowLshKeys(docs.filter(col("doc_id") % 50 =!= 0))
-        .join(broadcast(bench), "bk")
-        .groupBy("doc_id")
-        .agg(countDistinct("bench_id").as("n_bench"))
+      // corpus signatures from the persisted index (built over
+      // doc_id % 10 != 7; capped, with drops == 0 asserted at gate
+      // scale) ∪ the excluded shard's per-row signatures; bench docs
+      // that live inside the index are filtered back out by id — a
+      // filter on the bucketed scan, no exchange
+      val (idx, _) = incrementalIndex(s, dir)
+      val corpusSide = idx.filter(col("doc_id") % 50 =!= 0)
+        .unionByName(rowLshKeys(docs.filter(
+          col("doc_id") % 10 === 7 && col("doc_id") % 50 =!= 0)))
+      val joined = corpusSide.join(broadcast(bench), "bk")
+      require(graft.sources.Bucketed.shuffleCount(joined) == 0,
+        s"t27: corpus side must reach the bench join exchange-free:\n" +
+          joined.queryExecution.executedPlan)
+      joined.groupBy("doc_id").agg(countDistinct("bench_id").as("n_bench"))
     }
   )
 }

@@ -120,6 +120,20 @@ object IncrProfile {
         val dedupSec = (System.nanoTime() - tq) / 1e9
         println(f"[incr] depth=$depth buckets=$buckets index build ${buildSec}%.1f s; " +
           f"shard dedup ${dedupSec}%.1f s; neardup pairs (j>=0.8) $nearDups%,d")
+        // maintenance half: the shard capped against the live index, with
+        // the loss + exactness sentinels (dropped/undercut) in the report
+        // — a capped or out-of-order insert must show up in the numbers,
+        // not just in a warn line
+        val tm = System.nanoTime()
+        val dObs = org.apache.spark.sql.Observation(s"incrprof_delta_d$depth")
+        val accepted = graft.queries.Text.cappedDelta(
+          graft.sources.Bucketed.table(spark, name),
+          sig(deltaDocs, bands, depth), buckets, obs = Some(dObs)).count()
+        val maintSec = (System.nanoTime() - tm) / 1e9
+        val dm = dObs.get
+        println(f"[incr] depth=$depth delta maintenance ${maintSec}%.1f s: " +
+          f"accepted=$accepted%,d dropped=${dm("dropped_ids")} " +
+          f"undercut=${dm("undercut_ids")}")
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
       } else {

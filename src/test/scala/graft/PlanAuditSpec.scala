@@ -291,6 +291,11 @@ class PlanAuditSpec extends SparkSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"bench side not broadcast:\n$plan")
+    // the corpus side must be the persisted t26 signature index (a
+    // bucketed scan), not a per-run signature recompute — the delta-cost
+    // claim rests on this
+    assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+      s"corpus side is not the bucketed t26 index scan:\n$plan")
     // countDistinct plans as its canonical two-exchange shape — hash by
     // (doc_id, bench_id) for the distinct, then by doc_id — but BOTH
     // exchanges sit ABOVE the broadcast join, so they carry only the

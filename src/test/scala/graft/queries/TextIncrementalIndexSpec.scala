@@ -98,6 +98,31 @@ class TextIncrementalIndexSpec extends SparkSuite {
       "partially-filled bucket must accept the smallest delta ids up to the cap")
   }
 
+  test("non-monotone delta into a crossing bucket trips the undercut sentinel") {
+    val s = spark
+    import s.implicits._
+    // hot bucket capped at 16 (kept ids 1..16, imax = 16); cold open
+    val sigs = ((1L to 200L).map(i => ("0|hot", i)) ++
+      Seq(("1|cold", 10L), ("1|cold", 11L), ("1|cold", 12L)))
+      .toDF("bk", "doc_id")
+    val capped = Text.cappedIndexFrame(sigs, 4, cap = 16)
+    // doc 5 arrives AFTER the index was built with ids 1..16 kept — a
+    // rebuild-with-cap would keep 5 and evict 16; append cannot. doc 100
+    // into cold is monotone and must append cleanly.
+    val delta = Seq(("0|hot", 5L), ("1|cold", 100L)).toDF("bk", "doc_id")
+    val obs = org.apache.spark.sql.Observation(
+      s"undercut_${java.util.UUID.randomUUID().toString.take(8)}")
+    val kept = Text.cappedDelta(capped, delta, 4, cap = 16, obs = Some(obs))
+    val rows = kept.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val m = obs.get
+    assert(m("dropped_ids") == 1L, s"hot-bucket delta row must be capped out: $m")
+    assert(m("undercut_ids") == 1L,
+      s"out-of-order id below the bucket's kept max must trip the sentinel: $m")
+    // exactness still holds bucket-locally where no cap crossed
+    assert(rows == Set(("1|cold", 100L)),
+      s"uncapped bucket must append exactly its monotone row: $rows")
+  }
+
   test("gate-scale index build drops nothing — the license for the uncapped oracle") {
     val s = spark
     Text.indexForTesting(s, sf0001)
