@@ -208,26 +208,7 @@ object Vectors {
         .groupBy("q_id")
         .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
     } else {
-      val nSupers = math.max(2L, math.ceil(math.sqrt(nCells.toDouble)).toLong)
-      val seeds = centroids
-        .select(col("cell"), col("centroid"), md5(col("cell").cast("string")).as("_h"))
-        .orderBy("_h").limit(nSupers.toInt)
-        .select(col("cell").as("super"), col("centroid").as("seed"),
-          expr("array_dot(centroid, centroid)").as("snorm2"))
-      // Voronoi: nearest seed by L2 ⇔ argmax(c·s − ‖s‖²/2)
-      val cellSuper = centroids.crossJoin(broadcast(seeds))
-        .select(col("cell"), col("centroid"), col("super"),
-          (expr(dotExpr("centroid", "seed")) - col("snorm2") / 2).as("aff"))
-        .groupBy("cell")
-        .agg(
-          max_by(col("super"), struct(col("aff"), -col("super"))).as("super"),
-          first(col("centroid")).as("centroid"))
-      val superCent = cellSuper
-        .select(col("super"), posexplode(col("centroid")).as(Seq("d", "x")))
-        .groupBy("super", "d").agg(avg("x").as("c"))
-        .groupBy("super")
-        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
-          .as("scent"))
+      val (superCent, cellSuper) = buildHierarchy(centroids, nCells)
       // probe the TOP-2 super-cells per query (IVF nprobe): a boundary
       // query whose best cell sits just across a Voronoi face re-ranks
       // the neighbor too. Two map-side max_by passes keep the no-
@@ -251,6 +232,41 @@ object Vectors {
         .groupBy("q_id")
         .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
     }
+  }
+
+  /** THE two-level quantizer construction, shared verbatim by the batch
+    * hierarchical route above and the streaming per-row route
+    * ([[rowRouteHier]]) so the two tiers can never drift: √cells SEED
+    * centroids (deterministic unbiased sample — smallest md5(cell)),
+    * every cell Voronoi-assigned to its nearest seed (argmax of
+    * c·s − ‖s‖²/2 over the broadcast seeds), super-centroid = member
+    * mean. Returns (superCent(super, scent), cellSuper(cell, centroid,
+    * super)).
+    */
+  private[graft] def buildHierarchy(
+      centroids: DataFrame, nCells: Long): (DataFrame, DataFrame) = {
+    registered(centroids.sparkSession)
+    val nSupers = math.max(2L, math.ceil(math.sqrt(nCells.toDouble)).toLong)
+    val seeds = centroids
+      .select(col("cell"), col("centroid"), md5(col("cell").cast("string")).as("_h"))
+      .orderBy("_h").limit(nSupers.toInt)
+      .select(col("cell").as("super"), col("centroid").as("seed"),
+        expr("array_dot(centroid, centroid)").as("snorm2"))
+    // Voronoi: nearest seed by L2 ⇔ argmax(c·s − ‖s‖²/2)
+    val cellSuper = centroids.crossJoin(broadcast(seeds))
+      .select(col("cell"), col("centroid"), col("super"),
+        (expr(dotExpr("centroid", "seed")) - col("snorm2") / 2).as("aff"))
+      .groupBy("cell")
+      .agg(
+        max_by(col("super"), struct(col("aff"), -col("super"))).as("super"),
+        first(col("centroid")).as("centroid"))
+    val superCent = cellSuper
+      .select(col("super"), posexplode(col("centroid")).as(Seq("d", "x")))
+      .groupBy("super", "d").agg(avg("x").as("c"))
+      .groupBy("super")
+      .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+        .as("scent"))
+    (superCent, cellSuper)
   }
 
   /** Build (once per session+dir) the persisted IVF index: a small
@@ -361,9 +377,24 @@ object Vectors {
   private[graft] def ivfIndexForTesting(s: SparkSession, dir: String): String =
     ivfIndex(s, dir)
 
+  /** A fresh store dir under the CURRENT java.io.tmpdir — read at call
+    * time, unlike `Files.createTempDirectory`, whose helper captures the
+    * property once at JVM start; per-call resolution keeps every graft
+    * temp-store family redirectable together (TempStoreLifecycleSpec
+    * isolates itself that way).
+    */
+  private def freshStoreDir(prefix: String): String = {
+    val tok = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"$prefix$tok")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def ivfIndex(s: SparkSession, dir: String): String =
     ivfCache.getOrElseUpdate((s, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      val out = freshStoreDir("graft-ivf-index")
       buildIvfIndex(Tables.embeddings(s, dir), out)
       out
     })
@@ -410,38 +441,190 @@ object Vectors {
     * shard (vec_id % 20 = 3), then the delta INSERTED the way FAISS
     * `add()` does: each new vector is assigned to its nearest cell under
     * the FROZEN trained coarse quantizer (centroids do not move on
-    * insert) and appended as new per-cell files; small-file compaction
-    * then folds the appended files back to one file per cell. At 100 TB
-    * this is the production shape for a living corpus: inserting a shard
-    * costs routing the shard + appending shard-sized files — the corpus
-    * partitions are never rewritten — and compaction amortizes across
-    * insert batches (threshold dozens of files; the gate uses 1 so every
-    * touched cell exercises the swap every run).
+    * insert), with DELTA BATCHING between arrival and the per-cell
+    * layout: inserts land in a delta-sized STAGING table first (one
+    * append whose cost ∝ delta bytes — AppendProbe measured the direct
+    * per-cell append paying a ~15-20 ms metadata floor PER OUTPUT FILE ×
+    * ~600 cells, which loses to a full rebuild below x1000); cells whose
+    * staged volume reaches block size flush to per-cell appended files,
+    * and compaction folds multi-file cells back together only past
+    * [[CompactFileThreshold]] files (amortized across dozens of
+    * inserts, not paid per batch). Search reads index ∪ staging — the
+    * staging scan is delta-sized, so the unflushed tail costs what it
+    * weighs. The gate exercises ALL THREE states every run: half the
+    * delta staged→flushed (appended files), the other half left staged,
+    * original cell files untouched.
     */
   private val ivfIncrCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[queries] def ivfIncrementalIndex(s: SparkSession, dir: String): String =
     ivfIncrCache.getOrElseUpdate((s, dir), {
       registered(s) // withNorm/routeQueries need array_dot
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf-incr").toString
+      val out = freshStoreDir("graft-ivf-incr")
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 20 =!= 3)
       buildIvfIndex(base, out)
-      // INSERT: route the delta against the frozen base centroids, append
-      // per-cell files (same routing argmax the queries use), compact
       val centArr = s.read.parquet(s"$out/centroids")
       val delta = emb.filter(col("vec_id") % 20 === 3)
-      val routed = routeQueries(
-        delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        centArr, centArr.count())
-        .select(col("q_id").as("vec_id"), col("cell"))
-      withNorm(delta).join(routed, "vec_id")
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("cell"))
-        .repartition(col("cell"))
-        .write.partitionBy("cell").mode("append").parquet(s"$out/vectors")
-      compactCells(s, s"$out/vectors", maxFiles = 1)
+      def routedRows(d: DataFrame): DataFrame = {
+        val routed = routeQueries(
+          d.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          centArr, centArr.count())
+          .select(col("q_id").as("vec_id"), col("cell"))
+        withNorm(d).join(routed, "vec_id")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            col("nrm"), col("cell"))
+      }
+      // first delta half: staged, then force-flushed (blockBytes=1 puts
+      // every staged cell over threshold) → per-cell appended files
+      stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 === 3)))
+      flushStaging(s, out, blockBytes = 1L)
+      // production-threshold compaction: at gate scale (≤2 files/cell)
+      // this is a no-op by design — cells carry original + appended
+      // files and search must straddle both (IvfIncrementalSpec also
+      // forces maxFiles=1 and re-asserts search equality)
+      compactCells(s, s"$out/vectors", maxFiles = CompactFileThreshold)
+      // second delta half: STAYS staged — search must union it in
+      stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 =!= 3)))
       out
     })
+
+  /** Compaction amortization threshold: a cell is rewritten only once it
+    * holds more than this many files (≈ dozens of insert batches), so
+    * the full touched-cell rewrite cost spreads across the inserts that
+    * created it instead of being paid per batch (the gate's old
+    * maxFiles=1 forced a rewrite per insert — 42-48 s at x1000).
+    */
+  val CompactFileThreshold: Int = 32
+
+  // ---- v13 staging tier: delta batching between arrival and the
+  // per-cell layout. Protocol dirs under the index root:
+  //   staging/        live staged rows (plain parquet, `cell` a column)
+  //   _flush_out/     flush in progress: per-cell files awaiting move
+  //   _staging_new/   flush in progress: residual staged rows
+  //   _staging_old/   COMMIT MARKER: present ⇔ a flush committed but has
+  //                   not finished moving files — recovery completes it
+  // Crash-safe the same way compactCells' swap is: before the commit
+  // rename, live state is untouched (pre-commit leftovers are garbage,
+  // deleted on recovery); after it, every remaining step is an
+  // idempotent rename, re-runnable from recoverFlush. ----
+
+  /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
+    * index's staging table: ONE delta-sized append — no per-cell files,
+    * no partition listing, cost ∝ delta bytes.
+    */
+  private[graft] def stageInsert(
+      s: SparkSession, idxRoot: String, rows: DataFrame): Unit = {
+    recoverFlush(s, idxRoot)
+    rows.write.mode("append").parquet(s"$idxRoot/staging")
+  }
+
+  /** The staged rows not yet flushed to cell files (None if the staging
+    * table is absent/empty). Search unions this delta-sized frame with
+    * the cell-partitioned index scan.
+    */
+  private[graft] def stagedRows(
+      s: SparkSession, idxRoot: String): Option[DataFrame] = {
+    recoverFlush(s, idxRoot)
+    val p = new org.apache.hadoop.fs.Path(s"$idxRoot/staging")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(s.read.parquet(p.toString))
+    else None
+  }
+
+  /** Flush staged rows of every cell whose staged volume (rows × the
+    * staging table's own bytes/row) reached `blockBytes`: their rows
+    * become per-cell appended files (one file per flushed cell — the
+    * block-sized write the batching exists to produce), the residual
+    * rows are rewritten as the new staging table (delta-sized, cheap).
+    * Returns the number of flushed cells.
+    */
+  private[graft] def flushStaging(
+      s: SparkSession, idxRoot: String, blockBytes: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    recoverFlush(s, idxRoot)
+    val root = new Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, "staging")
+    if (!fs.exists(staging)) return 0
+    val st = s.read.parquet(staging.toString)
+    val totalRows = st.count()
+    if (totalRows == 0L) return 0
+    val totalBytes = fs.listStatus(staging)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val perRow = math.max(1L, totalBytes / totalRows)
+    val flushCells = st.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") * perRow >= blockBytes)
+      .select("cell").collect().map(_.get(0))
+    if (flushCells.isEmpty) return 0
+    val flushOut = new Path(root, "_flush_out")
+    val stagingNew = new Path(root, "_staging_new")
+    st.filter(col("cell").isin(flushCells.toSeq: _*))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(flushOut.toString)
+    st.filter(!col("cell").isin(flushCells.toSeq: _*))
+      .write.mode("overwrite").parquet(stagingNew.toString)
+    // COMMIT: from here recovery finishes the flush instead of undoing it
+    if (!fs.rename(staging, new Path(root, "_staging_old")))
+      throw new java.io.IOException(
+        s"flush commit rename failed: $staging (staging untouched)")
+    completeFlush(s, idxRoot)
+    flushCells.length
+  }
+
+  /** Post-commit flush steps, idempotent (every step is a rename that
+    * disappears from the source on success, so a crashed flush resumes
+    * from wherever it stopped): swap the residual staging in, move each
+    * flushed per-cell file into its live cell dir, drop the old staging.
+    */
+  private def completeFlush(s: SparkSession, idxRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, "staging")
+    val stagingNew = new Path(root, "_staging_new")
+    val flushOut = new Path(root, "_flush_out")
+    if (fs.exists(stagingNew) && !fs.exists(staging))
+      if (!fs.rename(stagingNew, staging))
+        throw new java.io.IOException(s"flush: residual swap-in failed")
+    if (fs.exists(flushOut)) {
+      fs.listStatus(flushOut)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+        .foreach { d =>
+          val dstDir = new Path(new Path(root, "vectors"), d.getPath.getName)
+          fs.mkdirs(dstDir)
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { f =>
+              // part file names carry the write job's UUID — unique
+              // across flushes, so the move never collides
+              if (!fs.rename(f.getPath, new Path(dstDir, f.getPath.getName)))
+                throw new java.io.IOException(
+                  s"flush: file move failed: ${f.getPath} -> $dstDir")
+            }
+        }
+      fs.delete(flushOut, true)
+    }
+    fs.delete(new Path(root, "_staging_old"), true)
+  }
+
+  /** Recovery sweep for a crashed flush: `_staging_old` present means a
+    * flush COMMITTED — finish its idempotent tail; absent means any
+    * `_flush_out`/`_staging_new` are pre-commit garbage — drop them
+    * (live staging + cells were never touched).
+    */
+  private[graft] def recoverFlush(s: SparkSession, idxRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root, "_staging_old"))) completeFlush(s, idxRoot)
+    else {
+      fs.delete(new Path(root, "_flush_out"), true)
+      fs.delete(new Path(root, "_staging_new"), true)
+    }
+  }
 
   /** Compact every `cell=` directory holding more than `maxFiles` parquet
     * files down to one, as ONE Spark job: the needy cells are selected by
@@ -454,12 +637,34 @@ object Vectors {
     * one-job form is the cluster shape (the scan parallelizes across
     * cells, renames are metadata ops). Hadoop FS API throughout, so the
     * same code drives HDFS/S3A.
+    *
+    * The per-cell swap is CRASH-SAFE: the live dir is renamed aside
+    * (`_old_cell=N` — partitioned reads ignore `_` prefixes), the
+    * compacted staging dir renamed in, and only then is the aside
+    * deleted — at no point between operations is the cell's data absent
+    * from the filesystem (the first cut deleted the live dir before the
+    * rename, so a crash or rename failure in that window silently
+    * truncated every later search). A recovery sweep at entry restores
+    * any `_old_` aside a prior crash stranded (live dir missing → the
+    * aside IS the data) before the needy-cell listing runs.
     */
   private[graft] def compactCells(
       s: SparkSession, vectors: String, maxFiles: Int): Int = {
     import org.apache.hadoop.fs.Path
     val root = new Path(vectors)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // recovery: a crash after rename-aside but before rename-in leaves
+    // (_old_cell=N present, cell=N absent) — restore it; a crash after
+    // rename-in leaves a stale aside next to the live dir — drop it
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_old_cell="))
+      .foreach { st =>
+        val live = new Path(root, st.getPath.getName.stripPrefix("_old_"))
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else if (!fs.rename(st.getPath, live))
+          throw new java.io.IOException(
+            s"compaction recovery failed: ${st.getPath} -> $live")
+      }
     val need = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .filter(st => fs.listStatus(st.getPath)
@@ -475,10 +680,16 @@ object Vectors {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .foreach { st =>
         val dst = new Path(root, st.getPath.getName)
-        fs.delete(dst, true)
-        if (!fs.rename(st.getPath, dst))
+        val aside = new Path(root, "_old_" + st.getPath.getName)
+        if (!fs.rename(dst, aside))
           throw new java.io.IOException(
-            s"compaction rename failed: ${st.getPath} -> $dst")
+            s"compaction aside-rename failed: $dst -> $aside (cell untouched)")
+        if (!fs.rename(st.getPath, dst)) {
+          fs.rename(aside, dst) // restore; best-effort — aside still holds the data
+          throw new java.io.IOException(
+            s"compaction swap-in failed: ${st.getPath} -> $dst (cell restored)")
+        }
+        fs.delete(aside, true)
       }
     fs.delete(staging, true)
     need.length
@@ -929,12 +1140,16 @@ object Vectors {
     // ---- Incremental IVF maintenance (the v7 index as a LIVING store,
     // the t26 twin for vectors): index built over the corpus minus the
     // delta shard, delta inserted by routing against the FROZEN base
-    // centroids (FAISS add(): assignment only, centroids don't move) and
-    // appended as per-cell files, then compacted back to one file per
-    // cell. Search runs the standard v7 path over the maintained index;
-    // the oracle is the full recompute with the same membership (base in
-    // its label cell, delta in its routed cell), so a lost / double /
-    // misrouted insert or a row dropped by compaction hash-fails. ----
+    // centroids (FAISS add(): assignment only, centroids don't move)
+    // through the DELTA-BATCHED staging tier — half the shard staged
+    // then flushed to per-cell appended files, half left staged. Search
+    // probes the cell-partitioned index (DPP keeps it to the routed
+    // cells) AND the delta-sized staging table, each side separately so
+    // the partition pruning on the big side survives, then takes top-k
+    // over the union. The oracle is the full recompute with the same
+    // membership (base in its label cell, delta in its routed cell), so
+    // a lost / double / misrouted insert, a row dropped by flush, or a
+    // staged row search misses hash-fails. ----
     GQuery("v13_ivf_incremental", ivfIncrOracleSql) { (s, dir) =>
       registered(s)
       val idx = ivfIncrementalIndex(s, dir)
@@ -945,12 +1160,18 @@ object Vectors {
       val cent = s.read.parquet(s"$idx/centroids")
       val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
       val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
-      val probed = s.read.parquet(s"$idx/vectors")
+      def score(side: DataFrame): DataFrame = side
         .join(broadcast(qcell), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos",
           expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
-      topKByCos(probed, 3)
+        .select("q_id", "vec_id", "cos")
+      val probed = score(s.read.parquet(s"$idx/vectors"))
+      val all = stagedRows(s, idx) match {
+        case Some(st) => probed.unionByName(score(st))
+        case None => probed
+      }
+      topKByCos(all, 3)
     },
 
     // ---- Streaming vector search against the persisted IVF index (the
@@ -995,13 +1216,16 @@ object Vectors {
       (s, dir) =>
       registered(s)
       val idx = ivfIndex(s, dir)
-      val cents = loadCentroids(s, idx)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val routed = rowRoute(q, cents)
+      // scale-correct per-row routing: flat literals at gate scale,
+      // two-level past the threshold (x1000's 10k cells) — the stream
+      // side must be exchange-free either way (static quantizer
+      // broadcasts don't count)
+      val routed = rowRouteAuto(s, q, idx)
         .withColumn("q_nrm", expr(s"sqrt(${dotExpr("q_emb", "q_emb")})"))
-      require(graft.sources.Bucketed.shuffleCount(routed) == 0,
-        s"s8: per-row routing must be map-only:\n" +
+      require(graft.sources.Bucketed.streamSideShuffles(routed) == 0,
+        s"s8: per-row routing must be stream-side map-only:\n" +
           routed.queryExecution.executedPlan)
       s.read.parquet(s"$idx/vectors")
         .join(broadcast(routed), Seq("cell"))
@@ -1027,12 +1251,11 @@ object Vectors {
       registered(s)
       val (codesArr, _, cb) = pqEncode(s, dir)
       val idx = ivfIndex(s, dir)
-      val cents = loadCentroids(s, idx)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probe = rowAdcProbe(rowRoute(q, cents), cb).drop("q_emb")
-      require(graft.sources.Bucketed.shuffleCount(probe) == 0,
-        s"s9: per-row route+dtab must be map-only:\n" +
+      val probe = rowAdcProbe(rowRouteAuto(s, q, idx), cb).drop("q_emb")
+      require(graft.sources.Bucketed.streamSideShuffles(probe) == 0,
+        s"s9: per-row route+dtab must be stream-side map-only:\n" +
           probe.queryExecution.executedPlan)
       codesArr
         .join(broadcast(probe), Seq("cell"))
@@ -1098,12 +1321,12 @@ object Vectors {
     * its nearest cell with no join, no aggregate, and no exchange —
     * identical assignments (same `array_dot` products, same
     * min-cell tie-break) to [[routeQueries]]' flat max_by path. This is
-    * the serving/streaming form of the quantizer: ~cells × dims doubles
-    * ride the plan as literals (45 × 64 at gate scale — the same data
-    * routeQueries broadcasts), which holds to a few thousand cells; past
-    * [[HierarchicalRoutingThreshold]] a production stream would fold in
-    * only the √cells super-centroids and probe the winner's children the
-    * same way.
+    * the serving/streaming form of the quantizer below the threshold:
+    * ~cells × dims doubles ride the plan as literals (45 × 64 at gate
+    * scale — the same data routeQueries broadcasts), which holds to a
+    * few thousand cells; past [[HierarchicalRoutingThreshold]] the
+    * serving tier switches to [[rowRouteHier]] (√cells super-centroid
+    * literals + broadcast children), dispatched by [[rowRouteAuto]].
     */
   private[graft] def rowRoute(
       queries: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
@@ -1117,6 +1340,102 @@ object Vectors {
           |  struct(array_dot(q_emb, element_at(_ce, i+1)) AS dp,
           |         -element_at(_cl, i+1) AS negc))).negc""".stripMargin))
       .drop("_cl", "_ce")
+  }
+
+  /** Per-ROW TWO-LEVEL IVF routing — the serving/streaming form of
+    * [[routeQueries]]' hierarchical branch, for indexes past
+    * [[HierarchicalRoutingThreshold]] where folding the full quantizer
+    * into plan literals ([[rowRoute]]) stops scaling. Literal state is
+    * only the √cells super-centroids (~√cells × dims doubles); the full
+    * (cell, centroid) table rides as a BROADCAST frame, not plan state.
+    *
+    * Shape, all append-mode-legal: each query row (1) picks its top-2
+    * super-cells by closed-form argmax over the super literals — the
+    * same nprobe=2 boundary semantics as the batch route (second argmax
+    * excludes the winner via a −∞ sentinel, same (dp, −super) tiebreak);
+    * (2) resolves both supers' children through two broadcast equi-joins
+    * against the one-row-per-super `kids` frame (stream-static joins —
+    * the static side's aggregates are legal; the STREAM side sees no
+    * aggregate and no exchange); (3) picks the final cell by closed-form
+    * argmax over the two concatenated children arrays with the flat
+    * route's exact (dp, −cell) tiebreak. Work per row ≈ 2·√cells fused
+    * dots — the batch hierarchy's cost model, now per arriving row.
+    *
+    * Assignments are IDENTICAL to the batch hierarchical route (same
+    * [[buildHierarchy]] state, same argmax/tiebreak algebra at both
+    * levels) — RoutingHierarchySpec pins exact parity at 4096 cells.
+    *
+    * @param supers the collected super-centroids (super, scent),
+    *               deterministically ordered
+    * @param kids   one row per super: (super, kids array<struct<cell,
+    *               centroid>>), from [[hierarchyForRowRoute]]
+    */
+  private[graft] def rowRouteHier(
+      queries: DataFrame, supers: Array[(Int, Seq[Double])],
+      kids: DataFrame): DataFrame = {
+    registered(queries.sparkSession)
+    require(supers.length >= 2, "hierarchical routing needs >= 2 super-cells")
+    val q2 = queries
+      .withColumn("_sl", typedLit(supers.map(_._1).toSeq))
+      .withColumn("_se", typedLit(supers.map(_._2).toSeq))
+      .withColumn("_s1", expr(
+        """-array_max(transform(sequence(0, size(_sl)-1), i ->
+          |  struct(array_dot(q_emb, element_at(_se, i+1)) AS dp,
+          |         -element_at(_sl, i+1) AS negs))).negs""".stripMargin))
+      .withColumn("_s2", expr(
+        """-array_max(transform(sequence(0, size(_sl)-1), i ->
+          |  struct(CASE WHEN element_at(_sl, i+1) = _s1
+          |              THEN CAST('-Infinity' AS DOUBLE)
+          |              ELSE array_dot(q_emb, element_at(_se, i+1)) END AS dp,
+          |         -element_at(_sl, i+1) AS negs))).negs""".stripMargin))
+      .drop("_sl", "_se")
+    q2.join(broadcast(kids.select(col("super").as("_s1"), col("kids").as("_k1"))),
+        "_s1")
+      .join(broadcast(kids.select(col("super").as("_s2"), col("kids").as("_k2"))),
+        "_s2")
+      .withColumn("cell", expr(
+        """-array_max(transform(concat(_k1, _k2), k ->
+          |  struct(array_dot(q_emb, k.centroid) AS dp,
+          |         -k.cell AS negc))).negc""".stripMargin))
+      .drop("_s1", "_s2", "_k1", "_k2")
+  }
+
+  /** The hierarchy in [[rowRouteHier]]'s consumable shape: collected
+    * super-centroids + the one-row-per-super children frame. Split out
+    * so callers (specs, the profile) can build it once and drive many
+    * streams.
+    */
+  private[graft] def hierarchyForRowRoute(
+      centroids: DataFrame, nCells: Long):
+      (Array[(Int, Seq[Double])], DataFrame) = {
+    val (superCent, cellSuper) = buildHierarchy(centroids, nCells)
+    val supers = superCent.orderBy("super").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val kids = cellSuper.groupBy("super")
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("kids"))
+    (supers, kids)
+  }
+
+  /** Route a (possibly streaming) query frame against the persisted
+    * index, picking the scale-correct per-row form: flat literals below
+    * [[HierarchicalRoutingThreshold]], two-level ([[rowRouteHier]])
+    * above — mirroring exactly where the batch [[routeQueries]]
+    * switches. The caller's map-only REQUIRE is
+    * [[graft.sources.Bucketed.streamSideShuffles]]` == 0`: exchanges
+    * building the static (broadcast) quantizer side are legal; any
+    * exchange on the stream side breaks append-mode legality and
+    * signals a plan regression.
+    */
+  private[graft] def rowRouteAuto(
+      s: SparkSession, queries: DataFrame, idx: String): DataFrame = {
+    val centDf = s.read.parquet(s"$idx/centroids")
+    val nCells = centDf.count()
+    if (nCells <= HierarchicalRoutingThreshold)
+      rowRoute(queries, loadCentroids(s, idx))
+    else {
+      val (supers, kids) = hierarchyForRowRoute(centDf, nCells)
+      rowRouteHier(queries, supers, kids)
+    }
   }
 
   /** The fused ADC distance: 8 dense-array lookups summed as a FLAT

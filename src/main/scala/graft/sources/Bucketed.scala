@@ -158,4 +158,26 @@ object Bucketed {
   def shuffleCount(df: DataFrame): Int =
     df.queryExecution.executedPlan.toString.linesIterator
       .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  /** Shuffle exchanges OUTSIDE broadcast subtrees — the STREAM-side
+    * shuffle count of a stream-static join plan. Everything under a
+    * `BroadcastExchange` is the static side (built once per micro-batch,
+    * free to aggregate/shuffle); any shuffle elsewhere moves STREAM rows,
+    * which breaks append-mode legality. Tree walk, not string match:
+    * the static side's exchanges must not count against the stream.
+    */
+  def streamSideShuffles(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Int = p match {
+      case _: BroadcastExchangeLike => 0
+      case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
+      case r: ReusedExchangeExec => walk(r.child)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }

@@ -71,6 +71,30 @@ object RouteProfile {
         "flat" else "hier"
       println(f"[route] cells=$cells%6d mode=$mode queries=$nQ routed=$routed " +
         f"sec=$sec%.2f e_vs_prev=$e")
+      // the SERVING tier's per-row form at the same budget — what each
+      // arriving stream row pays (flat literals below the threshold,
+      // two-level super literals + broadcast children above). Quantizer
+      // prep (collect / hierarchy build) is timed separately: it is
+      // per-index-build state, not per-query cost.
+      val tp0 = System.nanoTime()
+      val perRow =
+        if (cells <= graft.queries.Vectors.HierarchicalRoutingThreshold) {
+          val cents = c.orderBy("cell").collect()
+            .map(r => (r.getInt(0), r.getSeq[Double](1)))
+          graft.queries.Vectors.rowRoute(q, cents)
+        } else {
+          val (supers, kids) =
+            graft.queries.Vectors.hierarchyForRowRoute(c, cells)
+          graft.queries.Vectors.rowRouteHier(q, supers, kids)
+        }
+      val prepSec = (System.nanoTime() - tp0) / 1e9
+      perRow.count() // warm
+      val tr0 = System.nanoTime()
+      val rowRouted = perRow.count()
+      val rowSec = (System.nanoTime() - tr0) / 1e9
+      println(f"[route] cells=$cells%6d mode=row-$mode queries=$nQ " +
+        f"routed=$rowRouted prep=$prepSec%.2f sec=$rowSec%.2f " +
+        f"(${rowSec / nQ * 1e6}%.1f us/query)")
       prev = Some((cells, sec))
       c.unpersist(); q.unpersist()
     }

@@ -18,6 +18,14 @@ class TempStoreLifecycleSpec extends SparkSuite {
   // it is reaped by the JVM shutdown hook, not by clearCaches
   private val Stable = Seq("graft-jsonl-")
 
+  // snap() counts by name prefix, so the counts must be immune to stores
+  // created by OTHER writers under the shared /tmp — another JVM (a
+  // concurrent bench run), or leftovers from a killed run. The suite
+  // therefore redirects java.io.tmpdir to its own fresh directory for the
+  // duration of the test (suites run sequentially in the forked test JVM,
+  // so no in-JVM peer observes the change mid-build; stores built by
+  // earlier suites are cleared by recorded path, not by re-reading the
+  // property) and restores it afterwards.
   private def snap(): Map[String, Int] = {
     val tmp = new File(System.getProperty("java.io.tmpdir"))
     (Reaped ++ Stable).map { p =>
@@ -38,6 +46,25 @@ class TempStoreLifecycleSpec extends SparkSuite {
   }
 
   test("two clear/rebuild cycles leave every temp store flat") {
+    val prevTmp = System.getProperty("java.io.tmpdir")
+    val mine = java.nio.file.Files.createTempDirectory("graft-lifecycle-")
+    System.setProperty("java.io.tmpdir", mine.toString)
+    try runLifecycle()
+    finally {
+      System.setProperty("java.io.tmpdir", prevTmp)
+      // stores the cycle left behind on purpose (the stable jsonl copy,
+      // the final rebuilt reaped stores) live under `mine`; clear them so
+      // the suite leaves no private tmp tree, then drop the dir itself
+      clearAll()
+      graft.engine.MultiAnalyzer.deleteRecursively(mine.toFile)
+    }
+  }
+
+  private def runLifecycle(): Unit = {
+    // drop stores memoized by earlier suites (they live under the real
+    // /tmp): every build this cycle observes must land under the suite's
+    // private tmpdir, including the stable jsonl fixture's path
+    clearAll()
     runGates(); clearAll()
     val after1 = snap()
     // rebuild: each reaped family materializes exactly one fresh store

@@ -12,23 +12,50 @@ import org.apache.spark.sql.functions._
   */
 class IvfIncrementalSpec extends SparkSuite {
 
-  test("after insert + compaction every cell directory holds exactly one file") {
+  test("gate layout: flushed cells hold appended files under the compaction threshold; staging holds the unflushed tail") {
     val idx = Vectors.ivfIncrementalIndex(spark, sf0001)
     val root = new java.io.File(s"$idx/vectors")
     val cells = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cells.nonEmpty, s"no cell dirs under $root")
-    val multi = cells.filter(_.listFiles().count(_.getName.endsWith(".parquet")) != 1)
-    assert(multi.isEmpty,
-      s"cells not compacted to one file: ${multi.map(_.getName).mkString(", ")}")
+    // the flushed half appended files but stayed under CompactFileThreshold
+    // — so SOME cells must hold >1 file (search straddles original +
+    // appended generations) and none was rewritten by compaction
+    val counts = cells.map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(counts.exists(_ > 1),
+      "no cell holds an appended file — the flush path didn't run")
+    assert(counts.forall(_ <= Vectors.CompactFileThreshold))
+    // the second delta half is still staged, delta-sized
+    val staged = Vectors.stagedRows(spark, idx)
+    assert(staged.nonEmpty, "no staging table — the unflushed tail is missing")
+    assert(staged.get.count() > 0)
   }
 
-  test("insert conserves membership: index rows = corpus rows, ids identical") {
+  test("insert conserves membership: index ∪ staging rows = corpus rows, ids identical") {
     val idx = Vectors.ivfIncrementalIndex(spark, sf0001)
     val stored = spark.read.parquet(s"$idx/vectors").select("vec_id")
+      .unionByName(Vectors.stagedRows(spark, idx).get.select("vec_id"))
     val corpus = Tables.embeddings(spark, sf0001).select("vec_id")
-    assert(stored.count() == corpus.count(), "row count drifted through insert/compact")
+    assert(stored.count() == corpus.count(), "row count drifted through stage/flush")
     assert(stored.exceptAll(corpus).isEmpty && corpus.exceptAll(stored).isEmpty,
-      "vec_id multiset drifted through insert/compact")
+      "vec_id multiset drifted through stage/flush")
+  }
+
+  test("forced compaction (maxFiles=1) across the append boundary preserves search") {
+    val before = graft.SparkEntry.queries("v13_ivf_incremental")(spark, sf0001)
+      .collect().map(_.toString).toSet
+    val idx = Vectors.ivfIncrementalIndex(spark, sf0001)
+    val n = Vectors.compactCells(spark, s"$idx/vectors", maxFiles = 1)
+    assert(n > 0, "forced compaction rewrote no cells — nothing straddled")
+    val root = new java.io.File(s"$idx/vectors")
+    val multi = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) != 1)
+    assert(multi.isEmpty,
+      s"cells not compacted to one file: ${multi.map(_.getName).mkString(", ")}")
+    val after = graft.SparkEntry.queries("v13_ivf_incremental")(spark, sf0001)
+      .collect().map(_.toString).toSet
+    assert(after === before,
+      "search result changed across the compaction boundary")
   }
 
   test("search over the maintained index equals search over rebuilt membership") {

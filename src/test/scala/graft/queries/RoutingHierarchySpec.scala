@@ -12,44 +12,15 @@ import org.apache.spark.sql.functions._
   */
 class RoutingHierarchySpec extends SparkSuite {
 
-  private val dims = 64
-
-  /** Manifold-shaped cell centroids: cells cluster around ~√nCells
-    * regions (region center + cell noise) — the structure k-means-derived
-    * IVF cells have on real embedding corpora, which is what makes a
-    * two-level quantizer work. (Isotropic random centroids are
-    * information-theoretically unroutable through √cells probes: every
-    * cell is near-orthogonal to every other, and measured agreement
-    * collapses to chance.)
+  /** Manifold-shaped centroids + clustered queries (see
+    * [[RoutingFixtures]] — shared with the streaming route specs).
+    * Isotropic random centroids are information-theoretically
+    * unroutable through √cells probes; the fixtures model the clustered
+    * case that makes a two-level quantizer work.
     */
-  private def centroids(nCells: Int) = {
-    val nRegions = math.ceil(math.sqrt(nCells.toDouble)).toInt
-    spark.range(nCells)
-      .withColumn("region", pmod(abs(hash(col("id") * 31)), lit(nRegions)))
-      .select(
-        col("id").cast("int").as("cell"),
-        expr(s"""transform(sequence(0, ${dims - 1}),
-                  d -> cast(hash(region * 64 + d) / 2.147483647E9 * 0.8
-                          + hash(id * 64 + d) / 2.147483647E9 * 0.3 as double))""")
-          .as("centroid"))
-  }
-
-  /** Queries drawn near cell centroids (centroid ·0.9 + 0.2 noise), so
-    * each query has an unambiguous best cell most of the time.
-    */
-  private def queries(nQ: Int, nCells: Int) = {
-    val nRegions = math.ceil(math.sqrt(nCells.toDouble)).toInt
-    spark.range(nQ)
-      .withColumn("home", pmod(abs(hash(col("id") * 13)), lit(nCells)))
-      .withColumn("hr", pmod(abs(hash(col("home") * 31)), lit(nRegions)))
-      .select(
-        col("id").as("q_id"),
-        expr(s"""transform(sequence(0, ${dims - 1}),
-                  d -> cast((hash(hr * 64 + d) / 2.147483647E9 * 0.8
-                           + hash(home * 64 + d) / 2.147483647E9 * 0.3) * 0.9
-                          + hash(id * 64 + d) / 2.147483647E9 * 0.2 as double))""")
-          .as("q_emb"))
-  }
+  private def centroids(nCells: Int) = RoutingFixtures.centroids(spark, nCells)
+  private def queries(nQ: Int, nCells: Int) =
+    RoutingFixtures.queries(spark, nQ, nCells)
 
   test("below the threshold the flat oracle-tiebreak path runs") {
     val c = centroids(100)
@@ -97,6 +68,65 @@ class RoutingHierarchySpec extends SparkSuite {
       assert(badMisses.length <= n / 50,
         s"${badMisses.length} routed cells fall far below the flat argmax")
     } finally { c.unpersist(); q.unpersist(); () }
+  }
+
+  test("4096 cells: per-row two-level route == batch hierarchical route, stream side map-only") {
+    // the streaming serving tier past HierarchicalRoutingThreshold: the
+    // per-row closed-form route (super-centroid literals + broadcast
+    // children, rowRouteHier) must assign every query the SAME cell as
+    // the batch hierarchical route — same buildHierarchy state, same
+    // nprobe=2 probe set, same (dp, -id) tiebreaks at both levels — and
+    // its plan must shuffle nothing outside the static broadcast sides
+    val nCells = 4096
+    val c = centroids(nCells).persist()
+    val q = queries(2000, nCells).persist()
+    try {
+      val batch = Vectors.routeQueries(q, c, nCells).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      val (supers, kids) = Vectors.hierarchyForRowRoute(c, nCells)
+      assert(supers.length == math.ceil(math.sqrt(nCells.toDouble)).toInt)
+      val perRowDf = Vectors.rowRouteHier(q, supers, kids).select("q_id", "cell")
+      assert(graft.sources.Bucketed.streamSideShuffles(perRowDf) == 0,
+        s"stream side shuffled:\n${perRowDf.queryExecution.executedPlan}")
+      val perRow = perRowDf.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(perRow.size === 2000 && batch.size === 2000)
+      val diverged = perRow.collect {
+        case (qid, cell) if batch(qid) != cell => (qid, batch(qid), cell)
+      }
+      assert(diverged.isEmpty,
+        s"${diverged.size} queries routed differently (q_id, batch, perRow): " +
+          s"${diverged.take(5)}")
+    } finally { c.unpersist(); q.unpersist(); () }
+  }
+
+  test("nprobe=2 boundary: a better cell inside the runner-up super wins the final argmax") {
+    // hand-built two-super quantizer, dims=2 for exactness by inspection:
+    // the query's super argmax picks s0, but the best CELL (21) lives in
+    // s1 — only the second-probe path can route it there
+    val s = spark
+    import s.implicits._
+    val supers = Array((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val kids = Seq(
+      (0, Seq((10, Seq(1.0, 0.0)))),
+      (1, Seq((20, Seq(0.0, 1.0)), (21, Seq(2.0, 2.0)))))
+      .toDF("super", "kids")
+      .select(col("super"), expr(
+        "transform(kids, k -> struct(k._1 AS cell, k._2 AS centroid)) AS kids"))
+    val q = Seq((1L, Seq(1.0, 0.9))).toDF("q_id", "q_emb")
+    val routed = Vectors.rowRouteHier(q, supers, kids).select("q_id", "cell")
+    assert(routed.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 21)))
+
+    // tiebreak at the cell stage: equal dp across supers -> smallest cell
+    val kidsTie = Seq(
+      (0, Seq((5, Seq(2.0, 2.0)))),
+      (1, Seq((20, Seq(0.0, 1.0)), (21, Seq(2.0, 2.0)))))
+      .toDF("super", "kids")
+      .select(col("super"), expr(
+        "transform(kids, k -> struct(k._1 AS cell, k._2 AS centroid)) AS kids"))
+    val tied = Vectors.rowRouteHier(q, supers, kidsTie).select("q_id", "cell")
+    assert(tied.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 5)), "equal-dp tie must break to the smaller cell id")
   }
 
   test("hierarchical plan: every cartesian is a small-side broadcast") {

@@ -63,4 +63,46 @@ class StreamVectorSearchSpec extends SparkSuite {
       graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(src))
     }
   }
+
+  test("hierarchical per-row route (4096 cells) runs append-mode streaming == batch") {
+    // the serving tier past HierarchicalRoutingThreshold: rowRouteHier's
+    // two broadcast stream-static joins + closed-form argmaxes must be
+    // legal in an append-mode plan (no stream-side aggregate) and emit
+    // the batch form's exact assignments. 4096 synthetic cells — the
+    // scale where the flat-literal rowRoute stops being the answer.
+    val s = spark
+    val nCells = 4096
+    val c = graft.queries.RoutingFixtures.centroids(s, nCells)
+    val (supers, kids) = Vectors.hierarchyForRowRoute(c, nCells)
+    val q = graft.queries.RoutingFixtures.queries(s, 300, nCells)
+    val batch = Vectors.rowRouteHier(q, supers, kids).select("q_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    val src = Files.createTempDirectory("graft-s8h-src").toString
+    try {
+      q.filter(col("q_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "q_id BIGINT, q_emb ARRAY<DOUBLE>"))
+        .parquet(src)
+      val routed = Vectors.rowRouteHier(stream, supers, kids)
+        .select("q_id", "cell")
+      val sq = routed.writeStream
+        .format("memory").queryName("s8h_test").outputMode("append").start()
+      try {
+        sq.processAllAvailable()
+        q.filter(col("q_id") % 3 =!= 0).coalesce(1)
+          .write.mode("append").parquet(src)
+        sq.processAllAvailable()
+        val got = s.table("s8h_test")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(got === batch,
+          s"hier stream/batch divergence: stream-only=${(got -- batch).take(5)}, " +
+            s"batch-only=${(batch -- got).take(5)}")
+      } finally sq.stop()
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(src))
+    }
+  }
 }
