@@ -1471,6 +1471,168 @@ object Text {
         s"t27: corpus side must reach the bench join exchange-free:\n" +
           joined.queryExecution.executedPlan)
       joined.groupBy("doc_id").agg(countDistinct("bench_id").as("n_bench"))
+    },
+
+    // ---- The COMPOSED training-data pipeline: every t-gate above is a
+    // single stage; a real corpus release chains them. One gate runs the
+    // whole chain — exact dedup (t1: keep the min-id copy per normalized
+    // text) → near-dup survivors (t9: drop jaccard≥0.8 losers) →
+    // benchmark holdout + exact-shingle decontamination (t21 semantics)
+    // → quality filter (t3's score, keep ≥0.5) → PII scrub (t15's
+    // augment-and-redact, counts + scrubbed length carried) → split
+    // assign (t23, keep train) → mixture sampling (t17's per-source
+    // admission) → per-source cap (rank window, WindowGroupLimit-bounded;
+    // see the in-line note on why composition inverts t22's topk_by
+    // choice) → sequence packing (t16's per-source window) — against a
+    // DuckDB oracle of the identical composition. Why a composed gate:
+    // cross-op regressions (shared scans, memoized frames, plan
+    // explosion) are invisible to per-op gates. Scale shape: the
+    // doc-level stages ride ONE corpus scan (filters and map exprs fused
+    // into it); the shingle-derived sets (losers, contamination) reuse
+    // the SAME persisted shingle/candidate/pair frames t7/t9/t11 share,
+    // so the corpus parquet is scanned O(1) times — not once per stage —
+    // which PlanAuditSpec pins. Quality is scored on the ORIGINAL text
+    // (the scrub appends redaction tags; scoring after would let the
+    // scrub perturb admission); packing runs last so offsets cover
+    // exactly the released rows. ----
+    GQuery(
+      "t28_pipeline", {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        s"""WITH $lshSql,
+           |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT c.doc1, c.doc2, count(*) AS ic
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc1
+           |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+           |  GROUP BY c.doc1, c.doc2),
+           |losers AS (
+           |  SELECT DISTINCT i.doc2 AS doc_id FROM inter i
+           |  JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
+           |  WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.8),
+           |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           |contaminated AS (
+           |  SELECT DISTINCT s.doc_id FROM sh s
+           |  JOIN bench b ON b.shingle = s.shingle WHERE s.doc_id % 50 <> 0),
+           |surv AS (
+           |  SELECT d.doc_id, d.source, d.lang, d.text, d.n_chars
+           |  FROM documents d JOIN ex ON ex.doc_id = d.doc_id
+           |  WHERE d.doc_id % 50 <> 0
+           |    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+           |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
+           |q AS (
+           |  SELECT doc_id, source, lang, text,
+           |    len(string_split(text, ' ')) AS n_tok,
+           |    least(1.0, n_chars / 400.0) * 0.5
+           |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+           |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+           |  FROM surv),
+           |aug AS (
+           |  SELECT doc_id, source, lang, n_tok, quality,
+           |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+           |      '@example.com tel: 415-555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           |  FROM q WHERE quality >= 0.5),
+           |scrub AS (
+           |  SELECT doc_id, source, lang, n_tok, quality,
+           |    CAST(len(regexp_extract_all(t, '$email')) +
+           |         len(regexp_extract_all(t, '$phone')) +
+           |         len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_pii,
+           |    CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
+           |      '$email', '<EMAIL>', 'g'),
+           |      '$phone', '<PHONE>', 'g'),
+           |      '$ip', '<IP>', 'g')) AS BIGINT) AS scrub_len
+           |  FROM aug),
+           |admitted AS (
+           |  SELECT * FROM scrub
+           |  WHERE (doc_id * 1103515245 + 12345) % 1000 < 980
+           |    AND (doc_id * 2654435761) % 1000000 <
+           |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000),
+           |capped AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY source
+           |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rk
+           |    FROM admitted) WHERE rk <= 25),
+           |packed AS (
+           |  SELECT *,
+           |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_off
+           |  FROM capped)
+           |SELECT doc_id, source, lang, CAST(n_tok AS BIGINT) AS n_tok, quality,
+           |  n_pii, scrub_len, CAST(rk AS INT) AS rk,
+           |  CAST(start_off // 256 AS BIGINT) AS seq_id,
+           |  CAST(start_off % 256 AS BIGINT) AS seq_off
+           |FROM packed""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val canon = docs.groupBy(md5(lower(col("text"))).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val losers = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select(col("doc2").as("doc_id")).distinct()
+      val sh = persistedShingles(s, dir)
+      val benchSh = sh.filter(col("doc_id") % 50 === 0)
+        .select("shingle").distinct()
+      val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(benchSh, "shingle").select("doc_id").distinct()
+      val nTok = size(split(col("text"), " ", -1))
+      val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
+      val stopRatio = nStop.cast("double") / nTok
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val aug = concat(
+        col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com tel: 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+      val uLong = (col("doc_id") * lit(2654435761L)) % 1000000L
+      val surv = docs
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val admitted = surv
+        .select(col("doc_id"), col("source"), col("lang"),
+          nTok.cast("long").as("n_tok"),
+          (least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
+            least(lit(0.3), stopRatio) * 0.5 / 0.3).as("quality"),
+          aug.as("t"))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          col("quality"),
+          (regexp_count(col("t"), lit(email)) + regexp_count(col("t"), lit(phone))
+            + regexp_count(col("t"), lit(ip))).cast("long").as("n_pii"),
+          length(scrubbed).cast("long").as("scrub_len"))
+        .filter((col("doc_id") * 1103515245L + 12345L) % 1000L < 980)
+        .filter(uLong <
+          (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L)
+        .withColumn("u", uLong)
+      // the cap is a rank window HERE, deliberately diverging from t22's
+      // standalone topk_by: in composition the aggregate form would
+      // consume `admitted` twice (winner set + re-join), recomputing the
+      // corpus-scale dedup anti-joins — worse than the window's map-side
+      // sorts. WindowGroupLimit bounds the rank exchange to ≤25 rows per
+      // (source, map task), the same volume topk_by ships, and the pack
+      // window reuses the SAME hashpartitioning(source) exchange — one
+      // shuffle for both stages, `admitted` computed once (PlanAuditSpec
+      // pins the single exchange and the WindowGroupLimit).
+      val wCap = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+      val wPack = Window.partitionBy("source").orderBy("doc_id")
+      admitted
+        .withColumn("rk", row_number().over(wCap))
+        .filter(col("rk") <= 25)
+        .withColumn("start_off", sum("n_tok").over(wPack) - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          col("quality"), col("n_pii"), col("scrub_len"), col("rk"),
+          expr("start_off div 256").as("seq_id"),
+          (col("start_off") % 256).as("seq_off"))
     }
   )
 }

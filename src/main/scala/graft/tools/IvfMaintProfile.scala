@@ -96,7 +96,50 @@ object IvfMaintProfile {
           f"base build ${buildSec}%.1f s; route ${routeSec}%.1f s + " +
           f"append ${appendSec}%.1f s = ${routeAppendSec}%.1f s; " +
           f"compact(all cells) ${compactSec}%.1f s; rebuild ${rebuildSec}%.1f s " +
-          f"(per-batch insert = ${routeAppendSec / rebuildSec * 100}%.0f%% of rebuild)")
+          f"(per-batch direct insert = ${routeAppendSec / rebuildSec * 100}%.0f%% of rebuild)")
+
+        // THE BATCHED insert path (the shipped v13 shape): per arriving
+        // batch the cost is route + ONE delta-sized staging append — no
+        // per-cell files, so no ~15-20 ms × cells metadata floor. Ten
+        // mini-batches pin per-batch cost ∝ batch bytes; the forced
+        // flush (every staged cell over threshold → per-cell files) and
+        // the production-threshold compaction are the amortized tail.
+        val out3 = java.nio.file.Files.createTempDirectory("graft-ivfmaint").toString
+        try {
+          writeIndex(base, out3)
+          val cent3 = spark.read.parquet(s"$out3/centroids")
+          val nc3 = cent3.count()
+          val routed3 = graft.queries.Vectors.routeQueries(
+            delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+            cent3, nc3)
+            .select(col("q_id").as("vec_id"), col("cell"))
+          val rows3 = withNorm(delta).join(routed3, "vec_id")
+            .select(col("vec_id"), col("label"), col("embedding"),
+              col("nrm"), col("cell"))
+            .persist()
+          rows3.count()
+          val nBatches = 10
+          val stageSecs = (0 until nBatches).map { b =>
+            timed(graft.queries.Vectors.stageInsert(
+              spark, out3, rows3.filter(pmod(col("vec_id"), lit(nBatches)) === b)))
+          }
+          rows3.unpersist()
+          val flushSec = timed {
+            graft.queries.Vectors.flushStaging(spark, out3, blockBytes = 1L)
+          }
+          val compact3Sec = timed {
+            graft.queries.Vectors.compactCells(spark, s"$out3/vectors",
+              maxFiles = graft.queries.Vectors.CompactFileThreshold)
+          }
+          println(f"[ivfmaint] run $r BATCHED: stage/batch avg " +
+            f"${stageSecs.sum / nBatches}%.2f s (min ${stageSecs.min}%.2f max " +
+            f"${stageSecs.max}%.2f, ${nBatches} batches of ~${nDelta / nBatches}%,d); " +
+            f"forced flush ${flushSec}%.1f s; compact(threshold=" +
+            f"${graft.queries.Vectors.CompactFileThreshold}) ${compact3Sec}%.1f s; " +
+            f"per-batch = ${stageSecs.sum / nBatches / rebuildSec * 100}%.1f%% of rebuild")
+        } finally {
+          graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(out3))
+        }
       } finally {
         graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(out))
       }

@@ -311,6 +311,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(q.count() > 0)
   }
 
+  test("t28 composed pipeline: corpus scanned O(1) times, not once per stage") {
+    // nine chained stages could naively rescan the documents parquet nine
+    // times; the composed plan must ride ONE scan for the doc-level
+    // stages (dedup/quality/PII/split/mixture/cap/pack fuse into it) plus
+    // one for the exact-dedup groupBy, with the shingle-derived sets
+    // (near-dup losers, contamination) reusing the SAME persisted frames
+    // t7/t9/t11 share — visible as InMemoryTableScans, not file scans
+    val q = SparkEntry.queries("t28_pipeline")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // tree walk, not string match: InMemoryRelation PRINTS its cached
+    // build plan (which scanned documents once, at build time) under
+    // every InMemoryTableScan — those are not per-execution scans
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def docScans(p: SparkPlan): Int = p match {
+      case f: FileSourceScanExec =>
+        if (f.relation.location.rootPaths.exists(_.toString.contains("documents"))) 1 else 0
+      case a: AdaptiveSparkPlanExec => docScans(a.executedPlan)
+      case other => other.children.map(docScans).sum +
+        other.subqueries.map(docScans).sum
+    }
+    val n = docScans(q.queryExecution.executedPlan)
+    assert(n <= 2, s"documents scanned $n times:\n$plan")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"shingle/pair stages lost their persisted frames:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // cap + pack share ONE hashpartitioning(source) exchange, and the cap
+    // window is WindowGroupLimit-bounded (≤25 rows per source per map
+    // task reach it — the t22 exchange-volume property, window form)
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap window not group-limit bounded:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(source")) == 1,
+      s"cap and pack windows must share one source exchange:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("s8/v7 IVF probe: the cell-partitioned index scan is dynamically partition-pruned") {
     // the 100 TB claim is "search touches only the routed cells' files";
     // the mechanism is dynamic partition pruning off the broadcast routed
