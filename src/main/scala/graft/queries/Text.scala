@@ -260,10 +260,12 @@ object Text {
     buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
     idxCapStats.keys.filter(_._1 eq s).foreach(idxCapStats.remove(_): Unit)
     jsonlDirs.keys.filter(_._1 eq s).foreach(jsonlDirs.remove(_): Unit)
-    idxCache.keys.filter(_._1 eq s).foreach { k =>
-      idxCache.remove(k).foreach { case (_, name, path, _) =>
-        s.sql(s"DROP TABLE IF EXISTS `$name`")
-        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
+    Seq(idxCache, exhCache).foreach { c =>
+      c.keys.filter(_._1 eq s).foreach { k =>
+        c.remove(k).foreach { case (_, name, path, _) =>
+          s.sql(s"DROP TABLE IF EXISTS `$name`")
+          graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
+        }
       }
     }
   }
@@ -497,6 +499,44 @@ object Text {
     })
     (t._1, t._4)
   }
+
+  /** Persisted corpus EXACT-hash index (distinct `h = md5(lower(text))`),
+    * bucketed by `h` — the t26 pattern at the exact-dedup granularity.
+    * An arriving shard drops its re-crawled exact duplicates by
+    * anti-joining this table with the corpus side exchange-free (s10);
+    * at 100 TB the index is maintained alongside the signature index,
+    * so per-shard exact dedup costs one shard-sized shuffle, never a
+    * corpus groupBy. One exchange total at build: the repartition to
+    * the bucket spec doubles as the distinct's clustering, and
+    * writePrepared skips the writer's own exchange. No occupancy cap:
+    * `h` is unique per distinct normalized text, so the bucket fan-in
+    * is the hash function's own balance, not data skew.
+    */
+  private val exhCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, String, String, Int)]
+  private def exactHashIndex(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val t = exhCache.getOrElseUpdate((s, dir), {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+      val buckets = indexBuckets(Tables.documents(s, dir).count())
+      val tok = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val name = s"graft_s10_exh_$tok"
+      val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+      val prepared = corpus.select(md5(lower(col("text"))).as("h"))
+        .repartition(buckets, col("h"))
+        .dropDuplicates("h")
+      graft.sources.Bucketed.writePrepared(
+        prepared, name, path, buckets, Seq("h"), Seq("h"))
+      (graft.sources.Bucketed.table(s, name), name, path, buckets)
+    })
+    (t._1, t._4)
+  }
+
+  /** The exact-hash index scan, for the streaming spec (the gate goes
+    * through the GQuery front door).
+    */
+  private[graft] def exactHashIndexForTesting(
+      s: SparkSession, dir: String): (DataFrame, Int) = exactHashIndex(s, dir)
 
   /** One JSONL copy of `documents` per (session, dir), written to a stable
     * per-JVM tmp path (64 random bits per JVM: concurrent processes never
@@ -1633,6 +1673,142 @@ object Text {
           col("quality"), col("n_pii"), col("scrub_len"), col("rk"),
           expr("start_off div 256").as("seq_id"),
           (col("start_off") % 256).as("seq_off"))
+    },
+
+    // ---- STREAMING ingest admission: t28's serving-tier complement —
+    // the per-shard pipeline a streaming corpus ingester runs as each
+    // crawl shard arrives. The arriving delta (shard ∪ re-crawled
+    // replays of corpus docs under fresh ids — the case exact dedup
+    // exists for) passes map-only admission stages (t3 quality ≥ 0.5,
+    // t23 train split, t17 mixture admission, t15 PII counts — all
+    // per-row, zero aggregation, so the identical plan is legal in
+    // append mode) and then drops exact duplicates by anti-joining the
+    // PERSISTED corpus hash index ([[exactHashIndex]]): stream-static
+    // left_anti, corpus side a bucketed scan REQUIREd exchange-free —
+    // only the shard's hashes move, the corpus never re-shuffles. The
+    // global stages that need cross-shard state (near-dup: s7 probes
+    // the t26 index; cap/pack: per-release batch jobs, t28) stay out by
+    // design — this gate IS the boundary of what admission can decide
+    // per-row. StreamAdmissionSpec pins two micro-batches == this batch
+    // form. ----
+    GQuery(
+      "s10_stream_admission", {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+           |delta AS (
+           |  SELECT doc_id, text, lang, source, n_chars FROM documents
+           |  WHERE doc_id % 10 = 7
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000, text, lang, source, n_chars
+           |  FROM corpus WHERE doc_id % 20 = 4),
+           |q AS (
+           |  SELECT doc_id, source, lang, text,
+           |    len(string_split(text, ' ')) AS n_tok,
+           |    least(1.0, n_chars / 400.0) * 0.5
+           |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+           |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+           |  FROM delta),
+           |adm AS (
+           |  SELECT doc_id, source, lang, text, n_tok, quality,
+           |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+           |      '@example.com tel: 415-555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           |  FROM q
+           |  WHERE quality >= 0.5
+           |    AND (doc_id * 1103515245 + 12345) % 1000 < 980
+           |    AND (doc_id * 2654435761) % 1000000 <
+           |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000)
+           |SELECT a.doc_id, a.source, a.lang, CAST(a.n_tok AS BIGINT) AS n_tok,
+           |  a.quality,
+           |  CAST(len(regexp_extract_all(a.t, '$email')) +
+           |       len(regexp_extract_all(a.t, '$phone')) +
+           |       len(regexp_extract_all(a.t, '$ip')) AS BIGINT) AS n_pii,
+           |  CAST(len(regexp_replace(regexp_replace(regexp_replace(a.t,
+           |    '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g')) AS BIGINT) AS scrub_len
+           |FROM adm a
+           |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+           |  WHERE md5(lower(c.text)) = md5(lower(a.text)))""".stripMargin
+      }) { (s, dir) =>
+      val (idx, buckets) = exactHashIndex(s, dir)
+      admissionSurvivors(
+        streamAdmissionDelta(Tables.documents(s, dir)), idx, buckets,
+        requirePlan = true)
     }
   )
+
+  /** The s10 arriving shard: the % 10 = 7 split ∪ re-crawl replays
+    * (corpus docs re-arriving under fresh ids) — shared by the gate and
+    * the streaming spec so both drive the identical delta. The two
+    * branches are DISJOINT filters of one table, so this is a single
+    * scan with a conditional id shift, not a Union: a Union side would
+    * invite PushDownLeftSemiAntiJoin to split the dedup anti-join per
+    * branch, scanning the corpus hash index once per branch (measured —
+    * the first cut's plan did exactly that).
+    */
+  private[graft] def streamAdmissionDelta(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 7 ||
+        (col("doc_id") % 10 =!= 7 && col("doc_id") % 20 === 4))
+      .select(
+        when(col("doc_id") % 10 === 7, col("doc_id"))
+          .otherwise(col("doc_id") + 1000000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+
+  /** The s10 admission pipeline over an arriving delta: map-only scoring
+    * and filters, then the exact-dedup anti-join against the persisted
+    * corpus hash index. Factored so the streaming spec applies the SAME
+    * transform to a readStream source; `requirePlan` gates the exchange
+    * accounting (the streaming run asserts legality by actually running
+    * in append mode instead).
+    */
+  private[graft] def admissionSurvivors(delta: DataFrame, idx: DataFrame,
+      buckets: Int, requirePlan: Boolean): DataFrame = {
+    val nTok = size(split(col("text"), " ", -1))
+    val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val aug = concat(
+      col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com tel: 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("t"),
+      email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+    val probe = delta
+      .select(col("doc_id"), col("source"), col("lang"),
+        nTok.cast("long").as("n_tok"),
+        (least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
+          least(lit(0.3), nStop.cast("double") / nTok) * 0.5 / 0.3)
+          .as("quality"),
+        aug.as("t"), md5(lower(col("text"))).as("h"))
+      .filter(col("quality") >= 0.5)
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000L < 980)
+      .filter((col("doc_id") * lit(2654435761L)) % 1000000L <
+        (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L)
+    // no manual repartition: the anti-join pushes below one
+    // (PushDownLeftSemiAntiJoin), leaving it as a pointless re-shuffle
+    // of the OUTPUT — EnsureRequirements inserts the single delta-side
+    // exchange to the index's bucket spec itself
+    val out = probe.hint("merge")
+      .join(idx.select(col("h")).hint("merge"), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+        col("quality"),
+        (regexp_count(col("t"), lit(email)) + regexp_count(col("t"), lit(phone))
+          + regexp_count(col("t"), lit(ip))).cast("long").as("n_pii"),
+        length(scrubbed).cast("long").as("scrub_len"))
+    if (requirePlan) {
+      val shuffles = graft.sources.Bucketed.shuffleCount(out)
+      val plan = out.queryExecution.executedPlan.toString
+      require(shuffles == 1 &&
+        (plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount")),
+        s"s10: expected exactly the delta-side exchange over a bucketed " +
+          s"corpus scan (got $shuffles shuffle(s)):\n$plan")
+    }
+    out
+  }
 }

@@ -1272,9 +1272,12 @@ object Vectors {
     * no join and no aggregate, which makes the whole PQ probe legal in a
     * Structured Streaming append-mode plan (s9). Codebook slots emptied
     * during training are null literals → +Infinity, exactly dtabArr's
-    * fill (no corpus code ever references them). ~M·K·sub = 4,096
-    * doubles of literal state — the quantizer IS small; that's the PQ
-    * premise.
+    * fill (no corpus code ever references them). Serialized-plan impact:
+    * ~M·K·sub = 4,096 doubles (~32 KB) of literal state ship with every
+    * plan/micro-batch — constant in the corpus, linear in M·K·sub, so a
+    * production M=64/K=256 codebook is ~1 MB of plan: still fine, but
+    * size the codebook knowing it rides the plan, not the cluster. The
+    * quantizer staying small IS the PQ premise.
     */
   private[graft] def rowAdcProbe(
       queries: DataFrame, cb: Array[(Int, Int, Seq[Double])]): DataFrame = {
@@ -1349,17 +1352,21 @@ object Vectors {
     * only the √cells super-centroids (~√cells × dims doubles); the full
     * (cell, centroid) table rides as a BROADCAST frame, not plan state.
     *
-    * Shape, all append-mode-legal: each query row (1) picks its top-2
-    * super-cells by closed-form argmax over the super literals — the
-    * same nprobe=2 boundary semantics as the batch route (second argmax
-    * excludes the winner via a −∞ sentinel, same (dp, −super) tiebreak);
-    * (2) resolves both supers' children through two broadcast equi-joins
-    * against the one-row-per-super `kids` frame (stream-static joins —
-    * the static side's aggregates are legal; the STREAM side sees no
-    * aggregate and no exchange); (3) picks the final cell by closed-form
-    * argmax over the two concatenated children arrays with the flat
-    * route's exact (dp, −cell) tiebreak. Work per row ≈ 2·√cells fused
-    * dots — the batch hierarchy's cost model, now per arriving row.
+    * Shape, all append-mode-legal: ONE deterministic scalar expression
+    * ([[graft.functions.IvfTwoLevelRoute]]) computes, per query row, the
+    * top-2 super-cells by dot product and then the best child cell of
+    * those two supers — the batch route's exact nprobe=2 boundary
+    * semantics and (dp, −id) tiebreak at both levels, as tight JVM loops
+    * over primitive arrays. The ENTIRE hierarchy rides ONE Spark
+    * broadcast (the expression serializes only the handle): plan-literal
+    * state stays O(1), each executor fetches the quantizer once, and no
+    * per-row bytes are copied at all. Work per row ≈ 2·√cells fused dots
+    * — the batch hierarchy's cost model, now per arriving row. (The
+    * first cut resolved children via two broadcast equi-joins against a
+    * one-row-per-super frame; RouteProfile measured the joins
+    * materializing ~√cells·dims·16 B into EVERY query row — 42 s for
+    * 20k queries at 65k cells, near-linear in cells — so the join form
+    * was replaced by this expression.)
     *
     * Assignments are IDENTICAL to the batch hierarchical route (same
     * [[buildHierarchy]] state, same argmax/tiebreak algebra at both
@@ -1375,29 +1382,22 @@ object Vectors {
       kids: DataFrame): DataFrame = {
     registered(queries.sparkSession)
     require(supers.length >= 2, "hierarchical routing needs >= 2 super-cells")
-    val q2 = queries
-      .withColumn("_sl", typedLit(supers.map(_._1).toSeq))
-      .withColumn("_se", typedLit(supers.map(_._2).toSeq))
-      .withColumn("_s1", expr(
-        """-array_max(transform(sequence(0, size(_sl)-1), i ->
-          |  struct(array_dot(q_emb, element_at(_se, i+1)) AS dp,
-          |         -element_at(_sl, i+1) AS negs))).negs""".stripMargin))
-      .withColumn("_s2", expr(
-        """-array_max(transform(sequence(0, size(_sl)-1), i ->
-          |  struct(CASE WHEN element_at(_sl, i+1) = _s1
-          |              THEN CAST('-Infinity' AS DOUBLE)
-          |              ELSE array_dot(q_emb, element_at(_se, i+1)) END AS dp,
-          |         -element_at(_sl, i+1) AS negs))).negs""".stripMargin))
-      .drop("_sl", "_se")
-    q2.join(broadcast(kids.select(col("super").as("_s1"), col("kids").as("_k1"))),
-        "_s1")
-      .join(broadcast(kids.select(col("super").as("_s2"), col("kids").as("_k2"))),
-        "_s2")
-      .withColumn("cell", expr(
-        """-array_max(transform(concat(_k1, _k2), k ->
-          |  struct(array_dot(q_emb, k.centroid) AS dp,
-          |         -k.cell AS negc))).negc""".stripMargin))
-      .drop("_s1", "_s2", "_k1", "_k2")
+    val bySuper = kids.collect().map { r =>
+      val ks = r.getSeq[org.apache.spark.sql.Row](1)
+      r.getInt(0) -> (
+        ks.map(_.getInt(0)).toArray,
+        ks.map(_.getSeq[Double](1).toArray).toArray)
+    }.toMap
+    val st = graft.functions.IvfRouterState(
+      supers.map(_._1),
+      supers.map(_._2.toArray),
+      supers.map(s => bySuper(s._1)._1),
+      supers.map(s => bySuper(s._1)._2))
+    val bc = queries.sparkSession.sparkContext.broadcast(st)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    queries.withColumn("cell", ColumnShim.column(
+      graft.functions.IvfTwoLevelRoute(
+        ColumnShim.expression(col("q_emb")), bc)))
   }
 
   /** The hierarchy in [[rowRouteHier]]'s consumable shape: collected

@@ -13,7 +13,8 @@ import java.io.File
 class TempStoreLifecycleSpec extends SparkSuite {
 
   private val Reaped =
-    Seq("graft_t26_idx_", "graft-bucketed-", "graft-ivf-index", "graft-ivf-incr")
+    Seq("graft_t26_idx_", "graft_s10_exh_", "graft-bucketed-",
+      "graft-ivf-index", "graft-ivf-incr")
   // the jsonl fixture is stable per (JVM, dir) and overwritten in place;
   // it is reaped by the JVM shutdown hook, not by clearCaches
   private val Stable = Seq("graft-jsonl-")
@@ -34,7 +35,8 @@ class TempStoreLifecycleSpec extends SparkSuite {
   }
 
   private def runGates(): Unit =
-    Seq("t25_jsonl_ingest", "t26_incremental_dedup", "j10_bucketed_colocated",
+    Seq("t25_jsonl_ingest", "t26_incremental_dedup", "s10_stream_admission",
+        "j10_bucketed_colocated",
         "v7_ivf_persisted", "v13_ivf_incremental").foreach { q =>
       assert(SparkEntry.queries(q)(spark, sf0001).count() > 0, s"$q returned no rows")
     }
