@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data text pipeline over the `documents` table: exact and
@@ -365,6 +365,12 @@ object Text {
     */
   private[graft] def indexForTesting(s: SparkSession, dir: String): DataFrame =
     incrementalIndex(s, dir)._1
+
+  /** Index scan plus its bucket count, for specs that drive the full
+    * composed pipeline (s11) from a streaming source.
+    */
+  private[graft] def indexWithBucketsForTesting(
+      s: SparkSession, dir: String): (DataFrame, Int) = incrementalIndex(s, dir)
 
   /** Signature rows occupancy-capped for the persisted index: at most
     * `cap` doc_ids (the smallest, for determinism) per band key, with
@@ -1738,8 +1744,97 @@ object Text {
       admissionSurvivors(
         streamAdmissionDelta(Tables.documents(s, dir)), idx, buckets,
         requirePlan = true)
+    },
+
+    // ---- The STREAMING composed pipeline: s10's admission + exact
+    // dedup CHAINED with s7's near-dup probe in ONE append-legal plan —
+    // an arriving shard flows through the quality/split/mixture filters,
+    // drops re-crawl duplicates against the persisted exact-hash index,
+    // derives per-row LSH signatures (rowLshKeys — closed form, no
+    // aggregate), and probes the persisted t26 signature index for
+    // near-dup candidates, emitting (corpus doc1, surviving shard doc2)
+    // pairs. BOTH maintained indexes are consulted by one streaming
+    // query, each as a stream-static join whose corpus side is a
+    // bucketed scan (REQUIREd: the joins add only the shard's own
+    // repartition to the signature buckets). This is the serving-tier
+    // counterpart of t28: per-op streaming gates can't see a cross-stage
+    // plan regression (an aggregate sneaking between the stages would be
+    // an append-mode error HERE and a scale bug in batch).
+    // StreamPipelineSpec pins two micro-batches == this batch form. ----
+    GQuery(
+      "s11_stream_pipeline",
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+         |  FROM mh GROUP BY doc_id, j // 2),
+         |corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+         |delta AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  WHERE doc_id % 10 = 7
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text, lang, source, n_chars
+         |  FROM corpus WHERE doc_id % 20 = 4),
+         |q AS (
+         |  SELECT doc_id, source, text,
+         |    least(1.0, n_chars / 400.0) * 0.5
+         |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+         |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+         |  FROM delta),
+         |surv AS (
+         |  SELECT doc_id FROM q
+         |  WHERE quality >= 0.5
+         |    AND (doc_id * 1103515245 + 12345) % 1000 < 980
+         |    AND (doc_id * 2654435761) % 1000000 <
+         |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000
+         |    AND NOT EXISTS (SELECT 1 FROM corpus c
+         |      WHERE md5(lower(c.text)) = md5(lower(q.text))))
+         |SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+         |FROM bands b1 JOIN bands b2
+         |  ON b1.band = b2.band AND b1.bkey = b2.bkey
+         |WHERE b1.doc_id % 10 <> 7
+         |  AND b2.doc_id IN (SELECT doc_id FROM surv)""".stripMargin) { (s, dir) =>
+      val (eidx, _) = exactHashIndex(s, dir)
+      val (idx, buckets) = incrementalIndex(s, dir)
+      pipelineCandidates(
+        streamAdmissionDelta(Tables.documents(s, dir)),
+        eidx, idx, buckets, requirePlan = true)
     }
   )
+
+  /** The s11 composed streaming pipeline over an arriving delta:
+    * admission filters → exact-dedup LEFT ANTI against the hash index →
+    * per-row signatures → near-dup probe of the t26 signature index.
+    * Factored so the streaming spec applies the SAME transform to a
+    * readStream source. Replays carry shifted ids ≥ 1e9, but none can
+    * survive the exact anti-join (their text IS a corpus doc's text
+    * verbatim), so every survivor keeps its original % 10 = 7 id —
+    * which is what lets the oracle recompute survivor signatures from
+    * the original documents rows.
+    */
+  private[graft] def pipelineCandidates(delta: DataFrame, eidx: DataFrame,
+      idx: DataFrame, buckets: Int, requirePlan: Boolean): DataFrame = {
+    val surv = admitted(delta, Seq(col("doc_id"), col("text")))
+      .hint("merge")
+      .join(eidx.select(col("h")).hint("merge"), Seq("h"), "left_anti")
+    val probe = rowLshKeys(surv)
+      .withColumnRenamed("doc_id", "doc2")
+      .repartition(buckets, col("bk"))
+    val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
+      .join(probe.hint("merge"), "bk")
+    if (requirePlan) {
+      val added = graft.sources.Bucketed.shuffleCount(joined) -
+        graft.sources.Bucketed.shuffleCount(probe)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(added == 0 && plan.linesIterator.count(
+          _.contains("SelectedBucketsCount")) >= 2,
+        s"s11: both index sides must be exchange-free bucketed scans " +
+          s"($added extra exchange(s)):\n$plan")
+    }
+    joined.select("doc1", "doc2").dropDuplicates("doc1", "doc2")
+  }
 
   /** The s10 arriving shard: the % 10 = 7 split ∪ re-crawl replays
     * (corpus docs re-arriving under fresh ids) — shared by the gate and
@@ -1758,6 +1853,27 @@ object Text {
           .otherwise(col("doc_id") + 1000000000L).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
 
+  /** The admission-stage filters (t3 quality ≥ 0.5, t23 train split,
+    * t17 mixture admission) applied to an arriving delta, keeping `keep`
+    * plus the normalized-text hash `h` — the shared front of s10 (full
+    * survivor row) and s11 (survivors into the near-dup probe). All
+    * map-only: legal identically in batch and append-mode streaming.
+    */
+  private def admitted(delta: DataFrame, keep: Seq[Column]): DataFrame = {
+    val nTok = size(split(col("text"), " ", -1))
+    val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
+    delta
+      .withColumn("n_tok", nTok.cast("long"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
+          least(lit(0.3), nStop.cast("double") / nTok) * 0.5 / 0.3)
+      .filter(col("quality") >= 0.5)
+      .filter((col("doc_id") * 1103515245L + 12345L) % 1000L < 980)
+      .filter((col("doc_id") * lit(2654435761L)) % 1000000L <
+        (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L)
+      .select(keep :+ md5(lower(col("text"))).as("h"): _*)
+  }
+
   /** The s10 admission pipeline over an arriving delta: map-only scoring
     * and filters, then the exact-dedup anti-join against the persisted
     * corpus hash index. Factored so the streaming spec applies the SAME
@@ -1767,8 +1883,6 @@ object Text {
     */
   private[graft] def admissionSurvivors(delta: DataFrame, idx: DataFrame,
       buckets: Int, requirePlan: Boolean): DataFrame = {
-    val nTok = size(split(col("text"), " ", -1))
-    val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -1779,17 +1893,8 @@ object Text {
       lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"), lit(".7"))
     val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("t"),
       email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
-    val probe = delta
-      .select(col("doc_id"), col("source"), col("lang"),
-        nTok.cast("long").as("n_tok"),
-        (least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
-          least(lit(0.3), nStop.cast("double") / nTok) * 0.5 / 0.3)
-          .as("quality"),
-        aug.as("t"), md5(lower(col("text"))).as("h"))
-      .filter(col("quality") >= 0.5)
-      .filter((col("doc_id") * 1103515245L + 12345L) % 1000L < 980)
-      .filter((col("doc_id") * lit(2654435761L)) % 1000000L <
-        (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L)
+    val probe = admitted(delta, Seq(col("doc_id"), col("source"), col("lang"),
+      col("n_tok"), col("quality"), aug.as("t")))
     // no manual repartition: the anti-join pushes below one
     // (PushDownLeftSemiAntiJoin), leaving it as a pointless re-shuffle
     // of the OUTPUT — EnsureRequirements inserts the single delta-side
