@@ -1523,7 +1523,9 @@ object Text {
     // single stage; a real corpus release chains them. One gate runs the
     // whole chain — exact dedup (t1: keep the min-id copy per normalized
     // text) → near-dup survivors (t9: drop jaccard≥0.8 losers) →
-    // benchmark holdout + exact-shingle decontamination (t21 semantics)
+    // benchmark holdout + decontamination (t13's contamination ratio,
+    // drop ≥0.5 — thresholded, because any-single-shingle veto empties
+    // a vocab-dense corpus: measured on GenScale x10)
     // → quality filter (t3's score, keep ≥0.5) → PII scrub (t15's
     // augment-and-redact, counts + scrubbed length carried) → split
     // assign (t23, keep train) → mixture sampling (t17's per-source
@@ -1560,9 +1562,13 @@ object Text {
            |  WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.8),
            |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
            |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           |ov AS (
+           |  SELECT s.doc_id, count(*) AS n_overlap FROM sh s
+           |  JOIN bench b ON b.shingle = s.shingle WHERE s.doc_id % 50 <> 0
+           |  GROUP BY 1),
            |contaminated AS (
-           |  SELECT DISTINCT s.doc_id FROM sh s
-           |  JOIN bench b ON b.shingle = s.shingle WHERE s.doc_id % 50 <> 0),
+           |  SELECT ov.doc_id FROM ov JOIN n ON n.doc_id = ov.doc_id
+           |  WHERE CAST(ov.n_overlap AS DOUBLE) / n.ns >= 0.5),
            |surv AS (
            |  SELECT d.doc_id, d.source, d.lang, d.text, d.n_chars
            |  FROM documents d JOIN ex ON ex.doc_id = d.doc_id
@@ -1623,8 +1629,17 @@ object Text {
       val sh = persistedShingles(s, dir)
       val benchSh = sh.filter(col("doc_id") % 50 === 0)
         .select("shingle").distinct()
+      // t13's contamination RATIO at a 0.5 drop threshold — the
+      // any-single-shingle rule emptied the vocab-dense GenScale x10
+      // corpus outright (every doc shares SOME trigram with a 1k-doc
+      // bench set); real decontamination thresholds, it doesn't veto
+      val nSh = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(benchSh, "shingle").select("doc_id").distinct()
+        .join(benchSh, "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .join(nSh, "doc_id")
+        .filter(col("n_overlap").cast("double") / col("ns") >= 0.5)
+        .select("doc_id")
       val nTok = size(split(col("text"), " ", -1))
       val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
       val stopRatio = nStop.cast("double") / nTok
