@@ -1544,156 +1544,35 @@ object Text {
     // scrub perturb admission); packing runs last so offsets cover
     // exactly the released rows. ----
     GQuery(
-      "t28_pipeline", {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-        s"""WITH $lshSql,
-           |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
-           |inter AS (
-           |  SELECT c.doc1, c.doc2, count(*) AS ic
-           |  FROM cand c
-           |  JOIN sh a ON a.doc_id = c.doc1
-           |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
-           |  GROUP BY c.doc1, c.doc2),
-           |losers AS (
-           |  SELECT DISTINCT i.doc2 AS doc_id FROM inter i
-           |  JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
-           |  WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.8),
-           |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
-           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
-           |ov AS (
-           |  SELECT s.doc_id, count(*) AS n_overlap FROM sh s
-           |  JOIN bench b ON b.shingle = s.shingle WHERE s.doc_id % 50 <> 0
-           |  GROUP BY 1),
-           |contaminated AS (
-           |  SELECT ov.doc_id FROM ov JOIN n ON n.doc_id = ov.doc_id
-           |  WHERE CAST(ov.n_overlap AS DOUBLE) / n.ns >= 0.5),
-           |surv AS (
-           |  SELECT d.doc_id, d.source, d.lang, d.text, d.n_chars
-           |  FROM documents d JOIN ex ON ex.doc_id = d.doc_id
-           |  WHERE d.doc_id % 50 <> 0
-           |    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
-           |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
-           |q AS (
-           |  SELECT doc_id, source, lang, text,
-           |    len(string_split(text, ' ')) AS n_tok,
-           |    least(1.0, n_chars / 400.0) * 0.5
-           |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
-           |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
-           |  FROM surv),
-           |aug AS (
-           |  SELECT doc_id, source, lang, n_tok, quality,
-           |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
-           |      '@example.com tel: 415-555-' ||
-           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-           |      ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
-           |  FROM q WHERE quality >= 0.5),
-           |scrub AS (
-           |  SELECT doc_id, source, lang, n_tok, quality,
-           |    CAST(len(regexp_extract_all(t, '$email')) +
-           |         len(regexp_extract_all(t, '$phone')) +
-           |         len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_pii,
-           |    CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
-           |      '$email', '<EMAIL>', 'g'),
-           |      '$phone', '<PHONE>', 'g'),
-           |      '$ip', '<IP>', 'g')) AS BIGINT) AS scrub_len
-           |  FROM aug),
-           |admitted AS (
-           |  SELECT * FROM scrub
-           |  WHERE (doc_id * 1103515245 + 12345) % 1000 < 980
-           |    AND (doc_id * 2654435761) % 1000000 <
-           |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000),
-           |capped AS (
-           |  SELECT * FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY source
-           |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rk
-           |    FROM admitted) WHERE rk <= 25),
-           |packed AS (
-           |  SELECT *,
-           |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_off
-           |  FROM capped)
-           |SELECT doc_id, source, lang, CAST(n_tok AS BIGINT) AS n_tok, quality,
-           |  n_pii, scrub_len, CAST(rk AS INT) AS rk,
-           |  CAST(start_off // 256 AS BIGINT) AS seq_id,
-           |  CAST(start_off % 256 AS BIGINT) AS seq_off
-           |FROM packed""".stripMargin
-      }) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.GraftFunctions.register(s)
-      val docs = Tables.documents(s, dir)
-      val canon = docs.groupBy(md5(lower(col("text"))).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val losers = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
-        .select(col("doc2").as("doc_id")).distinct()
-      val sh = persistedShingles(s, dir)
-      val benchSh = sh.filter(col("doc_id") % 50 === 0)
-        .select("shingle").distinct()
-      // t13's contamination RATIO at a 0.5 drop threshold — the
-      // any-single-shingle rule emptied the vocab-dense GenScale x10
-      // corpus outright (every doc shares SOME trigram with a 1k-doc
-      // bench set); real decontamination thresholds, it doesn't veto
-      val nSh = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(benchSh, "shingle")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        .join(nSh, "doc_id")
-        .filter(col("n_overlap").cast("double") / col("ns") >= 0.5)
-        .select("doc_id")
-      val nTok = size(split(col("text"), " ", -1))
-      val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
-      val stopRatio = nStop.cast("double") / nTok
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val aug = concat(
-        col("text"), lit(" contact: user"), col("doc_id").cast("string"),
-        lit("@example.com tel: 415-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
-        lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"), lit(".7"))
-      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("t"),
-        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
-      val uLong = (col("doc_id") * lit(2654435761L)) % 1000000L
-      val surv = docs
-        .filter(col("doc_id") % 50 =!= 0)
-        .join(canon, Seq("doc_id"), "left_semi")
-        .join(losers, Seq("doc_id"), "left_anti")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-      val admitted = surv
-        .select(col("doc_id"), col("source"), col("lang"),
-          nTok.cast("long").as("n_tok"),
-          (least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
-            least(lit(0.3), stopRatio) * 0.5 / 0.3).as("quality"),
-          aug.as("t"))
-        .filter(col("quality") >= 0.5)
-        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
-          col("quality"),
-          (regexp_count(col("t"), lit(email)) + regexp_count(col("t"), lit(phone))
-            + regexp_count(col("t"), lit(ip))).cast("long").as("n_pii"),
-          length(scrubbed).cast("long").as("scrub_len"))
-        .filter((col("doc_id") * 1103515245L + 12345L) % 1000L < 980)
-        .filter(uLong <
-          (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L)
-        .withColumn("u", uLong)
-      // the cap is a rank window HERE, deliberately diverging from t22's
-      // standalone topk_by: in composition the aggregate form would
-      // consume `admitted` twice (winner set + re-join), recomputing the
-      // corpus-scale dedup anti-joins — worse than the window's map-side
-      // sorts. WindowGroupLimit bounds the rank exchange to ≤25 rows per
-      // (source, map task), the same volume topk_by ships, and the pack
-      // window reuses the SAME hashpartitioning(source) exchange — one
-      // shuffle for both stages, `admitted` computed once (PlanAuditSpec
-      // pins the single exchange and the WindowGroupLimit).
-      val wCap = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
-      val wPack = Window.partitionBy("source").orderBy("doc_id")
-      admitted
-        .withColumn("rk", row_number().over(wCap))
-        .filter(col("rk") <= 25)
-        .withColumn("start_off", sum("n_tok").over(wPack) - col("n_tok"))
-        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
-          col("quality"), col("n_pii"), col("scrub_len"), col("rk"),
-          expr("start_off div 256").as("seq_id"),
-          (col("start_off") % 256).as("seq_off"))
+      "t28_pipeline", t28OracleSql) { (s, dir) =>
+      pipelineRelease(s, dir, neardupLosers(scoredPairs(s, dir)))
+    },
+
+    // ---- t28's SCALE path under the same oracle: the identical
+    // pipeline, but the near-dup stage's candidates come from the
+    // PER-ROW signature form at a configurable banding (rowLshKeysAt —
+    // the t26 x1000 machinery) instead of the memoized aggregate-form
+    // 4x2 frames. At the default (oracle-locked) 4x2 the candidate set
+    // is IDENTICAL (per-row == aggregate parity is spec-pinned), so
+    // this gate shares t28's DuckDB oracle; at corpus scale the banding
+    // is the knob that keeps the composition feasible — the t26 depth
+    // study measured 45.2M chance pairs at depth 2 vs 24.2k at measured
+    // depth 4 on the same 5M-doc corpus, and the t28 x1000 attempt at
+    // the locked banding died on shuffle spill (BASELINE round-15).
+    // GRAFT_T28_BANDING="bands,depth" (or "auto" for the measured
+    // choice) overrides for scale runs, where the oracle is not in
+    // play: composition inherits its worst stage's scale knobs, and
+    // this gate EXPOSES the knob instead of hard-coding the oracle
+    // shape. ----
+    GQuery("t28b_pipeline_scaled", t28OracleSql) { (s, dir) =>
+      val (bands, depth) = sys.env.get("GRAFT_T28_BANDING") match {
+        case Some("auto") =>
+          val (d, b) = autoRowsFor(s, dir); (b, d)
+        case Some(v) =>
+          val Array(b, d) = v.split(',').map(_.trim.toInt); (b, d)
+        case None => (4, 2)
+      }
+      pipelineRelease(s, dir, neardupLosers(scoredPairsAt(s, dir, bands, depth)))
     },
 
     // ---- STREAMING ingest admission: t28's serving-tier complement —
@@ -1849,6 +1728,211 @@ object Text {
           s"($added extra exchange(s)):\n$plan")
     }
     joined.select("doc1", "doc2").dropDuplicates("doc1", "doc2")
+  }
+
+  /** t28's oracle SQL (the full nine-stage composition in DuckDB),
+    * shared by the oracle-locked gate and its scale-path twin.
+    */
+  private lazy val t28OracleSql: String = {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        s"""WITH $lshSql,
+           |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT c.doc1, c.doc2, count(*) AS ic
+           |  FROM cand c
+           |  JOIN sh a ON a.doc_id = c.doc1
+           |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+           |  GROUP BY c.doc1, c.doc2),
+           |losers AS (
+           |  SELECT DISTINCT i.doc2 AS doc_id FROM inter i
+           |  JOIN n na ON na.doc_id = i.doc1 JOIN n nb ON nb.doc_id = i.doc2
+           |  WHERE CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) >= 0.8),
+           |ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           |ov AS (
+           |  SELECT s.doc_id, count(*) AS n_overlap FROM sh s
+           |  JOIN bench b ON b.shingle = s.shingle WHERE s.doc_id % 50 <> 0
+           |  GROUP BY 1),
+           |contaminated AS (
+           |  SELECT ov.doc_id FROM ov JOIN n ON n.doc_id = ov.doc_id
+           |  WHERE CAST(ov.n_overlap AS DOUBLE) / n.ns >= 0.5),
+           |surv AS (
+           |  SELECT d.doc_id, d.source, d.lang, d.text, d.n_chars
+           |  FROM documents d JOIN ex ON ex.doc_id = d.doc_id
+           |  WHERE d.doc_id % 50 <> 0
+           |    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+           |    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)),
+           |q AS (
+           |  SELECT doc_id, source, lang, text,
+           |    len(string_split(text, ' ')) AS n_tok,
+           |    least(1.0, n_chars / 400.0) * 0.5
+           |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+           |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+           |  FROM surv),
+           |aug AS (
+           |  SELECT doc_id, source, lang, n_tok, quality,
+           |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+           |      '@example.com tel: 415-555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           |  FROM q WHERE quality >= 0.5),
+           |scrub AS (
+           |  SELECT doc_id, source, lang, n_tok, quality,
+           |    CAST(len(regexp_extract_all(t, '$email')) +
+           |         len(regexp_extract_all(t, '$phone')) +
+           |         len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_pii,
+           |    CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
+           |      '$email', '<EMAIL>', 'g'),
+           |      '$phone', '<PHONE>', 'g'),
+           |      '$ip', '<IP>', 'g')) AS BIGINT) AS scrub_len
+           |  FROM aug),
+           |admitted AS (
+           |  SELECT * FROM scrub
+           |  WHERE (doc_id * 1103515245 + 12345) % 1000 < 980
+           |    AND (doc_id * 2654435761) % 1000000 <
+           |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000),
+           |capped AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY source
+           |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id) AS rk
+           |    FROM admitted) WHERE rk <= 25),
+           |packed AS (
+           |  SELECT *,
+           |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_off
+           |  FROM capped)
+           |SELECT doc_id, source, lang, CAST(n_tok AS BIGINT) AS n_tok, quality,
+           |  n_pii, scrub_len, CAST(rk AS INT) AS rk,
+           |  CAST(start_off // 256 AS BIGINT) AS seq_id,
+           |  CAST(start_off % 256 AS BIGINT) AS seq_off
+           |FROM packed""".stripMargin
+  }
+
+  /** Higher-id members of confirmed near-dup pairs — the doc set the
+    * survivor stages drop (t9 semantics).
+    */
+  private def neardupLosers(pairs: DataFrame): DataFrame =
+    pairs.filter(col("jaccard") >= 0.8)
+      .select(col("doc2").as("doc_id")).distinct()
+
+  /** [[scoredPairs]] at an arbitrary banding via the PER-ROW signature
+    * form — the composed pipeline's scale path for its near-dup stage.
+    * Candidates come from [[rowLshKeysAt]] (map-only, no SortAggregate —
+    * the form that survives x1000 where the aggregate form OOMed) capped
+    * by the same [[Lsh.cappedPairs]] occupancy backstop (observed on
+    * `graft_lsh_text_scaled`); the jaccard re-rank is scoredPairs'
+    * exact join over the shared persisted shingle frame. At bands=4,
+    * depth=2 the candidate set equals [[scoredPairs]]' (per-row ==
+    * aggregate parity pinned in spec), so the t28b gate can share t28's
+    * oracle. NOT memoized: each call derives signatures at its own
+    * banding (scale runs choose the measured depth, which varies by
+    * corpus).
+    */
+  private[graft] def scoredPairsAt(
+      s: SparkSession, dir: String, bands: Int, depth: Int): DataFrame = {
+    val sh = persistedShingles(s, dir)
+    // bk embeds the band prefix and md5 value spaces are disjoint across
+    // slots, so (0, bk) buckets identically to (band, bkey)
+    val cand = Lsh.cappedPairs(
+      rowLshKeysAt(Tables.documents(s, dir), bands, depth)
+        .select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id")),
+      "doc_id", "doc1", "doc2", "graft_lsh_text_scaled")
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+    cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+      .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+      .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
+          .as("jaccard"))
+  }
+
+  /** The composed release pipeline (t28) given the near-dup loser set:
+    * exact dedup -> holdout -> decontamination -> quality -> PII ->
+    * split -> mixture -> cap -> pack. See the t28 gate comment for the
+    * plan-shape reasoning (single corpus scan, shared persisted frames,
+    * one source exchange for cap+pack).
+    */
+  private def pipelineRelease(
+      s: SparkSession, dir: String, losers: DataFrame): DataFrame = {
+
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      val canon = docs.groupBy(md5(lower(col("text"))).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val sh = persistedShingles(s, dir)
+      val benchSh = sh.filter(col("doc_id") % 50 === 0)
+        .select("shingle").distinct()
+      // t13's contamination RATIO at a 0.5 drop threshold — the
+      // any-single-shingle rule emptied the vocab-dense GenScale x10
+      // corpus outright (every doc shares SOME trigram with a 1k-doc
+      // bench set); real decontamination thresholds, it doesn't veto
+      val nSh = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(benchSh, "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .join(nSh, "doc_id")
+        .filter(col("n_overlap").cast("double") / col("ns") >= 0.5)
+        .select("doc_id")
+      val nTok = size(split(col("text"), " ", -1))
+      val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
+      val stopRatio = nStop.cast("double") / nTok
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val aug = concat(
+        col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com tel: 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip: 192.168."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")
+      val uLong = (col("doc_id") * lit(2654435761L)) % 1000000L
+      val surv = docs
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(canon, Seq("doc_id"), "left_semi")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val admitted = surv
+        .select(col("doc_id"), col("source"), col("lang"),
+          nTok.cast("long").as("n_tok"),
+          (least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
+            least(lit(0.3), stopRatio) * 0.5 / 0.3).as("quality"),
+          aug.as("t"))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          col("quality"),
+          (regexp_count(col("t"), lit(email)) + regexp_count(col("t"), lit(phone))
+            + regexp_count(col("t"), lit(ip))).cast("long").as("n_pii"),
+          length(scrubbed).cast("long").as("scrub_len"))
+        .filter((col("doc_id") * 1103515245L + 12345L) % 1000L < 980)
+        .filter(uLong <
+          (substring(col("source"), 4, 10).cast("long") % 5 + 1) * 200000L)
+        .withColumn("u", uLong)
+      // the cap is a rank window HERE, deliberately diverging from t22's
+      // standalone topk_by: in composition the aggregate form would
+      // consume `admitted` twice (winner set + re-join), recomputing the
+      // corpus-scale dedup anti-joins — worse than the window's map-side
+      // sorts. WindowGroupLimit bounds the rank exchange to ≤25 rows per
+      // (source, map task), the same volume topk_by ships, and the pack
+      // window reuses the SAME hashpartitioning(source) exchange — one
+      // shuffle for both stages, `admitted` computed once (PlanAuditSpec
+      // pins the single exchange and the WindowGroupLimit).
+      val wCap = Window.partitionBy("source").orderBy(col("u"), col("doc_id"))
+      val wPack = Window.partitionBy("source").orderBy("doc_id")
+      admitted
+        .withColumn("rk", row_number().over(wCap))
+        .filter(col("rk") <= 25)
+        .withColumn("start_off", sum("n_tok").over(wPack) - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+          col("quality"), col("n_pii"), col("scrub_len"), col("rk"),
+          expr("start_off div 256").as("seq_id"),
+          (col("start_off") % 256).as("seq_off"))
+
   }
 
   /** The s10 arriving shard: the % 10 = 7 split ∪ re-crawl replays
