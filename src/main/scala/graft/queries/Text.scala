@@ -359,6 +359,33 @@ object Text {
       .select(concat_ws("|", col("b.band"), col("b.bkey")).as("bk"), col("doc_id"))
   }
 
+  /** Per-ROW WIDE minhash signature (`w` independent slots, one
+    * `array<bigint>` per doc) for jaccard ESTIMATION: E[fraction of
+    * matching slots] = exact shingle-set jaccard, stderr
+    * √(J(1−J)/w) (~0.07 at w=32, J=0.8). Same closed per-row form as
+    * [[rowLshKeysAt]] (map-only, no aggregate, streaming-legal) but
+    * over `xxhash64(slot, shingle)` instead of md5 strings: the wide
+    * signature never feeds an oracle-locked band key, so it can use
+    * the ~10× cheaper long-valued hash — w×shingles hashes per doc is
+    * the whole cost, and slot minima over longs stay primitive.
+    * This is the signature the composed release's near-dup re-rank
+    * estimates from (see [[scoredPairsAt]]): signature-width work per
+    * candidate pair, where the exact shingle-intersection join the r15
+    * x1000 runs died on moved the corpus-wide shingle frame through
+    * two exchanges (~70 GB live state at measured banding).
+    */
+  private[graft] def wideMinhash(docs: DataFrame, w: Int): DataFrame = {
+    val parts = (0 until 3).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    val slots = (0 until w).map(j =>
+      s"array_min(transform(sh, x -> xxhash64($j, x)))").mkString(", ")
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, size(ts)-2), i -> concat_ws(' ', $parts)) AS sh")
+      .selectExpr("doc_id", s"array($slots) AS sig")
+  }
+
   /** The persisted index scan, for specs that drive it from a streaming
     * plan ([[incrementalIndex]] stays private — gates go through the
     * GQuery front door).
@@ -1509,6 +1536,18 @@ object Text {
       // that live inside the index are filtered back out by id — a
       // filter on the bucketed scan, no exchange
       val (idx, _) = incrementalIndex(s, dir)
+      // FAIL CLOSED: a capped index row is a corpus signature the screen
+      // never consults — a contaminated doc silently escaping a SAFETY
+      // filter. The cap stats are recorded at build; decontamination
+      // refuses a lossy index outright (rebuild at a deeper banding —
+      // the t18 machinery — restores zero drops) instead of warning
+      // into a void and passing the doc.
+      idxCapStats.get((s, dir)).foreach { case (dropped, maxBucket) =>
+        require(dropped == 0L,
+          s"t27: signature index dropped $dropped rows at the occupancy " +
+            s"cap (max bucket $maxBucket) — a capped index FAILS OPEN as " +
+            s"a decontamination screen; rebuild at a deeper banding")
+      }
       val corpusSide = idx.filter(col("doc_id") % 50 =!= 0)
         .unionByName(rowLshKeys(docs.filter(
           col("doc_id") % 10 === 7 && col("doc_id") % 50 =!= 0)))
@@ -1692,9 +1731,12 @@ object Text {
          |  AND b2.doc_id IN (SELECT doc_id FROM surv)""".stripMargin) { (s, dir) =>
       val (eidx, _) = exactHashIndex(s, dir)
       val (idx, buckets) = incrementalIndex(s, dir)
+      // the per-release-batch dedup (batch-distinct here); the streaming
+      // plan inside pipelineCandidates stays zero-state — see its note
       pipelineCandidates(
         streamAdmissionDelta(Tables.documents(s, dir)),
         eidx, idx, buckets, requirePlan = true)
+        .dropDuplicates("doc1", "doc2")
     }
   )
 
@@ -1727,7 +1769,16 @@ object Text {
         s"s11: both index sides must be exchange-free bucketed scans " +
           s"($added extra exchange(s)):\n$plan")
     }
-    joined.select("doc1", "doc2").dropDuplicates("doc1", "doc2")
+    // NO terminal dropDuplicates here: in a stream it would be an
+    // UNBOUNDED stateful dedup (no event time to watermark on — state
+    // grows with every pair ever emitted). None is needed for
+    // correctness across batches: a shard doc arrives in exactly one
+    // micro-batch and all its band keys are derived in that batch, so
+    // duplicate (doc1, doc2) rows only occur WITHIN a batch
+    // (multi-band matches) — the downstream release batch dedups its
+    // own window (the s11 batch gate applies exactly that), keeping
+    // the streaming plan itself zero-state.
+    joined.select("doc1", "doc2")
   }
 
   /** t28's oracle SQL (the full nine-stage composition in DuckDB),
@@ -1821,33 +1872,95 @@ object Text {
     * Candidates come from [[rowLshKeysAt]] (map-only, no SortAggregate —
     * the form that survives x1000 where the aggregate form OOMed) capped
     * by the same [[Lsh.cappedPairs]] occupancy backstop (observed on
-    * `graft_lsh_text_scaled`); the jaccard re-rank is scoredPairs'
-    * exact join over the shared persisted shingle frame. At bands=4,
-    * depth=2 the candidate set equals [[scoredPairs]]' (per-row ==
-    * aggregate parity pinned in spec), so the t28b gate can share t28's
-    * oracle. NOT memoized: each call derives signatures at its own
-    * banding (scale runs choose the measured depth, which varies by
-    * corpus).
+    * `graft_lsh_text_scaled`). NOT memoized: each call derives
+    * signatures at its own banding (scale runs choose the measured
+    * depth, which varies by corpus).
+    *
+    * The jaccard re-rank is SIGNATURE-ESTIMATED with a bounded exact
+    * slice — the structural fix for the r15 x1000 failure, where the
+    * exact shingle-intersection join moved the corpus-wide 225M-row
+    * shingle frame through two exchanges and died on scratch disk
+    * (~70 GB live state) at BOTH bandings tried:
+    *
+    *  1. Ĵ = matching-slot fraction of the [[wideMinhash]] signature
+    *     (w=32 default, `GRAFT_T28_SIGW`), computed per candidate pair
+    *     from doc-level signature rows SEMI-JOINED to candidate docs —
+    *     the exchanges now carry candidate-doc signatures (w longs per
+    *     doc), never the corpus shingle frame.
+    *  2. Pairs with |Ĵ − 0.8| < ε (ε=0.25 default, `GRAFT_T28_EPS`)
+    *     get the exact intersection jaccard, over shingles semi-joined
+    *     to BORDERLINE-pair docs only. Pairs outside the slice keep Ĵ;
+    *     since Ĵ ≤ 1 < 0.8 + 0.25, at the default ε every loser
+    *     verdict (jaccard ≥ 0.8) comes from the EXACT path — the
+    *     estimate alone only ever clears keepers (Ĵ ≤ 0.55, ≥3.5σ
+    *     below the 0.8 threshold at w=32), which is what licenses
+    *     sharing t28's oracle (parity with t28 pinned at sf0.001 and
+    *     GenScale x10 by PipelineScaledParitySpec).
+    *
+    * Scale shape: the chance-pair bulk a shallow banding admits (45M
+    * pairs at depth 2 on the x1000 corpus) has Ĵ ≈ 0 and never touches
+    * a shingle; the exact slice is near-dup-sized, so its shingle
+    * semi-join moves ~|borderline docs| / |corpus| of the old volume.
+    * The estimate frame is written to a scratch parquet so borderline
+    * derivation and the final coalesce share ONE computation of the
+    * candidate+signature stages (the gate stays unmemoized ACROSS
+    * calls; the split is logged per call for scale-run attribution).
     */
   private[graft] def scoredPairsAt(
       s: SparkSession, dir: String, bands: Int, depth: Int): DataFrame = {
-    val sh = persistedShingles(s, dir)
+    val docs = Tables.documents(s, dir)
+    val w = sys.env.get("GRAFT_T28_SIGW").map(_.toInt).getOrElse(32)
+    val eps = sys.env.get("GRAFT_T28_EPS").map(_.toDouble).getOrElse(0.25)
     // bk embeds the band prefix and md5 value spaces are disjoint across
     // slots, so (0, bk) buckets identically to (band, bkey)
     val cand = Lsh.cappedPairs(
-      rowLshKeysAt(Tables.documents(s, dir), bands, depth)
+      rowLshKeysAt(docs, bands, depth)
         .select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id")),
       "doc_id", "doc1", "doc2", "graft_lsh_text_scaled")
+    val candDocs = cand.select(col("doc1").as("doc_id"))
+      .union(cand.select(col("doc2"))).distinct()
+    val sigs = wideMinhash(docs, w).join(candDocs, Seq("doc_id"), "left_semi")
+    // stable per-(JVM, dir, banding, w) scratch path, overwritten per
+    // call and reaped at JVM exit — repeated gate runs in one session
+    // reuse one dir instead of growing tmp (the jsonl-fixture pattern)
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val estPath = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-t28b-est-${jvmToken}_${dirTag}_${bands}x${depth}w$w"
+    jsonlHookInstalled
+    jsonlReap.add(estPath)
+    cand
+      .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
+      .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (expr("aggregate(zip_with(sig1, sig2, (a, b) -> IF(a = b, 1, 0)), " +
+          "0, (acc, x) -> acc + x)").cast("double") / w).as("jhat"))
+      .write.mode("overwrite").parquet(estPath)
+    val est = s.read.parquet(estPath)
+    val borderline = est.filter(abs(col("jhat") - 0.8) < eps)
+      .select("doc1", "doc2")
+    val nCand = est.count() // parquet footer counts — metadata-cheap
+    val nBorder = borderline.count()
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"t28b re-rank split: $nCand candidate pairs, $nBorder borderline " +
+        s"(exact slice ${if (nCand == 0) 0 else 100 * nBorder / nCand}%, " +
+        s"w=$w, eps=$eps)")
+    val bdocs = borderline.select(col("doc1").as("doc_id"))
+      .union(borderline.select(col("doc2"))).distinct()
+    val sh = persistedShingles(s, dir).join(bdocs, Seq("doc_id"), "left_semi")
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-    cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+    val exact = borderline.join(a, "doc1").join(b, Seq("doc2", "shingle"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
       .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
       .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
       .select(col("doc1"), col("doc2"),
         (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
-          .as("jaccard"))
+          .as("jx"))
+    est.join(exact, Seq("doc1", "doc2"), "left")
+      .select(col("doc1"), col("doc2"),
+        coalesce(col("jx"), col("jhat")).as("jaccard"))
   }
 
   /** The composed release pipeline (t28) given the near-dup loser set:

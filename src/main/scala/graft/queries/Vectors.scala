@@ -509,22 +509,43 @@ object Vectors {
   // deleted on recovery); after it, every remaining step is an
   // idempotent rename, re-runnable from recoverFlush. ----
 
+  /** Per-index-root mutual exclusion for the staging maintenance ops.
+    * The flush protocol is crash-safe but NOT concurrency-safe on its
+    * own: a stageInsert racing a pre-commit flushStaging runs
+    * recoverFlush, which (correctly, from its single-writer view)
+    * deletes the in-flight flush's _flush_out/_staging_new as garbage —
+    * and when that flush then commits (staging → _staging_old),
+    * completeFlush finds neither dir and deletes the staged rows' only
+    * copy. Every maintenance entry point (stageInsert / stagedRows /
+    * flushStaging / recoverFlush via them) therefore serializes on the
+    * root's monitor. Scope: one writer JVM per index root — the
+    * single-writer topology maintenance assumes anyway (concurrent
+    * writer PROCESSES would need an external coordinator, e.g. a lease
+    * on the root; readers of committed cell files are unaffected and
+    * take no lock).
+    */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withRootLock[T](idxRoot: String)(body: => T): T =
+    rootLocks.computeIfAbsent(idxRoot, _ => new Object).synchronized(body)
+
   /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
     * index's staging table: ONE delta-sized append — no per-cell files,
     * no partition listing, cost ∝ delta bytes.
     */
   private[graft] def stageInsert(
-      s: SparkSession, idxRoot: String, rows: DataFrame): Unit = {
-    recoverFlush(s, idxRoot)
-    rows.write.mode("append").parquet(s"$idxRoot/staging")
-  }
+      s: SparkSession, idxRoot: String, rows: DataFrame): Unit =
+    withRootLock(idxRoot) {
+      recoverFlush(s, idxRoot)
+      rows.write.mode("append").parquet(s"$idxRoot/staging")
+    }
 
   /** The staged rows not yet flushed to cell files (None if the staging
     * table is absent/empty). Search unions this delta-sized frame with
     * the cell-partitioned index scan.
     */
   private[graft] def stagedRows(
-      s: SparkSession, idxRoot: String): Option[DataFrame] = {
+      s: SparkSession, idxRoot: String): Option[DataFrame] = withRootLock(idxRoot) {
     recoverFlush(s, idxRoot)
     val p = new org.apache.hadoop.fs.Path(s"$idxRoot/staging")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -542,7 +563,8 @@ object Vectors {
     * Returns the number of flushed cells.
     */
   private[graft] def flushStaging(
-      s: SparkSession, idxRoot: String, blockBytes: Long): Int = {
+      s: SparkSession, idxRoot: String, blockBytes: Long): Int =
+      withRootLock(idxRoot) {
     import org.apache.hadoop.fs.Path
     recoverFlush(s, idxRoot)
     val root = new Path(idxRoot)
@@ -554,6 +576,10 @@ object Vectors {
     if (totalRows == 0L) return 0
     val totalBytes = fs.listStatus(staging)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // APPROXIMATION: sizes every cell by the staging table's AVERAGE
+    // bytes/row — exact for a fixed-width schema (this index), and for
+    // mixed-width rows only shifts WHEN a cell flushes (a fat-row cell
+    // late, a thin-row cell early), never whether its rows survive
     val perRow = math.max(1L, totalBytes / totalRows)
     val flushCells = st.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") * perRow >= blockBytes)
@@ -615,7 +641,8 @@ object Vectors {
     * `_flush_out`/`_staging_new` are pre-commit garbage — drop them
     * (live staging + cells were never touched).
     */
-  private[graft] def recoverFlush(s: SparkSession, idxRoot: String): Unit = {
+  private[graft] def recoverFlush(s: SparkSession, idxRoot: String): Unit =
+      withRootLock(idxRoot) {
     import org.apache.hadoop.fs.Path
     val root = new Path(idxRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -649,7 +676,12 @@ object Vectors {
     * aside IS the data) before the needy-cell listing runs.
     */
   private[graft] def compactCells(
-      s: SparkSession, vectors: String, maxFiles: Int): Int = {
+      s: SparkSession, vectors: String, maxFiles: Int): Int =
+      // same monitor as the staging ops (callers pass `$idxRoot/vectors`):
+      // a flush moving files INTO a cell dir between compaction's listing
+      // and its swap would be silently dropped by the swap
+      withRootLock(
+        new org.apache.hadoop.fs.Path(vectors).getParent.toString) {
     import org.apache.hadoop.fs.Path
     val root = new Path(vectors)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -168,7 +168,8 @@ object Bucketed {
     */
   def streamSideShuffles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, BroadcastQueryStageExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{
       BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
     def walk(p: SparkPlan): Int = p match {
@@ -176,6 +177,14 @@ object Bucketed {
       case e: ShuffleExchangeLike => 1 + e.children.map(walk).sum
       case r: ReusedExchangeExec => walk(r.child)
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // AQE materializes exchanges into QueryStageExec LEAVES (children
+      // is Nil) — an executed adaptive plan walked without unwrapping
+      // counts 0 and passes the map-only REQUIREs vacuously. Unwrap to
+      // the held exchange: a broadcast stage is static-side (stop), any
+      // other stage's plan is the shuffle subtree (counted by the
+      // ShuffleExchangeLike case above).
+      case b: BroadcastQueryStageExec => 0
+      case q: QueryStageExec => walk(q.plan)
       case other => other.children.map(walk).sum
     }
     walk(df.queryExecution.executedPlan)

@@ -136,4 +136,30 @@ class BucketedJoinSpec extends SparkSuite {
     assert(j10.exceptAll(plain).isEmpty && plain.exceptAll(j10).isEmpty,
       "j10 differs from the unbucketed restatement")
   }
+
+  test("streamSideShuffles counts through AQE query stages post-execution") {
+    import graft.sources.Bucketed
+    val ev = graft.Tables.events(spark, sf0001)
+    // a genuine stream-side shuffle (groupBy exchange outside any
+    // broadcast subtree)
+    val agg = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(Bucketed.streamSideShuffles(agg) >= 1,
+      "pre-execution: the groupBy exchange must count")
+    // EXECUTE the plan: AQE replaces exchanges with QueryStageExec
+    // leaves — the count must survive (the ADVICE'd vacuous-0 bug)
+    agg.collect()
+    assert(Bucketed.streamSideShuffles(agg) >= 1,
+      s"post-execution (AQE stages): the shuffle vanished from the " +
+        s"count:\n${agg.queryExecution.executedPlan}")
+    // and a broadcast-join plan stays 0 both ways — static-side
+    // subtrees (incl. materialized BroadcastQueryStageExec) are exempt
+    val dim = ev.select("user_id").distinct().limit(10)
+    val bj = ev.join(broadcast(dim), "user_id")
+    assert(Bucketed.streamSideShuffles(bj) == 0,
+      "pre-execution: broadcast join must be stream-side map-only")
+    bj.collect()
+    assert(Bucketed.streamSideShuffles(bj) == 0,
+      s"post-execution: broadcast stage wrongly counted:\n" +
+        s"${bj.queryExecution.executedPlan}")
+  }
 }

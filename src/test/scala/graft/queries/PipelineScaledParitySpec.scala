@@ -11,9 +11,9 @@ import graft.SparkSuite
   */
 class PipelineScaledParitySpec extends SparkSuite {
 
-  test("t28b at the oracle-locked banding equals t28 exactly") {
+  private def parityAt(dir: String): Unit = {
     def rows(name: String) =
-      graft.SparkEntry.queries(name)(spark, sf0001)
+      graft.SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toSeq).toSet
     val locked = rows("t28_pipeline")
     val scaled = rows("t28b_pipeline_scaled")
@@ -21,5 +21,21 @@ class PipelineScaledParitySpec extends SparkSuite {
     assert(scaled === locked,
       s"scale path diverged: scaled-only=${(scaled -- locked).take(3)}, " +
         s"locked-only=${(locked -- scaled).take(3)}")
+  }
+
+  test("t28b at the oracle-locked banding equals t28 exactly") {
+    parityAt(sf0001)
+  }
+
+  // the r16 re-rank (signature-estimated jaccard + bounded exact slice)
+  // makes parity a STATISTICAL claim — the estimate alone only clears
+  // keepers ≥3.5σ below the loser threshold — so pin it at a second,
+  // 10× corpus too (the GenScale x10 fixture, where the r15 veto
+  // episode showed gate-scale agreement can mask scale divergence)
+  test("t28b equals t28 at GenScale x10") {
+    val x10 = "/tmp/scale/x10"
+    assume(new java.io.File(s"$x10/documents.parquet").exists(),
+      "GenScale x10 fixture absent (tools/runtool.sh graft.tools.GenScale)")
+    parityAt(x10)
   }
 }
