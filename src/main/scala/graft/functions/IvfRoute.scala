@@ -25,8 +25,8 @@ case class IvfRouterState(
     kidCents: Array[Array[Array[Double]]])
 
 /** `ivf_route2(q_emb)`: per-row TWO-LEVEL IVF routing as one scalar
-  * expression — picks the top-2 super-cells by dot product over the
-  * broadcast super-centroids, then the best child cell of those two
+  * expression — picks the top-`nprobe` super-cells by dot product over
+  * the broadcast super-centroids, then the best child cell across those
   * supers, in tight JVM loops over primitive arrays. Append-mode legal
   * (a deterministic scalar over one row: no join, no aggregate, no
   * exchange) and bit-identical to the batch hierarchical route: the
@@ -34,13 +34,23 @@ case class IvfRouterState(
   * argmax levels break ties by SMALLEST id under
   * `SQLOrderingUtil.compareDoubles` — the `max_by(struct(dp, -id))`
   * algebra of `routeQueries`/the old join form, re-expressed as loops.
-  * CodegenFallback: the eval IS the kernel (2·√cells fused dots); there
-  * is no per-element expression tree for codegen to beat.
+  * CodegenFallback: the eval IS the kernel (~(1+nprobe)·√cells fused
+  * dots); there is no per-element expression tree for codegen to beat.
+  *
+  * `nprobe` is THE recall/latency knob (FAISS ships it as the primary
+  * IVF tuning parameter): a boundary query whose best cell's super
+  * loses the super-argmax re-ranks inside `nprobe` Voronoi neighbors —
+  * deeper probes raise routing recall at ~√cells extra dots each.
+  * Default 2 preserves the original boundary semantics
+  * (RoutingHierarchySpec pins bit-parity with the batch route there).
   */
 case class IvfTwoLevelRoute(
     child: Expression,
-    state: Broadcast[IvfRouterState])
+    state: Broadcast[IvfRouterState],
+    nprobe: Int = 2)
   extends UnaryExpression with CodegenFallback {
+
+  require(nprobe >= 1, s"ivf_route2: nprobe must be >= 1, got $nprobe")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "ivf_route2"
@@ -79,23 +89,31 @@ case class IvfTwoLevelRoute(
     var i = 0
     if (isFloat) while (i < n) { qd(i) = ad.getFloat(i).toDouble; i += 1 }
     else while (i < n) { qd(i) = ad.getDouble(i); i += 1 }
-    // level 1: top-2 supers
-    var b1 = -1; var d1 = 0.0
-    var b2 = -1; var d2 = 0.0
+    // level 1: top-`nprobe` supers, kept ordered by (dp desc, id asc) —
+    // insertion into two parallel arrays (k is small: the recall knob)
+    val k = math.min(nprobe, st.superIds.length)
+    val topIdx = new Array[Int](k)
+    val topDp = new Array[Double](k)
+    var filled = 0
     i = 0
     while (i < st.superIds.length) {
       val dp = dot(qd, st.superCents(i))
-      if (b1 < 0 || better(dp, st.superIds(i), d1, st.superIds(b1))) {
-        b2 = b1; d2 = d1; b1 = i; d1 = dp
-      } else if (b2 < 0 || better(dp, st.superIds(i), d2, st.superIds(b2))) {
-        b2 = i; d2 = dp
+      var pos = filled
+      while (pos > 0 && better(dp, st.superIds(i), topDp(pos - 1),
+          st.superIds(topIdx(pos - 1)))) pos -= 1
+      if (pos < k) {
+        var j = math.min(filled, k - 1)
+        while (j > pos) { topIdx(j) = topIdx(j - 1); topDp(j) = topDp(j - 1); j -= 1 }
+        topIdx(pos) = i; topDp(pos) = dp
+        if (filled < k) filled += 1
       }
       i += 1
     }
-    // level 2: best cell across both supers' children
+    // level 2: best cell across all probed supers' children
     var bestCell = 0; var bestDp = 0.0; var found = false
-    def scan(s: Int): Unit = if (s >= 0) {
-      val ids = st.kidIds(s); val cents = st.kidCents(s)
+    var p = 0
+    while (p < filled) {
+      val ids = st.kidIds(topIdx(p)); val cents = st.kidCents(topIdx(p))
       var j = 0
       while (j < ids.length) {
         val dp = dot(qd, cents(j))
@@ -104,8 +122,8 @@ case class IvfTwoLevelRoute(
         }
         j += 1
       }
+      p += 1
     }
-    scan(b1); scan(b2)
     require(found, "ivf_route2: empty hierarchy")
     bestCell
   }

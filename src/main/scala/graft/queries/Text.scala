@@ -31,9 +31,19 @@ object Text {
   /** Distinct word n-gram shingles per doc (map-side explode, then
     * distinct on (doc_id, shingle)).
     */
-  private[graft] def shingles(s: SparkSession, dir: String, n: Int): DataFrame = {
+  private[graft] def shingles(s: SparkSession, dir: String, n: Int): DataFrame =
+    shinglesOf(Tables.documents(s, dir), n)
+
+  /** [[shingles]] over an arbitrary (doc_id, text) frame — so callers
+    * that need shingles for a SMALL doc subset (t28b's borderline exact
+    * slice, the sampled depth probe) can push their doc filter below the
+    * explode instead of building — and at x1000, persisting ~25 GB of —
+    * the full corpus shingle frame first.
+    */
+  private[graft] def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame = {
     val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
-    toks(s, dir)
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= n)
       .select(
         col("doc_id"),
@@ -41,6 +51,24 @@ object Text {
           s"transform(sequence(1, size(ts)-${n - 1}), i -> concat_ws(' ', $parts))"))
           .as("shingle"))
       .distinct()
+  }
+
+  /** Per-row DISTINCT shingle projection: (doc_id, ns, shingle rows) with
+    * `ns` = the doc's distinct-shingle count computed as a closed-form
+    * array expression ON the row — the map-only twin of
+    * `shingles.groupBy(doc_id).count()`, which at corpus scale is a
+    * 225M-row exchange for a number each row already knows.
+    */
+  private def explodedWithNs(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .selectExpr("doc_id",
+        s"array_distinct(transform(sequence(1, size(ts)-${n - 1}), " +
+          s"i -> concat_ws(' ', $parts))) AS sha")
+      .select(col("doc_id"), size(col("sha")).as("ns"),
+        explode(col("sha")).as("shingle"))
   }
 
   private def shinglesSql(n: Int): String = {
@@ -240,7 +268,13 @@ object Text {
       // drifting cost; BASELINE.md r12 spread 2.5-4.9 s). Safe by
       // construction: t18 validates the CHOSen depth's invariants (zero
       // cap drops, zero lost true pairs) on the FULL corpus every run.
-      val depth = autoRowsPerBand(persistedShingles(s, dir), sample = 0.5)
+      // UNPERSISTED shingle input: the probe's doc-sample filter pushes
+      // below the explode to the documents scan, so the probe reads
+      // half-corpus shingles once — handing it persistedShingles would
+      // force the full frame's build+persist (~25 GB x1000 scratch)
+      // just to sample half of it away.
+      val depth = autoRowsPerBand(shinglesOf(Tables.documents(s, dir)),
+        sample = 0.5)
       (depth, Lsh.bandsForRecall(NearDupJaccard, depth, 1.0 - 1e-6))
     })
 
@@ -1947,7 +1981,11 @@ object Text {
         s"w=$w, eps=$eps)")
     val bdocs = borderline.select(col("doc1").as("doc_id"))
       .union(borderline.select(col("doc2"))).distinct()
-    val sh = persistedShingles(s, dir).join(bdocs, Seq("doc_id"), "left_semi")
+    // shingles for BORDERLINE docs only, derived straight from the
+    // documents scan (semi-join pushed below the explode) — never via
+    // persistedShingles, whose full-corpus build+persist is ~25 GB of
+    // x1000 scratch this slice doesn't need
+    val sh = shinglesOf(docs.join(bdocs, Seq("doc_id"), "left_semi"))
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
@@ -1977,18 +2015,29 @@ object Text {
       val docs = Tables.documents(s, dir)
       val canon = docs.groupBy(md5(lower(col("text"))).as("h"))
         .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val sh = persistedShingles(s, dir)
-      val benchSh = sh.filter(col("doc_id") % 50 === 0)
-        .select("shingle").distinct()
       // t13's contamination RATIO at a 0.5 drop threshold — the
       // any-single-shingle rule emptied the vocab-dense GenScale x10
       // corpus outright (every doc shares SOME trigram with a 1k-doc
-      // bench set); real decontamination thresholds, it doesn't veto
-      val nSh = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(benchSh, "shingle")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        .join(nSh, "doc_id")
+      // bench set); real decontamination thresholds, it doesn't veto.
+      //
+      // BROADCAST + partial-agg shape (r16): the first form joined the
+      // persisted corpus shingle frame by shingle and grouped it by
+      // doc_id — two corpus-wide 225M-row exchanges whose shuffle files,
+      // stacked with the rest of the composition's, exhausted the x1000
+      // scratch disk. A benchmark suite is FIXED-size state (the 2%
+      // holdout stands in for an MMLU-style suite): its distinct
+      // shingles broadcast; each corpus doc's distinct shingles explode
+      // map-side into the broadcast hash join, `ns` rides each row as a
+      // closed-form array size (no second corpus pass, no count join),
+      // and the overlap count partial-aggregates before its single
+      // doc-sized exchange — the stage now moves ~1 row per corpus doc
+      // instead of ~50 shingle rows, twice.
+      val benchSh = explodedWithNs(docs.filter(col("doc_id") % 50 === 0))
+        .select("shingle").distinct()
+      val contaminated = explodedWithNs(docs.filter(col("doc_id") % 50 =!= 0))
+        .join(broadcast(benchSh), "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_overlap"), first(col("ns")).as("ns"))
         .filter(col("n_overlap").cast("double") / col("ns") >= 0.5)
         .select("doc_id")
       val nTok = size(split(col("text"), " ", -1))

@@ -198,8 +198,10 @@ object Vectors {
     *                  labels or the persisted index's footer count)
     */
   private[graft] def routeQueries(
-      queries: DataFrame, centroids: DataFrame, nCells: Long): DataFrame = {
+      queries: DataFrame, centroids: DataFrame, nCells: Long,
+      nprobe: Int = 2): DataFrame = {
     registered(queries.sparkSession)
+    require(nprobe >= 1, s"routeQueries: nprobe must be >= 1, got $nprobe")
     if (nCells <= HierarchicalRoutingThreshold) {
       queries
         .crossJoin(broadcast(centroids))
@@ -209,22 +211,29 @@ object Vectors {
         .agg(max_by(col("cell"), struct(col("dp"), -col("cell"))).as("cell"))
     } else {
       val (superCent, cellSuper) = buildHierarchy(centroids, nCells)
-      // probe the TOP-2 super-cells per query (IVF nprobe): a boundary
-      // query whose best cell sits just across a Voronoi face re-ranks
-      // the neighbor too. Two map-side max_by passes keep the no-
+      // probe the top-`nprobe` super-cells per query (IVF nprobe): a
+      // boundary query whose best cell sits just across a Voronoi face
+      // re-ranks the neighbors too. Sequential map-side max_by passes
+      // (each excluding the supers already picked) keep the no-
       // scored-row-shuffle invariant (a window top-k would shuffle
-      // queries × √cells rows).
+      // queries × √cells rows); nprobe is small — the recall knob —
+      // so pass count stays bounded.
       val score = queries
         .crossJoin(broadcast(superCent))
         .select(col("q_id"), col("super"),
           expr(dotExpr("q_emb", "scent")).as("dp"))
-      val s1 = score.groupBy("q_id")
+      var qsuper = score.groupBy("q_id")
         .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
-      val s2 = score.join(s1.withColumnRenamed("super", "_s1"), "q_id")
-        .filter(col("super") =!= col("_s1"))
-        .groupBy("q_id")
-        .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
-      val qsuper = s1.unionByName(s2)
+      var pass = 1
+      while (pass < nprobe) {
+        val ex = qsuper.groupBy("q_id").agg(collect_set("super").as("_ex"))
+        val next = score.join(ex, "q_id")
+          .filter(!array_contains(col("_ex"), col("super")))
+          .groupBy("q_id")
+          .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
+        qsuper = qsuper.unionByName(next)
+        pass += 1
+      }
       queries.join(qsuper, "q_id")
         .join(cellSuper.select("super", "cell", "centroid"), "super")
         .select(col("q_id"), col("cell"),
@@ -581,23 +590,30 @@ object Vectors {
     // mixed-width rows only shifts WHEN a cell flushes (a fat-row cell
     // late, a thin-row cell early), never whether its rows survive
     val perRow = math.max(1L, totalBytes / totalRows)
+    // flush-cell selection stays a FRAME joined broadcast-semi/anti —
+    // never a collected list in an isin() literal: at production cell
+    // counts (10⁵-10⁶) the plan-literal list is exactly the blow-up the
+    // broadcast router eliminated, while a broadcast of a cell-id frame
+    // is O(1) plan state at any count. The only driver value is the
+    // returned COUNT.
     val flushCells = st.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") * perRow >= blockBytes)
-      .select("cell").collect().map(_.get(0))
-    if (flushCells.isEmpty) return 0
+      .select("cell")
+    val nFlush = flushCells.count()
+    if (nFlush == 0L) return 0
     val flushOut = new Path(root, "_flush_out")
     val stagingNew = new Path(root, "_staging_new")
-    st.filter(col("cell").isin(flushCells.toSeq: _*))
+    st.join(broadcast(flushCells), Seq("cell"), "left_semi")
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(flushOut.toString)
-    st.filter(!col("cell").isin(flushCells.toSeq: _*))
+    st.join(broadcast(flushCells), Seq("cell"), "left_anti")
       .write.mode("overwrite").parquet(stagingNew.toString)
     // COMMIT: from here recovery finishes the flush instead of undoing it
     if (!fs.rename(staging, new Path(root, "_staging_old")))
       throw new java.io.IOException(
         s"flush commit rename failed: $staging (staging untouched)")
     completeFlush(s, idxRoot)
-    flushCells.length
+    nFlush.toInt
   }
 
   /** Post-commit flush steps, idempotent (every step is a rename that
@@ -697,15 +713,34 @@ object Vectors {
           throw new java.io.IOException(
             s"compaction recovery failed: ${st.getPath} -> $live")
       }
-    val need = fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .filter(st => fs.listStatus(st.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
-      .map(_.getPath.getName.stripPrefix("cell="))
+    // ONE recursive listing (a single streamed metadata call on
+    // HDFS/S3A) replaces the per-cell listStatus loop — N round-trips
+    // that dominate exactly this path once cells reach 10⁵. Grandparent
+    // must be the root: `_compact_staging`/`_old_` subtrees also hold
+    // `cell=` dirs and must not count.
+    val fileCounts = scala.collection.mutable.Map.empty[String, Int]
+    val qroot = fs.makeQualified(root) // listed paths come back qualified
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val parent = f.getPath.getParent
+      if (f.getPath.getName.endsWith(".parquet") &&
+          parent.getParent == qroot && parent.getName.startsWith("cell="))
+        fileCounts.updateWith(parent.getName.stripPrefix("cell=")) {
+          c => Some(c.getOrElse(0) + 1)
+        }
+    }
+    val need = fileCounts.collect { case (cell, n) if n > maxFiles => cell }.toArray
     if (need.isEmpty) return 0
     val staging = new Path(root, "_compact_staging")
+    // needy-cell selection via a broadcast semi-join on the partition
+    // column (dynamic partition pruning keeps the scan to needy cells),
+    // not an isin() literal — same plan-state rationale as flushStaging
+    val spark2 = s
+    import spark2.implicits._
+    val needDf = need.toSeq.map(_.toInt).toDF("cell")
     s.read.parquet(vectors)
-      .filter(col("cell").cast("string").isin(need.toSeq: _*))
+      .join(broadcast(needDf), Seq("cell"), "left_semi")
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
     fs.listStatus(staging)
@@ -1404,14 +1439,30 @@ object Vectors {
     * [[buildHierarchy]] state, same argmax/tiebreak algebra at both
     * levels) — RoutingHierarchySpec pins exact parity at 4096 cells.
     *
+    * Broadcast SIZE MATH (the 100 TB bound): the state holds every cell
+    * centroid once — `cells × dims × 8 B` for the children plus
+    * `√cells × dims × 8 B` for the supers (JVM object headers add
+    * ~2× on small dims). At 64 dims: 65k cells ≈ 34 MB, 262k ≈ 134 MB,
+    * 10⁶ ≈ 512 MB — FAISS holds the same quantizer in RAM on every
+    * search node; a torrent broadcast fetched once per executor is the
+    * Spark-correct distribution of exactly that state. The guard below
+    * fails fast past [[RouterStateMaxBytes]] (override
+    * `GRAFT_ROUTER_STATE_MAX_MB`) with the two real remedies: fewer/
+    * coarser cells (dedup pipelines rarely need > 10⁵), or a float32
+    * state variant (halves the bound; not built — the engine's dot
+    * kernels are double-exact end to end and a mixed-precision router
+    * would break bit-parity with the batch route).
+    *
     * @param supers the collected super-centroids (super, scent),
     *               deterministically ordered
     * @param kids   one row per super: (super, kids array<struct<cell,
     *               centroid>>), from [[hierarchyForRowRoute]]
+    * @param nprobe super-cells probed per query (recall/latency knob;
+    *               2 = the original boundary semantics)
     */
   private[graft] def rowRouteHier(
       queries: DataFrame, supers: Array[(Int, Seq[Double])],
-      kids: DataFrame): DataFrame = {
+      kids: DataFrame, nprobe: Int = 2): DataFrame = {
     registered(queries.sparkSession)
     require(supers.length >= 2, "hierarchical routing needs >= 2 super-cells")
     val bySuper = kids.collect().map { r =>
@@ -1425,12 +1476,30 @@ object Vectors {
       supers.map(_._2.toArray),
       supers.map(s => bySuper(s._1)._1),
       supers.map(s => bySuper(s._1)._2))
+    val dims = supers.head._2.length
+    val nCells = st.kidIds.iterator.map(_.length.toLong).sum
+    val stateBytes = (nCells + supers.length) * dims * 8L
+    require(stateBytes <= RouterStateMaxBytes,
+      s"ivf_route2 state would be ~${stateBytes >> 20} MB " +
+        s"($nCells cells × $dims dims × 8 B) — past the " +
+        s"${RouterStateMaxBytes >> 20} MB broadcast bound. Coarsen the " +
+        "cell budget, or raise GRAFT_ROUTER_STATE_MAX_MB if the " +
+        "executors have the headroom (the quantizer lives once per " +
+        "executor, like a FAISS coarse quantizer in RAM)")
     val bc = queries.sparkSession.sparkContext.broadcast(st)
     import org.apache.spark.sql.graftshim.ColumnShim
     queries.withColumn("cell", ColumnShim.column(
       graft.functions.IvfTwoLevelRoute(
-        ColumnShim.expression(col("q_emb")), bc)))
+        ColumnShim.expression(col("q_emb")), bc, nprobe)))
   }
+
+  /** Router-state broadcast bound (bytes): default 2 GiB — generous for
+    * a 10⁶-cell × 64-dim quantizer (~512 MB) while failing fast before
+    * a runaway cell budget serializes executor-breaking state.
+    */
+  private[graft] def RouterStateMaxBytes: Long =
+    sys.env.get("GRAFT_ROUTER_STATE_MAX_MB")
+      .map(_.toLong << 20).getOrElse(2048L << 20)
 
   /** The hierarchy in [[rowRouteHier]]'s consumable shape: collected
     * super-centroids + the one-row-per-super children frame. Split out
@@ -1465,8 +1534,12 @@ object Vectors {
     if (nCells <= HierarchicalRoutingThreshold)
       rowRoute(queries, loadCentroids(s, idx))
     else {
+      // the serving tier's recall knob (see rowRouteHier): default 2 =
+      // the batch route's boundary semantics; raise for recall-critical
+      // serving (BASELINE.md carries the measured recall-vs-nprobe curve)
+      val nprobe = sys.env.get("GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(2)
       val (supers, kids) = hierarchyForRowRoute(centDf, nCells)
-      rowRouteHier(queries, supers, kids)
+      rowRouteHier(queries, supers, kids, nprobe)
     }
   }
 

@@ -332,8 +332,14 @@ class PlanAuditSpec extends SparkSuite {
       case other => other.children.map(docScans).sum +
         other.subqueries.map(docScans).sum
     }
+    // ≤4: the release chain + the exact-dedup groupBy + the two
+    // decontamination branches (bench shingles, corpus overlap), which
+    // r16 moved OFF the persisted shingle frame onto direct map-only
+    // document scans — two extra columnar scans bought the removal of
+    // two corpus-wide shingle exchanges (the x1000 scratch-disk killer);
+    // a scan is pruned and map-fused, an exchange is materialized state
     val n = docScans(q.queryExecution.executedPlan)
-    assert(n <= 2, s"documents scanned $n times:\n$plan")
+    assert(n <= 4, s"documents scanned $n times:\n$plan")
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
       s"shingle/pair stages lost their persisted frames:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)

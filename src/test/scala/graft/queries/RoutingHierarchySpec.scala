@@ -129,6 +129,48 @@ class RoutingHierarchySpec extends SparkSuite {
       Seq((1L, 5)), "equal-dp tie must break to the smaller cell id")
   }
 
+  test("nprobe parameterized: tier parity at 4, monotone recall, nprobe=1 boundary") {
+    val nCells = 4096
+    val c = centroids(nCells).persist()
+    val q = queries(2000, nCells).persist()
+    try {
+      // the two tiers must agree at EVERY shared nprobe, not just the
+      // default — same buildHierarchy state, same generalized top-k
+      // insertion algebra vs the batch route's sequential max_by passes
+      for (np <- Seq(1, 4)) {
+        val batch = Vectors.routeQueries(q, c, nCells, nprobe = np).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toMap
+        val (supers, kids) = Vectors.hierarchyForRowRoute(c, nCells)
+        val perRow = Vectors.rowRouteHier(q, supers, kids, np)
+          .select("q_id", "cell").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toMap
+        val diverged = perRow.collect {
+          case (qid, cell) if batch(qid) != cell => (qid, batch(qid), cell)
+        }
+        assert(diverged.isEmpty,
+          s"nprobe=$np: ${diverged.size} queries routed differently " +
+            s"(q_id, batch, perRow): ${diverged.take(5)}")
+      }
+      // deeper probing must not LOSE agreement with the flat argmax —
+      // nprobe=k's probe set contains nprobe=j's for j<k, and the final
+      // cell argmax over a superset can only match flat more often
+      val flat = Vectors.routeQueries(q, c, nCells = 100).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+      val (supers, kids) = Vectors.hierarchyForRowRoute(c, nCells)
+      val agreeAt = Seq(1, 2, 4, 8).map { np =>
+        val routed = Vectors.rowRouteHier(q, supers, kids, np)
+          .select("q_id", "cell").collect()
+        np -> routed.count(r => flat(r.getLong(0)) == r.getInt(1))
+      }
+      agreeAt.sliding(2).foreach { case Seq((n1, a1), (n2, a2)) =>
+        assert(a2 >= a1,
+          s"flat agreement fell from $a1 (nprobe=$n1) to $a2 (nprobe=$n2)")
+      }
+      assert(agreeAt.last._2 > agreeAt.head._2,
+        s"the recall knob is inert on clustered queries: $agreeAt")
+    } finally { c.unpersist(); q.unpersist(); () }
+  }
+
   test("hierarchical plan: every cartesian is a small-side broadcast") {
     val nCells = 4096
     val routed = Vectors.routeQueries(queries(100, nCells), centroids(nCells), nCells)

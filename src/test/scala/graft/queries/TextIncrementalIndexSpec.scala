@@ -150,4 +150,28 @@ class TextIncrementalIndexSpec extends SparkSuite {
     assert(rowD3.exceptAll(aggD3).isEmpty && aggD3.exceptAll(rowD3).isEmpty,
       "rowLshKeysAt(3,3) diverges from lshBuckets(3,3)")
   }
+
+  test("GenScale x10 maintenance: the delta append's loss AND exactness sentinels are zero") {
+    // the x10 oracle sweep licenses uncapped-recompute oracles at this
+    // scale; this pins the maintenance half of that license — a skewed
+    // or out-of-order production delta must fail a SPEC, not warn into
+    // a void (dropped = rows the cap rejected; undercut = non-monotone
+    // arrivals breaking append==rebuild exactness)
+    val x10 = "/tmp/scale/x10"
+    assume(new java.io.File(s"$x10/documents.parquet").exists(),
+      "GenScale x10 fixture absent (tools/runtool.sh graft.tools.GenScale)")
+    val s = spark
+    val (idx, buckets) = Text.indexWithBucketsForTesting(s, x10)
+    val deltaSigs = Text.rowLshKeys(
+      graft.Tables.documents(s, x10).filter(col("doc_id") % 10 === 7))
+    val obs = org.apache.spark.sql.Observation(
+      s"x10_delta_${java.util.UUID.randomUUID().toString.take(8)}")
+    val accepted = Text.cappedDelta(idx, deltaSigs, buckets, obs = Some(obs))
+      .count()
+    val m = obs.get
+    assert(accepted > 0, "x10 delta appended nothing")
+    assert(m("dropped_ids") == 0L && m("undercut_ids") == 0L,
+      s"x10 maintenance sentinels nonzero: $m — append has diverged " +
+        "from rebuild at sweep scale")
+  }
 }
