@@ -268,12 +268,15 @@ object Text {
       // drifting cost; BASELINE.md r12 spread 2.5-4.9 s). Safe by
       // construction: t18 validates the CHOSen depth's invariants (zero
       // cap drops, zero lost true pairs) on the FULL corpus every run.
-      // UNPERSISTED shingle input: the probe's doc-sample filter pushes
-      // below the explode to the documents scan, so the probe reads
-      // half-corpus shingles once — handing it persistedShingles would
-      // force the full frame's build+persist (~25 GB x1000 scratch)
-      // just to sample half of it away.
-      val depth = autoRowsPerBand(shinglesOf(Tables.documents(s, dir)),
+      // Cache-AWARE shingle input (same rows either way): reuse the
+      // persisted frame when the session already built it (gate scale —
+      // free IMR scans); otherwise derive unpersisted, letting the
+      // probe's doc-sample filter push below the explode — handing it
+      // persistedShingles unconditionally would FORCE the full frame's
+      // build+persist (~25 GB x1000 scratch) just to sample half away.
+      val depth = autoRowsPerBand(
+        shingleCache.get((s, dir))
+          .getOrElse(shinglesOf(Tables.documents(s, dir))),
         sample = 0.5)
       (depth, Lsh.bandsForRecall(NearDupJaccard, depth, 1.0 - 1e-6))
     })
@@ -286,11 +289,12 @@ object Text {
     */
   def clearCaches(s: SparkSession): Unit = {
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
-    Seq(shingleCache, candCache, pairCache, simhashCache).foreach { m =>
-      m.keys.filter(_._1 eq s).foreach { k =>
-        m.remove(k).foreach(_.unpersist())
+    Seq(shingleCache, candCache, pairCache, simhashCache, deconCache)
+      .foreach { m =>
+        m.keys.filter(_._1 eq s).foreach { k =>
+          m.remove(k).foreach(_.unpersist())
+        }
       }
-    }
     buildSecs.keys.filter(_._1 eq s).foreach(buildSecs.remove)
     idxCapStats.keys.filter(_._1 eq s).foreach(idxCapStats.remove(_): Unit)
     jsonlDirs.keys.filter(_._1 eq s).foreach(jsonlDirs.remove(_): Unit)
@@ -1953,7 +1957,12 @@ object Text {
       "doc_id", "doc1", "doc2", "graft_lsh_text_scaled")
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2"))).distinct()
-    val sigs = wideMinhash(docs, w).join(candDocs, Seq("doc_id"), "left_semi")
+    // semi-join BELOW the signature computation: the w×shingles hashes
+    // per doc are the estimate's dominant cost, and only candidate docs
+    // ever need them (explicit, rather than trusting the optimizer to
+    // push a semi-join through the array projection)
+    val sigs = wideMinhash(
+      docs.join(candDocs, Seq("doc_id"), "left_semi"), w)
     // stable per-(JVM, dir, banding, w) scratch path, overwritten per
     // call and reaped at JVM exit — repeated gate runs in one session
     // reuse one dir instead of growing tmp (the jsonl-fixture pattern)
@@ -1981,11 +1990,16 @@ object Text {
         s"w=$w, eps=$eps)")
     val bdocs = borderline.select(col("doc1").as("doc_id"))
       .union(borderline.select(col("doc2"))).distinct()
-    // shingles for BORDERLINE docs only, derived straight from the
-    // documents scan (semi-join pushed below the explode) — never via
-    // persistedShingles, whose full-corpus build+persist is ~25 GB of
-    // x1000 scratch this slice doesn't need
-    val sh = shinglesOf(docs.join(bdocs, Seq("doc_id"), "left_semi"))
+    // shingles for BORDERLINE docs only. Cache-AWARE source, same rows
+    // either way: if the session already persisted the corpus shingle
+    // frame (t7/t9/t28 built it — the gate-scale bench path), semi-join
+    // that IMR; otherwise derive straight from the documents scan with
+    // the semi-join pushed below the explode — never FORCING the
+    // full-corpus build+persist (~25 GB of x1000 scratch) for a slice
+    // that needs a fraction of a percent of it
+    val sh = shingleCache.get((s, dir))
+      .getOrElse(shinglesOf(docs))
+      .join(bdocs, Seq("doc_id"), "left_semi")
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
@@ -2020,26 +2034,7 @@ object Text {
       // corpus outright (every doc shares SOME trigram with a 1k-doc
       // bench set); real decontamination thresholds, it doesn't veto.
       //
-      // BROADCAST + partial-agg shape (r16): the first form joined the
-      // persisted corpus shingle frame by shingle and grouped it by
-      // doc_id — two corpus-wide 225M-row exchanges whose shuffle files,
-      // stacked with the rest of the composition's, exhausted the x1000
-      // scratch disk. A benchmark suite is FIXED-size state (the 2%
-      // holdout stands in for an MMLU-style suite): its distinct
-      // shingles broadcast; each corpus doc's distinct shingles explode
-      // map-side into the broadcast hash join, `ns` rides each row as a
-      // closed-form array size (no second corpus pass, no count join),
-      // and the overlap count partial-aggregates before its single
-      // doc-sized exchange — the stage now moves ~1 row per corpus doc
-      // instead of ~50 shingle rows, twice.
-      val benchSh = explodedWithNs(docs.filter(col("doc_id") % 50 === 0))
-        .select("shingle").distinct()
-      val contaminated = explodedWithNs(docs.filter(col("doc_id") % 50 =!= 0))
-        .join(broadcast(benchSh), "shingle")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_overlap"), first(col("ns")).as("ns"))
-        .filter(col("n_overlap").cast("double") / col("ns") >= 0.5)
-        .select("doc_id")
+      val contaminated = contaminatedDocs(s, dir)
       val nTok = size(split(col("text"), " ", -1))
       val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
       val stopRatio = nStop.cast("double") / nTok
@@ -2096,6 +2091,44 @@ object Text {
           (col("start_off") % 256).as("seq_off"))
 
   }
+
+  /** The decontamination verdict set (corpus docs whose distinct-shingle
+    * overlap with the bench suite's shingles is ≥ 0.5 of their own
+    * shingle count — t13's ratio at the composed pipeline's threshold),
+    * memoized + persisted per (session, dir): the set is deterministic
+    * per corpus and DOC-SIZED, so repeated release passes (t28, t28b at
+    * any banding — the stage is banding-independent) pay the derivation
+    * once, like the other shared pipeline frames.
+    *
+    * BROADCAST + partial-agg shape (r16): the first form joined the
+    * persisted corpus shingle frame by shingle and grouped it by
+    * doc_id — two corpus-wide 225M-row exchanges whose shuffle files,
+    * stacked with the rest of the composition's, exhausted the x1000
+    * scratch disk. A benchmark suite is FIXED-size state (the 2%
+    * holdout stands in for an MMLU-style suite): its distinct shingles
+    * broadcast; each corpus doc's distinct shingles explode map-side
+    * into the broadcast hash join, `ns` rides each row as a closed-form
+    * array size (no second corpus pass, no count join), and the overlap
+    * count partial-aggregates before its single doc-sized exchange —
+    * the stage moves ~1 row per corpus doc instead of ~50 shingle rows,
+    * twice.
+    */
+  private val deconCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def contaminatedDocs(s: SparkSession, dir: String): DataFrame =
+    deconCache.getOrElseUpdate((s, dir), {
+      val docs = Tables.documents(s, dir)
+      val benchSh = explodedWithNs(docs.filter(col("doc_id") % 50 === 0))
+        .select("shingle").distinct()
+      timedBuild(s, "decon")(
+        explodedWithNs(docs.filter(col("doc_id") % 50 =!= 0))
+          .join(broadcast(benchSh), "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_overlap"), first(col("ns")).as("ns"))
+          .filter(col("n_overlap").cast("double") / col("ns") >= 0.5)
+          .select("doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
 
   /** The s10 arriving shard: the % 10 = 7 split ∪ re-crawl replays
     * (corpus docs re-arriving under fresh ids) — shared by the gate and
