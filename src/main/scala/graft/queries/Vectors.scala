@@ -213,27 +213,22 @@ object Vectors {
       val (superCent, cellSuper) = buildHierarchy(centroids, nCells)
       // probe the top-`nprobe` super-cells per query (IVF nprobe): a
       // boundary query whose best cell sits just across a Voronoi face
-      // re-ranks the neighbors too. Sequential map-side max_by passes
-      // (each excluding the supers already picked) keep the no-
-      // scored-row-shuffle invariant (a window top-k would shuffle
-      // queries × √cells rows); nprobe is small — the recall knob —
-      // so pass count stays bounded.
+      // re-ranks the neighbors too. ONE bounded `topk_by` aggregation —
+      // map-side partial keeps ≤nprobe rows per (task, query) before
+      // the single exchange (the no-scored-row-shuffle invariant a
+      // window top-k would break), the plan is linear in nprobe (a
+      // sequential exclude-and-remax loop doubles the subtree per
+      // pass), and topk_by's (score asc, id asc) order under -dp IS
+      // max_by(struct(dp, -id)) ranked — the row router's insertion
+      // loop re-implements exactly this order.
       val score = queries
         .crossJoin(broadcast(superCent))
         .select(col("q_id"), col("super"),
           expr(dotExpr("q_emb", "scent")).as("dp"))
-      var qsuper = score.groupBy("q_id")
-        .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
-      var pass = 1
-      while (pass < nprobe) {
-        val ex = qsuper.groupBy("q_id").agg(collect_set("super").as("_ex"))
-        val next = score.join(ex, "q_id")
-          .filter(!array_contains(col("_ex"), col("super")))
-          .groupBy("q_id")
-          .agg(max_by(col("super"), struct(col("dp"), -col("super"))).as("super"))
-        qsuper = qsuper.unionByName(next)
-        pass += 1
-      }
+      val qsuper = score.groupBy("q_id")
+        .agg(expr(s"topk_by(-dp, super, $nprobe)").as("top"))
+        .select(col("q_id"),
+          explode(expr("transform(top, t -> CAST(t.id AS INT))")).as("super"))
       queries.join(qsuper, "q_id")
         .join(cellSuper.select("super", "cell", "centroid"), "super")
         .select(col("q_id"), col("cell"),
@@ -535,8 +530,14 @@ object Vectors {
     */
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withRootLock[T](idxRoot: String)(body: => T): T =
-    rootLocks.computeIfAbsent(idxRoot, _ => new Object).synchronized(body)
+  private def withRootLock[T](idxRoot: String)(body: => T): T = {
+    // key on the URI path, normalized — "file:/tmp/idx", "/tmp/idx" and
+    // "/tmp/idx/" must share ONE monitor or the race closes only for
+    // callers that happen to spell the root identically (cross-scheme
+    // same-path collisions over-lock, which is safe)
+    val key = new org.apache.hadoop.fs.Path(idxRoot).toUri.getPath
+    rootLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
+  }
 
   /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
     * index's staging table: ONE delta-sized append — no per-cell files,
@@ -552,6 +553,15 @@ object Vectors {
   /** The staged rows not yet flushed to cell files (None if the staging
     * table is absent/empty). Search unions this delta-sized frame with
     * the cell-partitioned index scan.
+    *
+    * READ CONTRACT: the returned frame is LAZY over the staging files —
+    * the root monitor covers its construction, not its execution. A
+    * flush that commits between construction and an action moves those
+    * files (FileNotFound on the pinned listing, or rows absent from a
+    * union that already resolved the index side). Consume the frame
+    * before the next maintenance op on this root — the v13 shape, where
+    * search and maintenance interleave but never overlap; a reader that
+    * must hold results across maintenance snapshots them first.
     */
   private[graft] def stagedRows(
       s: SparkSession, idxRoot: String): Option[DataFrame] = withRootLock(idxRoot) {
@@ -731,14 +741,17 @@ object Vectors {
     val need = fileCounts.collect { case (cell, n) if n > maxFiles => cell }.toArray
     if (need.isEmpty) return 0
     val staging = new Path(root, "_compact_staging")
-    // needy-cell selection via a broadcast semi-join on the partition
-    // column (dynamic partition pruning keeps the scan to needy cells),
-    // not an isin() literal — same plan-state rationale as flushStaging
-    val spark2 = s
-    import spark2.implicits._
-    val needDf = need.toSeq.map(_.toInt).toDF("cell")
-    s.read.parquet(vectors)
-      .join(broadcast(needDf), Seq("cell"), "left_semi")
+    // read ONLY the needy cell directories (basePath keeps the `cell`
+    // partition column): pruning by construction, at file-listing time.
+    // Neither rejected alternative prunes: an isin() literal carries
+    // O(cells) plan state, and a broadcast semi-join on the partition
+    // column gets NO dynamic partition pruning (DPP requires a
+    // selective Filter on the build side — a bare LocalRelation of
+    // cell ids has none), so it scans every cell to compact a few.
+    // Plan state here is the needy-path LIST — proportional to the
+    // cells actually being rewritten, never to the index's cell count.
+    val needPaths = need.map(c => new Path(root, s"cell=$c").toString)
+    s.read.option("basePath", vectors).parquet(needPaths.toIndexedSeq: _*)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
     fs.listStatus(staging)
