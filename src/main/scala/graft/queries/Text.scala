@@ -107,7 +107,8 @@ object Text {
     */
   private[graft] def autoRowsPerBand(
       sh: DataFrame, target: Int = Lsh.DefaultTargetOccupancy,
-      bands: Int = 4, sample: Double = 1.0): Int = {
+      bands: Int = 4, sample: Double = 1.0,
+      xxKeys: Boolean = false): Int = {
     val maxDepth = 12
     // the 100 TB path: choose on a deterministic DOC-level sample (a row
     // sample would corrupt the minhashes — partial shingle sets change
@@ -122,9 +123,16 @@ object Text {
       else (sh.filter(pmod(xxhash64(col("doc_id")), lit(1000000)) <
         (sample * 1000000).toLong), 1.0 / sample)
     // one signature pass covering every slot any probed banding can use
-    // (band b at depth d keys on slots [d·b, d·b+d), same as lshBuckets)
+    // (band b at depth d keys on slots [d·b, d·b+d), same as lshBuckets).
+    // xxKeys measures the SAME occupancy statistics under the xxhash64
+    // family ([[rowLshKeysXxAt]]'s keys), so a depth chosen for the xx
+    // scale path is measured with the hash family that path will band
+    // with — and the probe itself drops the md5 string hashing that
+    // made it a real cost at x1000 (long minima also hash-aggregate;
+    // min(string) plans as SortAggregate).
     val aggs = (0 until bands * maxDepth).map(j =>
-      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+      if (xxKeys) min(xxhash64(lit(j), col("shingle"))).as(s"mh$j")
+      else min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
     val sigs = docs.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).persist()
     try {
       val row = sigs.groupBy("mh0").agg(count(lit(1)).as("c"))
@@ -136,11 +144,17 @@ object Text {
         target, maxDepth = maxDepth)
       Lsh.measuredDepth(seed, maxDepth, target) { d =>
         val bandExprs = (0 until bands).map { b =>
-          val key = (0 until d).map(r => s"mh${d * b + r}").mkString(", '|', ")
-          s"concat($key)"
+          if (xxKeys) {
+            // the flattened long key rowLshKeysXxAt emits at this depth
+            val slots = (0 until d).map(r => s"mh${d * b + r}").mkString(", ")
+            s"xxhash64($b, $slots)"
+          } else {
+            val key = (0 until d).map(r => s"mh${d * b + r}").mkString(", '|', ")
+            // md5 value spaces are disjoint across slots, so keys from
+            // different bands cannot collide — no band tag needed
+            s"concat($key)"
+          }
         }
-        // md5 value spaces are disjoint across slots, so keys from
-        // different bands cannot collide — no band tag needed
         val mx = sigs.select(explode(expr(s"array(${bandExprs.mkString(", ")})")).as("k"))
           .groupBy("k").agg(count(lit(1)).as("c"))
           .agg(max("c")).head().getLong(0)
@@ -282,6 +296,23 @@ object Text {
       (depth, Lsh.bandsForRecall(NearDupJaccard, depth, 1.0 - 1e-6))
     })
 
+  /** [[autoRowsFor]] under the XXHASH64 key family — the measured
+    * (depth, bands) for [[rowLshKeysXxAt]]-banded paths (t28b's scale
+    * path). Memoized separately from the md5 choice: the two families'
+    * max-bucket measurements differ in detail (not in statistics), and
+    * t18's gate validates the md5 choice against an md5-banded oracle.
+    */
+  private val depthCacheXx =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Int, Int)]
+  private def autoRowsForXx(s: SparkSession, dir: String): (Int, Int) =
+    depthCacheXx.getOrElseUpdate((s, dir), {
+      val depth = autoRowsPerBand(
+        shingleCache.get((s, dir))
+          .getOrElse(shinglesOf(Tables.documents(s, dir))),
+        sample = 0.5, xxKeys = true)
+      (depth, Lsh.bandsForRecall(NearDupJaccard, depth, 1.0 - 1e-6))
+    })
+
   /** Drop this session's persisted text-pipeline frames (shingles,
     * candidates, scored pairs) and the memoized depth choice. For
     * long-lived sessions that process many corpora: each (session, dir)
@@ -290,6 +321,7 @@ object Text {
     */
   def clearCaches(s: SparkSession): Unit = {
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
+    depthCacheXx.keys.filter(_._1 eq s).foreach(depthCacheXx.remove(_): Unit)
     Seq(shingleCache, candCache, pairCache, simhashCache, deconCache)
       .foreach { m =>
         m.keys.filter(_._1 eq s).foreach { k =>
@@ -391,6 +423,36 @@ object Text {
       .selectExpr(Seq("doc_id") ++ mh: _*)
       .selectExpr("doc_id", s"explode(array($bandStructs)) AS b")
       .select(concat_ws("|", col("b.band"), col("b.bkey")).as("bk"), col("doc_id"))
+  }
+
+  /** [[rowLshKeysAt]] with XXHASH64-keyed signatures — the band-key
+    * family for paths no DuckDB oracle consumes. The md5 form exists
+    * because t26/t27's oracles recompute `min(md5('<j>|'||shingle))`
+    * on the DuckDB side; everywhere the banding only GENERATES
+    * candidates whose verdicts come from a downstream re-rank (t28b's
+    * scale path), the hash just needs LSH quality, and the long-valued
+    * `xxhash64(j, shingle)` slot minima are ~10× cheaper than md5
+    * string hashes — at the x1000 auto banding (19×6) the md5 form's
+    * ~26B string hashes DOMINATED the composed release's warm pass
+    * (BASELINE.md r16 attribution; this variant is that fix). The
+    * flattened key is one LONG, `xxhash64(band, slots...)` — the band
+    * tag rides inside the hash, so keys from different bands land in
+    * disjoint value regions up to 64-bit collisions, and a collision
+    * only ever ADDS a spurious candidate pair for the re-rank to clear
+    * (never drops one: equal band signatures always hash equal).
+    */
+  private[graft] def rowLshKeysXxAt(
+      docs: DataFrame, bands: Int, depth: Int): DataFrame = {
+    val mh = (0 until bands * depth).map(j =>
+      s"array_min(transform(sh, x -> xxhash64($j, x))) AS mh$j")
+    val bandKeys = (0 until bands).map { b =>
+      val slots = (0 until depth).map(r => s"mh${depth * b + r}").mkString(", ")
+      s"xxhash64($b, $slots)"
+    }.mkString(", ")
+    shingleArrays(docs)
+      .selectExpr(Seq("doc_id") ++ mh: _*)
+      .selectExpr("doc_id", s"explode(array($bandKeys)) AS bk")
+      .select(col("bk"), col("doc_id"))
   }
 
   /** Per-ROW WIDE minhash signature (`w` independent slots, one
@@ -1630,16 +1692,22 @@ object Text {
     // choice) overrides for scale runs, where the oracle is not in
     // play: composition inherits its worst stage's scale knobs, and
     // this gate EXPOSES the knob instead of hard-coding the oracle
-    // shape. ----
+    // shape. Key family follows the oracle's reach: the default
+    // banding must reproduce the oracle's md5-banded candidate set,
+    // so it keeps md5 keys; every env-chosen banding runs outside the
+    // oracle and bands with the ~10× cheaper xxhash64 keys
+    // (rowLshKeysXxAt / autoRowsForXx — the r16 x1000 warm pass spent
+    // most of its 1513 s on md5 band keys no oracle ever read). ----
     GQuery("t28b_pipeline_scaled", t28OracleSql) { (s, dir) =>
-      val (bands, depth) = sys.env.get("GRAFT_T28_BANDING") match {
+      val (bands, depth, oracleKeys) = sys.env.get("GRAFT_T28_BANDING") match {
         case Some("auto") =>
-          val (d, b) = autoRowsFor(s, dir); (b, d)
+          val (d, b) = autoRowsForXx(s, dir); (b, d, false)
         case Some(v) =>
-          val Array(b, d) = v.split(',').map(_.trim.toInt); (b, d)
-        case None => (4, 2)
+          val Array(b, d) = v.split(',').map(_.trim.toInt); (b, d, false)
+        case None => (4, 2, true)
       }
-      pipelineRelease(s, dir, neardupLosers(scoredPairsAt(s, dir, bands, depth)))
+      pipelineRelease(s, dir,
+        neardupLosers(scoredPairsAt(s, dir, bands, depth, oracleKeys)))
     },
 
     // ---- STREAMING ingest admission: t28's serving-tier complement —
@@ -1895,14 +1963,38 @@ object Text {
     pairs.filter(col("jaccard") >= 0.8)
       .select(col("doc2").as("doc_id")).distinct()
 
+  /** The full t28b composition at an explicit (banding, key family) —
+    * the gate's env-dispatched body with the knobs as parameters, so
+    * PipelineScaledParitySpec can pin the xx-keyed scale path against
+    * the oracle-locked release without env plumbing.
+    */
+  private[graft] def t28bForTesting(
+      s: SparkSession, dir: String, bands: Int, depth: Int,
+      oracleKeys: Boolean): DataFrame =
+    pipelineRelease(s, dir,
+      neardupLosers(scoredPairsAt(s, dir, bands, depth, oracleKeys)))
+
+  /** The xx-family measured banding, for specs driving the scale path
+    * the way the gate's `GRAFT_T28_BANDING=auto` does.
+    */
+  private[graft] def autoRowsXxForTesting(
+      s: SparkSession, dir: String): (Int, Int) = autoRowsForXx(s, dir)
+
   /** [[scoredPairs]] at an arbitrary banding via the PER-ROW signature
     * form — the composed pipeline's scale path for its near-dup stage.
-    * Candidates come from [[rowLshKeysAt]] (map-only, no SortAggregate —
-    * the form that survives x1000 where the aggregate form OOMed) capped
-    * by the same [[Lsh.cappedPairs]] occupancy backstop (observed on
-    * `graft_lsh_text_scaled`). NOT memoized: each call derives
-    * signatures at its own banding (scale runs choose the measured
-    * depth, which varies by corpus).
+    * Candidates come from [[rowLshKeysAt]] or — when `oracleKeys` is
+    * false, the scale-run default — [[rowLshKeysXxAt]] (both map-only,
+    * no SortAggregate — the form that survives x1000 where the
+    * aggregate form OOMed), capped by the same [[Lsh.cappedPairs]]
+    * occupancy backstop (observed on `graft_lsh_text_scaled`). md5
+    * keys exist ONLY for the oracle-locked default banding, where the
+    * gate shares t28's DuckDB oracle and the parity spec compares
+    * candidate sets hash-for-hash; every env-chosen banding uses the
+    * ~10× cheaper xxhash64 keys (the r16 x1000 warm pass was DOMINATED
+    * by ~26B md5 band-key hashes at the measured 19×6 banding — md5
+    * bought nothing there, since candidates only feed the re-rank).
+    * NOT memoized: each call derives signatures at its own banding
+    * (scale runs choose the measured depth, which varies by corpus).
     *
     * The jaccard re-rank is SIGNATURE-ESTIMATED with a bounded exact
     * slice — the structural fix for the r15 x1000 failure, where the
@@ -1911,19 +2003,39 @@ object Text {
     * (~70 GB live state) at BOTH bandings tried:
     *
     *  1. Ĵ = matching-slot fraction of the [[wideMinhash]] signature
-    *     (w=32 default, `GRAFT_T28_SIGW`), computed per candidate pair
+    *     (w=64 default, `GRAFT_T28_SIGW`), computed per candidate pair
     *     from doc-level signature rows SEMI-JOINED to candidate docs —
     *     the exchanges now carry candidate-doc signatures (w longs per
     *     doc), never the corpus shingle frame.
-    *  2. Pairs with Ĵ ≥ 0.8 − ε (ε=0.25 default, `GRAFT_T28_EPS`) get
-    *     the exact intersection jaccard, over shingles semi-joined to
-    *     BORDERLINE-pair docs only; pairs below keep Ĵ. The slice is
-    *     ONE-SIDED, so every loser verdict (jaccard ≥ 0.8) comes from
-    *     the EXACT path structurally, at ANY ε > 0 — the estimate
-    *     alone only ever clears keepers (Ĵ < 0.55 at the default,
-    *     ≥3.5σ below the 0.8 threshold at w=32), which is what
-    *     licenses sharing t28's oracle (parity with t28 pinned at
-    *     sf0.001 and GenScale x10 by PipelineScaledParitySpec).
+    *  2. Pairs with Ĵ ≥ 0.8 − ε (ε=0.30 default, `GRAFT_T28_EPS`) get
+    *     the exact intersection jaccard via [[exactJaccard]] — LEFT-
+    *     joined from the borderline slice, so EVERY borderline pair
+    *     carries an exact verdict (a pair with zero shared shingles
+    *     scores jx = 0.0: its true jaccard IS 0); pairs below the cut
+    *     keep Ĵ. The slice is ONE-SIDED, so every loser verdict
+    *     (jaccard ≥ 0.8) comes from the EXACT path structurally, at
+    *     ANY ε > 0 AND any hash pathology — the r16 form derived the
+    *     exact frame from inner intersection joins, so a borderline
+    *     pair with disjoint shingle sets (reachable only through ~a
+    *     dozen independent 64-bit slot collisions) fell back to its
+    *     estimate; the left join closes that hole
+    *     (TextRerankExactnessSpec pins it with an injected pair).
+    *
+    * KEEPER-side miss budget (the one statistical claim left): a true
+    * loser with jaccard J ≥ 0.8 is estimate-cleared (skips the exact
+    * check, stays in the release) iff Ĵ < 0.8 − ε, a Binomial(w, J)
+    * lower tail. Worst case J = 0.8 exactly:
+    *   w=32, ε=0.25 (r16 defaults): P ≈ 5.6e-4  (3.5σ)
+    *   w=64, ε=0.30 (defaults):     P ≈ 2.0e-8  (6σ)
+    *   w=128, ε=0.30:               P ≈ 1e-14
+    * The default per-pair miss now sits well UNDER the banding's own
+    * 1e-6 per-pair recall target (bandsForRecall) instead of five
+    * decades above it — doubling w doubles a map-only xxhash64 stage
+    * over candidate docs only, which the xx band keys more than pay
+    * for. Parity with t28 pinned at sf0.001 and GenScale x10 by
+    * PipelineScaledParitySpec; both re-rank paths pinned LIVE by
+    * TextRerankSplitSpec (estimate-cleared > 0 AND exact-checked > 0
+    * AND every loser verdict carries a jx row).
     *
     * Scale shape: the chance-pair bulk a shallow banding admits (45M
     * pairs at depth 2 on the x1000 corpus) has Ĵ ≈ 0 and never touches
@@ -1931,25 +2043,41 @@ object Text {
     * semi-join moves ~|borderline docs| / |corpus| of the old volume.
     * The estimate frame is written to a scratch parquet so borderline
     * derivation and the final coalesce share ONE computation of the
-    * candidate+signature stages (the gate stays unmemoized ACROSS
-    * calls; the split is logged per call for scale-run attribution).
+    * candidate+signature stages; the estimate/exact split rides a
+    * named observe metric (`graft_t28b_split`) on that frame — free at
+    * action time, where the r16 form paid two extra counting jobs per
+    * call just to log it.
     */
   private[graft] def scoredPairsAt(
-      s: SparkSession, dir: String, bands: Int, depth: Int): DataFrame = {
+      s: SparkSession, dir: String, bands: Int, depth: Int,
+      oracleKeys: Boolean = true): DataFrame =
+    rerankAt(s, dir, bands, depth, oracleKeys)._3
+
+  /** [[scoredPairsAt]]'s pieces — (estimate frame, borderline slice,
+    * final scored pairs) — exposed so TextRerankSplitSpec can assert
+    * BOTH re-rank paths fire on real corpora (the stage-liveness
+    * doctrine: output parity alone would pass identically with the
+    * estimate machinery dead OR the exact path dead).
+    */
+  private[graft] def rerankAt(
+      s: SparkSession, dir: String, bands: Int, depth: Int,
+      oracleKeys: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
-    val w = sys.env.get("GRAFT_T28_SIGW").map(_.toInt).getOrElse(32)
-    val eps = sys.env.get("GRAFT_T28_EPS").map(_.toDouble).getOrElse(0.25)
+    val w = sys.env.get("GRAFT_T28_SIGW").map(_.toInt).getOrElse(64)
+    val eps = sys.env.get("GRAFT_T28_EPS").map(_.toDouble).getOrElse(0.30)
     // the loser-exactness rule is STRUCTURAL (one-sided slice below),
-    // but a degenerate knob still voids the keeper side's 3.5σ margin
+    // but a degenerate knob still voids the keeper side's 6σ margin
     require(w >= 16, s"GRAFT_T28_SIGW=$w: below 16 slots the estimate's " +
       "stderr (~0.1+) makes keeper clearance statistically meaningless")
     require(eps > 0.0 && eps < 0.8,
       s"GRAFT_T28_EPS=$eps: need 0 < eps < 0.8")
-    // bk embeds the band prefix and md5 value spaces are disjoint across
-    // slots, so (0, bk) buckets identically to (band, bkey)
+    // bk embeds the band tag (inside the xx hash / as the md5 key's
+    // prefix), so (0, bk) buckets identically to (band, bkey)
+    val keys =
+      if (oracleKeys) rowLshKeysAt(docs, bands, depth)
+      else rowLshKeysXxAt(docs, bands, depth)
     val cand = Lsh.cappedPairs(
-      rowLshKeysAt(docs, bands, depth)
-        .select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id")),
+      keys.select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id")),
       "doc_id", "doc1", "doc2", "graft_lsh_text_scaled")
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2"))).distinct()
@@ -1959,20 +2087,21 @@ object Text {
     // push a semi-join through the array projection)
     val sigs = wideMinhash(
       docs.join(candDocs, Seq("doc_id"), "left_semi"), w)
-    // stable per-(JVM, session, dir, banding, w) scratch path,
-    // overwritten per call and reaped at JVM exit — repeated gate runs
-    // in one session reuse one dir instead of growing tmp (the
-    // jsonl-fixture pattern). The session token keeps two sessions in
-    // one JVM off each other's files; WITHIN a session the overwrite
-    // contract is sequential: a returned frame must be consumed before
-    // the next scoredPairsAt call at the same banding (Verify/Bench run
-    // gates sequentially — concurrent same-banding calls would race the
-    // overwrite against the earlier frame's lazy read)
+    // per-CALL scratch path (monotone nonce), reaped at JVM exit: a
+    // nonce per call is what makes interleaved or concurrent
+    // same-banding calls safe — the r16 form keyed the path on
+    // (session, dir, banding, w) and overwrote it per call, leaving the
+    // previous call's lazily-read frame racing the overwrite on nothing
+    // stronger than a comment contract (and identityHashCode can
+    // collide across sessions). Cost: tmp holds one candidate-sized
+    // parquet per live call in this JVM's lifetime instead of one per
+    // (session, banding) — Verify/Bench make a handful of calls, and
+    // the exit hook reaps them all.
     val dirTag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val estPath = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-t28b-est-${jvmToken}_s${System.identityHashCode(s)}" +
-      s"_${dirTag}_${bands}x${depth}w$w"
+      s"graft-t28b-est-${jvmToken}_${dirTag}_${bands}x${depth}w$w" +
+      s"_n${estNonce.incrementAndGet()}"
     jsonlHookInstalled
     jsonlReap.add(estPath)
     cand
@@ -1982,46 +2111,70 @@ object Text {
         (expr("aggregate(zip_with(sig1, sig2, (a, b) -> IF(a = b, 1, 0)), " +
           "0, (acc, x) -> acc + x)").cast("double") / w).as("jhat"))
       .write.mode("overwrite").parquet(estPath)
-    val est = s.read.parquet(estPath)
+    graft.Metrics.logObserved(s)
+    val estRaw = s.read.parquet(estPath)
     // ONE-SIDED slice: every pair whose estimate even APPROACHES the
     // loser threshold gets the exact check, so "no loser verdict ever
     // comes from the estimate" holds STRUCTURALLY for any eps > 0 (the
     // first cut's two-sided |Ĵ−0.8| < ε only guaranteed it for ε > 0.2,
     // an invariant a tightened env knob would silently void); shrinking
     // eps only ever trades keeper-side statistical confidence
-    val borderline = est.filter(col("jhat") >= 0.8 - eps)
+    val borderline = estRaw.filter(col("jhat") >= 0.8 - eps)
       .select("doc1", "doc2")
-    val nCand = est.count() // parquet footer counts — metadata-cheap
-    val nBorder = borderline.count()
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"t28b re-rank split: $nCand candidate pairs, $nBorder borderline " +
-        s"(exact slice ${if (nCand == 0) 0 else 100 * nBorder / nCand}%, " +
-        s"w=$w, eps=$eps)")
-    val bdocs = borderline.select(col("doc1").as("doc_id"))
-      .union(borderline.select(col("doc2"))).distinct()
-    // shingles for BORDERLINE docs only. Cache-AWARE source, same rows
-    // either way: if the session already persisted the corpus shingle
-    // frame (t7/t9/t28 built it — the gate-scale bench path), semi-join
-    // that IMR; otherwise derive straight from the documents scan with
-    // the semi-join pushed below the explode — never FORCING the
+    // the split as an action-time observe row (Metrics logs it per
+    // action) — attached to the FINAL join's est side only, so the
+    // metric name appears once per plan
+    val est = estRaw.observe("graft_t28b_split",
+      count(lit(1)).as("candidate_pairs"),
+      sum(when(col("jhat") >= 0.8 - eps, 1L).otherwise(0L))
+        .as("borderline_pairs"))
+    // shingles source is cache-AWARE, same rows either way: if the
+    // session already persisted the corpus shingle frame (t7/t9/t28
+    // built it — the gate-scale bench path), exactJaccard semi-joins
+    // that IMR; otherwise it derives straight from the documents scan
+    // with the semi-join pushed below the explode — never FORCING the
     // full-corpus build+persist (~25 GB of x1000 scratch) for a slice
     // that needs a fraction of a percent of it
-    val sh = shingleCache.get((s, dir))
-      .getOrElse(shinglesOf(docs))
-      .join(bdocs, Seq("doc_id"), "left_semi")
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-    val exact = borderline.join(a, "doc1").join(b, Seq("doc2", "shingle"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
-      .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
-      .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
-      .select(col("doc1"), col("doc2"),
-        (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
-          .as("jx"))
-    est.join(exact, Seq("doc1", "doc2"), "left")
+    val sh = shingleCache.get((s, dir)).getOrElse(shinglesOf(docs))
+    val scored = est
+      .join(exactJaccard(sh, borderline), Seq("doc1", "doc2"), "left")
       .select(col("doc1"), col("doc2"),
         coalesce(col("jx"), col("jhat")).as("jaccard"))
+    (estRaw, borderline, scored)
+  }
+
+  private val estNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Exact shingle-set jaccard for every `borderline` (doc1, doc2) pair:
+    * one `jx` row PER INPUT PAIR, structurally — intersection counts
+    * come from inner joins on shared shingles, but the result is LEFT-
+    * joined back from `borderline`, so a pair with NO shared shingle
+    * scores `jx = 0.0` (its true jaccard: both docs have shingles —
+    * they carry signatures — and the intersection is empty) instead of
+    * vanishing. That no-intersection case is how the r16 form leaked
+    * its one estimate-scored loser path (VERDICT r16 "what's wrong" #1:
+    * coalesce fell back to Ĵ for exactly the pairs the exact join
+    * dropped). `sh` is (doc_id, shingle) for at least the borderline
+    * docs; the semi-join below prunes it before the quadratic stage.
+    */
+  private[graft] def exactJaccard(
+      sh: DataFrame, borderline: DataFrame): DataFrame = {
+    val bdocs = borderline.select(col("doc1").as("doc_id"))
+      .union(borderline.select(col("doc2"))).distinct()
+    val shb = sh.join(bdocs, Seq("doc_id"), "left_semi")
+    val n = shb.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val a = shb.select(col("doc_id").as("doc1"), col("shingle"))
+    val b = shb.select(col("doc_id").as("doc2"), col("shingle"))
+    val ic = borderline.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+    borderline
+      .join(ic, Seq("doc1", "doc2"), "left")
+      .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), Seq("doc1"), "left")
+      .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), Seq("doc2"), "left")
+      .select(col("doc1"), col("doc2"),
+        coalesce(
+          col("ic").cast("double") / (col("na") + col("nb") - col("ic")),
+          lit(0.0)).as("jx"))
   }
 
   /** The composed release pipeline (t28) given the near-dup loser set:
