@@ -225,8 +225,17 @@ object Vectors {
         .crossJoin(broadcast(superCent))
         .select(col("q_id"), col("super"),
           expr(dotExpr("q_emb", "scent")).as("dp"))
+      // NaN dots (non-finite embeddings) rank BEST here, explicitly:
+      // topk_by selects ascending, where a bare -dp would sort NaN
+      // GREATEST (worst) — while the flat branch's max_by and the row
+      // router's SQLOrderingUtil.compareDoubles both rank NaN best.
+      // Mapping NaN → -∞ on the negated score restores one ordering
+      // across all three tiers (RoutingNanParitySpec pins it); the
+      // residual divergence needs NaN and +∞ dots in ONE query's super
+      // scores — two distinct non-finite corruptions at once.
       val qsuper = score.groupBy("q_id")
-        .agg(expr(s"topk_by(-dp, super, $nprobe)").as("top"))
+        .agg(expr(s"topk_by(IF(isnan(dp), CAST('-Infinity' AS DOUBLE), -dp)," +
+          s" super, $nprobe)").as("top"))
         .select(col("q_id"),
           explode(expr("transform(top, t -> CAST(t.id AS INT))")).as("super"))
       queries.join(qsuper, "q_id")
@@ -427,6 +436,140 @@ object Vectors {
       .withColumn("cell", col("label"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$out/vectors")
+    writeRecallCurve(of, out)
+  }
+
+  /** Routing-recall sample size: FAISS-order (hundreds of held-out
+    * queries) — enough that a 0.9-recall estimate's binomial stderr is
+    * ~0.013, small next to the curve's inter-nprobe steps.
+    */
+  private[graft] val RecallSampleSize = 512
+
+  /** Measure and persist the index's recall-vs-nprobe curve
+    * (`$out/recall_curve`: one (nprobe, recall) row per probed depth) —
+    * the state [[nprobeForRecall]] reads so the serving tier can pick
+    * nprobe from a RECALL TARGET instead of a constant. Built only for
+    * indexes the serving tier routes hierarchically (cells >
+    * `threshold`): below it the flat route scores every centroid, so
+    * routing recall is 1.0 by construction and a curve would be noise.
+    *
+    * Recall here is ROUTING recall — the fraction of a deterministic
+    * held-out query sample (the smallest-xxhash64 indexed vectors; a
+    * top-k take, not a sort) whose flat full-quantizer argmax cell the
+    * two-level router finds at that nprobe. On label-cell corpora this
+    * EQUALS search recall@k (every true neighbor lives in the flat
+    * argmax cell — measured, BASELINE.md r16 recall table), and it is
+    * exactly the quantity nprobe controls: the probe-side scan already
+    * touches every vector of the routed cell, so cell-finding is the
+    * only recall the router can lose. Measurement cost is build-sized,
+    * once: sample × cells flat dots (one Lloyd-step-like pass) plus
+    * sample × ~(1+nprobe)·√cells dots per probed depth (µs/query).
+    * Maintenance never invalidates the curve: inserts/flush/compaction
+    * move VECTORS, and the curve is a property of the frozen quantizer.
+    */
+  private[graft] def writeRecallCurve(
+      of: DataFrame, out: String,
+      threshold: Long = HierarchicalRoutingThreshold): Unit = {
+    val s = of.sparkSession
+    val cent = s.read.parquet(s"$out/centroids")
+    val nCells = cent.count()
+    if (nCells <= threshold) return
+    val sample = of
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .orderBy(xxhash64(col("vec_id"))).limit(RecallSampleSize)
+    val curve = measureRoutingRecall(sample, cent, nCells)
+    import s.implicits._
+    curve.toDF("nprobe", "recall").coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/recall_curve")
+  }
+
+  /** The measured routing-recall curve: flat-argmax agreement of the
+    * two-level router at each probed nprobe (powers of two up to the
+    * super count, early-stopped once a depth routes the whole sample).
+    * Monotone in nprobe by construction of the probe sets; the terminal
+    * point nprobe = #supers is exact (probing every super IS the flat
+    * argmax).
+    */
+  private[graft] def measureRoutingRecall(
+      queries: DataFrame, centroids: DataFrame,
+      nCells: Long): Seq[(Int, Double)] = {
+    val (supers, kids) = hierarchyForRowRoute(centroids, nCells)
+    val nSupers = supers.length
+    val flat = routeQueries(queries, centroids, nCells = 1)
+      .withColumnRenamed("cell", "flat_cell")
+    val q = queries.join(flat, "q_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nq = q.count().toDouble
+      val probes = Iterator.iterate(1)(_ * 2)
+        .takeWhile(_ < nSupers).toSeq :+ nSupers
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val it = probes.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val np = it.next()
+        val agree = rowRouteHier(q, supers, kids, np)
+          .filter(col("cell") === col("flat_cell")).count()
+        val recall = agree / nq
+        out += ((np, recall))
+        done = recall >= 1.0
+      }
+      out.toSeq
+    } finally { q.unpersist(); () }
+  }
+
+  /** Default serving recall target (`GRAFT_IVF_RECALL`): the smallest
+    * measured nprobe whose routing recall reaches it. 0.9 trades ≤10%
+    * routed-cell misses for ~an-order-less probe work than exhaustive —
+    * and unlike the old constant nprobe=2, it does NOT silently degrade
+    * as the index grows cells (the r16 curve measured the constant at
+    * 0.644 recall on 1k cells decaying to 0.412 on 10k).
+    */
+  private[graft] val RecallTargetDefault = 0.9
+
+  /** Smallest measured nprobe meeting `target`; the deepest measured
+    * point (with a loud warning) when none does — a curve that tops out
+    * under the target means the hierarchy itself misroutes (isotropic
+    * centroids), which no nprobe fixes short of exhaustive.
+    */
+  private[graft] def pickNprobe(
+      curve: Seq[(Int, Double)], target: Double): Int = {
+    require(curve.nonEmpty, "empty recall curve")
+    val sorted = curve.sortBy(_._1)
+    sorted.find(_._2 >= target).map(_._1).getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"recall target $target unmet by every measured nprobe " +
+          s"(deepest: ${sorted.last}) — serving at the deepest point; " +
+          "the quantizer hierarchy itself is the recall ceiling here")
+      sorted.last._1
+    }
+  }
+
+  /** The serving tier's nprobe policy for a hierarchically-routed index:
+    * explicit `GRAFT_IVF_NPROBE` wins; otherwise the persisted recall
+    * curve picks the smallest nprobe meeting `GRAFT_IVF_RECALL`
+    * (default [[RecallTargetDefault]]); an index without a curve (built
+    * before r17, or externally) serves at the historical constant 2
+    * with a warning carrying the r16 measurement that made constants a
+    * trap.
+    */
+  private[graft] def nprobeForRecall(
+      s: SparkSession, idx: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/recall_curve")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$idx has no recall_curve (pre-r17 build?) — serving at " +
+          "nprobe=2, a constant the r16 study measured at 0.412 recall " +
+          "on 10k cells; rebuild the index to get the measured policy")
+      2
+    } else {
+      val target = sys.env.get("GRAFT_IVF_RECALL").map(_.toDouble)
+        .getOrElse(RecallTargetDefault)
+      val curve = s.read.parquet(p.toString).orderBy("nprobe").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+      pickNprobe(curve, target)
+    }
   }
 
   /** The persisted coarse quantizer as driver-side rows (cell, centroid),
@@ -461,6 +604,12 @@ object Vectors {
     */
   private val ivfIncrCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** The maintained index root, for specs driving the living-index
+    * streaming probe (the gates go through the GQuery front door).
+    */
+  private[graft] def ivfIncrementalIndexForTesting(
+      s: SparkSession, dir: String): String = ivfIncrementalIndex(s, dir)
+
   private[queries] def ivfIncrementalIndex(s: SparkSession, dir: String): String =
     ivfIncrCache.getOrElseUpdate((s, dir), {
       registered(s) // withNorm/routeQueries need array_dot
@@ -521,22 +670,65 @@ object Vectors {
     * and when that flush then commits (staging → _staging_old),
     * completeFlush finds neither dir and deletes the staged rows' only
     * copy. Every maintenance entry point (stageInsert / stagedRows /
-    * flushStaging / recoverFlush via them) therefore serializes on the
-    * root's monitor. Scope: one writer JVM per index root — the
-    * single-writer topology maintenance assumes anyway (concurrent
-    * writer PROCESSES would need an external coordinator, e.g. a lease
-    * on the root; readers of committed cell files are unaffected and
-    * take no lock).
+    * flushStaging / compactCells / recoverFlush via them) serializes
+    * on TWO nested layers:
+    *
+    *  1. the root's JVM monitor (cheap, reentrancy-tracked) — the
+    *     intra-process exclusion r16 added;
+    *  2. an exclusive POSIX file lock on `$root/.maintlock` (the C5
+    *     flock pattern from engine/Cache.scala) — CROSS-PROCESS
+    *     exclusion, because the repo's own tooling runs a second JVM
+    *     against the same roots (runtool alongside sbt is the
+    *     committed launcher's stated purpose), and the
+    *     recovery-deletes-live-flush race is identical across
+    *     processes. Blocking lock, not tryLock: maintenance ops are
+    *     short and callers want the op done, not an error
+    *     (IvfRootFlockSpec pins that a second process's holder stalls
+    *     maintenance until release).
+    *
+    * The file lock engages only for local (`file:`/schemeless) roots —
+    * POSIX locks don't exist on HDFS/S3; a multi-process writer
+    * topology on an object store needs an external coordinator (lease/
+    * conditional put), which is out of scope for this single-writer
+    * design. Readers of committed cell files take no lock either way.
     */
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val heldRootLocks = ThreadLocal.withInitial[
+    scala.collection.mutable.Set[String]](
+    () => scala.collection.mutable.Set.empty[String])
   private def withRootLock[T](idxRoot: String)(body: => T): T = {
     // key on the URI path, normalized — "file:/tmp/idx", "/tmp/idx" and
     // "/tmp/idx/" must share ONE monitor or the race closes only for
     // callers that happen to spell the root identically (cross-scheme
     // same-path collisions over-lock, which is safe)
-    val key = new org.apache.hadoop.fs.Path(idxRoot).toUri.getPath
-    rootLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
+    val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
+    val key = uri.getPath
+    rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      // reentrant: nested maintenance calls (stageInsert → recoverFlush)
+      // already hold this thread's process lock — a second fcntl lock
+      // from the same JVM would throw OverlappingFileLockException
+      if (heldRootLocks.get().contains(key)) body
+      else {
+        val local = uri.getScheme == null || uri.getScheme == "file"
+        val ch = if (!local) None else {
+          val p = java.nio.file.Paths.get(key)
+          java.nio.file.Files.createDirectories(p)
+          val c = java.nio.channels.FileChannel.open(
+            p.resolve(".maintlock"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          c.lock() // blocks until any other PROCESS's holder releases
+          Some(c)
+        }
+        heldRootLocks.get().add(key)
+        try body
+        finally {
+          heldRootLocks.get().remove(key)
+          ch.foreach(_.close()) // close releases the lock
+        }
+      }
+    }
   }
 
   /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
@@ -1339,6 +1531,48 @@ object Vectors {
         .join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
+    },
+
+    // ---- Streaming search over the LIVING index: s8's serving contract
+    // against v13's MAINTAINED index — arriving queries must see every
+    // vector the index owns, including inserts still in the delta-sized
+    // staging table (between arrival and flush). Before this gate, the
+    // streaming tier probed only the static v7 layout, so a serving
+    // node taking concurrent inserts and queries missed every vector
+    // between stageInsert and flushStaging — exactly the window the
+    // staging tier exists to make cheap. Shape: per-row routing (map-
+    // only, REQUIREd), then TWO stream-static joins — the cell-pruned
+    // big side (partition-pruned parquet: only routed cells' files) and
+    // the staging side (delta-sized scan, costs what it weighs) —
+    // unioned in one append-legal plan. The gate exercises all three
+    // vector states every run (v13's layout: original cells, flushed
+    // appends, staged-only rows); the oracle is the full recompute over
+    // base ∪ routed-delta, so a staged row the stream can't see
+    // hash-fails. StreamLivingIndexSpec pins two micro-batches == this
+    // batch form AND that staged-ONLY vectors appear in the emitted
+    // candidates (the liveness half: output parity alone would pass
+    // with the staging join dead if staging were empty). ----
+    GQuery("s12_stream_living_search", s12OracleSql) { (s, dir) =>
+      registered(s)
+      val idx = ivfIncrementalIndex(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val routed = rowRouteAuto(s, q, idx)
+        .withColumn("q_nrm", expr(s"sqrt(${dotExpr("q_emb", "q_emb")})"))
+      require(graft.sources.Bucketed.streamSideShuffles(routed) == 0,
+        s"s12: per-row routing must be stream-side map-only:\n" +
+          routed.queryExecution.executedPlan)
+      def score(side: DataFrame): DataFrame = side
+        .join(broadcast(routed), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+            .as("cos"))
+      val probed = score(s.read.parquet(s"$idx/vectors"))
+      stagedRows(s, idx) match {
+        case Some(st) => probed.unionByName(score(st))
+        case None => probed
+      }
     }
   )
 
@@ -1545,10 +1779,15 @@ object Vectors {
     if (nCells <= HierarchicalRoutingThreshold)
       rowRoute(queries, loadCentroids(s, idx))
     else {
-      // the serving tier's recall knob (see rowRouteHier): default 2 =
-      // the batch route's boundary semantics; raise for recall-critical
-      // serving (BASELINE.md carries the measured recall-vs-nprobe curve)
-      val nprobe = sys.env.get("GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(2)
+      // the serving tier's recall knob (see rowRouteHier): an explicit
+      // GRAFT_IVF_NPROBE wins; otherwise the index's own measured
+      // recall curve picks the smallest nprobe meeting the target
+      // (GRAFT_IVF_RECALL, default 0.9) — a RECALL-targeted policy, so
+      // serving quality no longer decays silently as the index grows
+      // cells (nprobeForRecall; the r16 constant measured 0.644 → 0.412
+      // across one cell-count decade)
+      val nprobe = sys.env.get("GRAFT_IVF_NPROBE").map(_.toInt)
+        .getOrElse(nprobeForRecall(s, idx))
       val (supers, kids) = hierarchyForRowRoute(centDf, nCells)
       rowRouteHier(queries, supers, kids, nprobe)
     }
@@ -1872,6 +2111,52 @@ object Vectors {
       |  JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
       |  JOIN e c ON c.vec_id = m.vec_id)
       |WHERE rk <= 3""".stripMargin
+
+  /** s12 oracle: v13's full-recompute membership (base in its label
+    * cell, delta in its frozen-quantizer argmax cell), emitted as RAW
+    * scored candidates of each query's routed cell — no top-k window,
+    * because the streaming gate (append mode) leaves the final reduce
+    * to the consumer, exactly like s8/s9.
+    */
+  private def s12OracleSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS d
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, d, avg(x) AS c FROM x WHERE vec_id % 20 <> 3
+      |  GROUP BY label, d),
+      |ddot AS (
+      |  SELECT x.vec_id, cent.label, sum(x.x * cent.c) AS dp
+      |  FROM x JOIN cent ON cent.d = x.d
+      |  WHERE x.vec_id % 20 = 3 GROUP BY x.vec_id, cent.label),
+      |dcell AS (
+      |  SELECT vec_id, label AS cell FROM (
+      |    SELECT vec_id, label,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, label) AS rk
+      |    FROM ddot) WHERE rk = 1),
+      |mem AS (
+      |  SELECT vec_id, label AS cell FROM embeddings WHERE vec_id % 20 <> 3
+      |  UNION ALL SELECT vec_id, cell FROM dcell),
+      |qdot AS (
+      |  SELECT x.vec_id AS q_id, cent.label, sum(x.x * cent.c) AS dp
+      |  FROM x JOIN cent ON cent.d = x.d
+      |  WHERE x.vec_id % 25 = 0 GROUP BY x.vec_id, cent.label),
+      |qcell AS (
+      |  SELECT q_id, label AS cell FROM (
+      |    SELECT q_id, label,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+      |    FROM qdot) WHERE rk = 1),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |SELECT qc.q_id, m.vec_id,
+      |  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      |FROM qcell qc
+      |JOIN e q ON q.vec_id = qc.q_id
+      |JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
+      |JOIN e c ON c.vec_id = m.vec_id""".stripMargin
 
   private def ivfpqRefineOracleSql: String =
     s"""WITH $pqCoreCtes,
