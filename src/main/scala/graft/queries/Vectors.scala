@@ -618,11 +618,23 @@ object Vectors {
       val base = emb.filter(col("vec_id") % 20 =!= 3)
       buildIvfIndex(base, out)
       val centArr = s.read.parquet(s"$out/centroids")
+      val nCells = centArr.count()
+      // insert ASSIGNMENT follows the same recall policy as serving:
+      // above the routing threshold the argmax is approximate, and a
+      // delta vector assigned through a low-recall route lands in a
+      // near-best cell that later searches (probing by QUERY) may not
+      // visit — the curve buildIvfIndex just persisted prices exactly
+      // this, so both tiers read it (flat gate-scale routing ignores
+      // nprobe; no policy lookup below the threshold)
+      val insertNprobe =
+        if (nCells <= HierarchicalRoutingThreshold) 2
+        else sys.env.get("GRAFT_IVF_NPROBE").map(_.toInt)
+          .getOrElse(nprobeForRecall(s, out))
       val delta = emb.filter(col("vec_id") % 20 === 3)
       def routedRows(d: DataFrame): DataFrame = {
         val routed = routeQueries(
           d.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-          centArr, centArr.count())
+          centArr, nCells, insertNprobe)
           .select(col("q_id").as("vec_id"), col("cell"))
         withNorm(d).join(routed, "vec_id")
           .select(col("vec_id"), col("label"), col("embedding"),
