@@ -40,11 +40,18 @@ object Text {
     * tokenizer can never drift between the paths whose parity the specs
     * pin. Map-only; callers explode/aggregate/hash the array as needed.
     */
-  private def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
+  /** THE tokenizer (lowercase whitespace split + the ≥n filter), shared
+    * by the array and row shingle forms so the paths whose parity the
+    * specs pin can never drift.
+    */
+  private def tokenized(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= n)
+
+  private def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    tokenized(docs, n)
       .selectExpr("doc_id",
         s"transform(sequence(1, size(ts)-${n - 1}), i -> concat_ws(' ', $parts)) AS sh")
   }
@@ -54,11 +61,26 @@ object Text {
     * slice, the sampled depth probe) can push their doc filter below the
     * explode instead of building — and at x1000, persisting ~25 GB of —
     * the full corpus shingle frame first.
+    *
+    * SHAPE MATTERS here: the n-gram strings are built AFTER a
+    * position-only explode (`explode(sequence(...))` then one concat_ws
+    * per OUTPUT row), never by exploding the inline n-gram array. When
+    * a Generate's child is an inline `transform(...)` building the
+    * array, the collapsed plan re-evaluates the WHOLE array expression
+    * per output element — per-doc QUADRATIC string work (measured on
+    * sf0.1: 6.2 s to explode 250k 5-grams vs 0.07 s for the position
+    * form; ShingleDiag reproduces both). The `ts` column is referenced
+    * twice below, which also keeps the tokenizer projection from being
+    * inlined into the generator.
     */
-  private[graft] def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleArrays(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  private[graft] def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    tokenized(docs, n)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(1, size(ts)-${n - 1})")).as("i"))
+      .selectExpr("doc_id", s"concat_ws(' ', $parts) AS shingle")
       .distinct()
+  }
 
   /** Per-row DISTINCT shingle projection: (doc_id, ns, shingle rows) with
     * `ns` = the doc's distinct-shingle count computed as a closed-form
@@ -877,12 +899,17 @@ object Text {
          |SELECT doc_id, min(h) AS fp_min,
          |  array_to_string(list(h ORDER BY h)[1:3], ',') AS fp_kmin
          |FROM h GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      shingles(s, dir, 5)
-        .select(col("doc_id"), md5(col("shingle")).as("h"))
-        .groupBy("doc_id")
-        .agg(
-          min("h").as("fp_min"),
-          array_join(slice(sort_array(collect_list(col("h"))), 1, 3), ",").as("fp_kmin"))
+      // fully MAP-ONLY: the doc's distinct 5-gram hashes live in one
+      // array column, so min and the k-min sketch are array expressions
+      // on the row — zero exchanges, where the explode+groupBy form
+      // shuffled every shingle hash twice (and paid the quadratic
+      // inline-explode pathology shinglesOf documents: 7.4 s → 0.45 s
+      // at sf0.1). At 100 TB a fingerprint pass is embarrassingly
+      // parallel and this plan states it.
+      shingleArrays(Tables.documents(s, dir), 5)
+        .selectExpr("doc_id", "transform(array_distinct(sh), x -> md5(x)) AS hs")
+        .selectExpr("doc_id", "array_min(hs) AS fp_min",
+          "array_join(slice(array_sort(hs), 1, 3), ',') AS fp_kmin")
     },
 
     // ---- MinHash + LSH near-dup candidates: 8 salted min-hashes over word
