@@ -88,11 +88,37 @@ object Text {
     * `shingles.groupBy(doc_id).count()`, which at corpus scale is a
     * 225M-row exchange for a number each row already knows.
     */
-  private def explodedWithNs(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleArrays(docs, n)
-      .selectExpr("doc_id", "array_distinct(sh) AS sha")
-      .select(col("doc_id"), size(col("sha")).as("ns"),
-        explode(col("sha")).as("shingle"))
+  private[graft] def explodedWithNsForTesting(
+      docs: DataFrame, n: Int = 3): DataFrame = explodedWithNs(docs, n)
+
+  private def explodedWithNs(docs: DataFrame, n: Int = 3): DataFrame = {
+    // the generator child is a POSITION sequence bounded by size(ts):
+    // Spark's InferFiltersFromGenerate adds `size(child) > 0 AND
+    // isnotnull(child)` below the Generate, and predicate pushdown
+    // substitutes every alias down to the text column — with the
+    // distinct array as the child, each conjunct re-evaluated the full
+    // array_distinct(transform(concat_ws(element_at(split(...)...))))
+    // cascade per document (measured 4.2 s/pass at sf0.1; the ts bound
+    // substitutes to ONE split). Positions run over the NON-distinct
+    // count, so element_at past size(sha) pads nulls that the final
+    // filter (above the Generate — it references a generated column, so
+    // it cannot be pushed into the cascade) removes.
+    val parts = (0 until n).map(k => s"element_at(ts, i+$k)").mkString(", ")
+    tokenized(docs, n)
+      .selectExpr("doc_id", "ts",
+        s"array_distinct(transform(sequence(1, size(ts)-${n - 1}), " +
+          s"i -> concat_ws(' ', $parts))) AS sha")
+      .select(col("doc_id"), col("sha"),
+        explode(expr(s"sequence(1, size(ts)-${n - 1})")).as("i"))
+      .selectExpr("doc_id", "size(sha) AS ns",
+        "try_element_at(sha, i) AS shingle") // null past size(sha) (ANSI-safe)
+      // NULL-TOLERANT null filter, deliberately: a bare isNotNull lets
+      // InferFiltersFromConstraints derive isnotnull(sha) (try_element_at
+      // still counts as null-intolerant) and push THAT below the
+      // Generate — re-inlining the very cascade the position explode
+      // avoids; constraint inference stops at coalesce
+      .filter(coalesce(length(col("shingle")), lit(-1)) >= 0)
+  }
 
   private def shinglesSql(n: Int): String = {
     val parts = (0 until n).map(k => s"ts[i+$k]").mkString(" || ' ' || ")

@@ -1872,10 +1872,16 @@ object Vectors {
     pqCache.getOrElseUpdate((s, dir), {
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val sv = e.select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${PqM - 1}), s -> named_struct(" +
-          s"'s', s, 'sv', slice(v, s * $PqSub + 1, $PqSub)))")).as("t"))
-        .select(col("vec_id"), col("t.s").as("s"), col("t.sv").as("sv"))
+      // position explode over a FOLDABLE sequence, slice after: with the
+      // struct array inline in the generator, InferFiltersFromGenerate
+      // re-evaluates the whole M-slice array (and the cast transform it
+      // references) in two extra filter conjuncts per vector; the
+      // literal-bounded sequence folds the inferred filter away and each
+      // output row computes exactly one slice
+      val sv = e.select(col("vec_id"), col("v"),
+          explode(expr(s"sequence(0, ${PqM - 1})")).as("s"))
+        .select(col("vec_id"), col("s"),
+          expr(s"slice(v, s * $PqSub + 1, $PqSub)").as("sv"))
       // d2(a, b) via the same three-dot expansion the oracle uses
       def l2(a: String, b: String) = expr(
         s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)")
