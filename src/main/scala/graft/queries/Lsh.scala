@@ -73,14 +73,23 @@ object Lsh {
         sum(when(col("rn") === 1, greatest(col("bn") - cap, lit(0)))
           .otherwise(lit(0))).as("dropped_ids"),
         max(col("bn")).as("max_bucket"))
+    // within-bucket pairs as TWO position explodes (i < j index pairs,
+    // element_at after) rather than exploding one flattened m²/2-struct
+    // array: the inline flatten(transform(transform(...))) child gets
+    // re-evaluated in the two filter conjuncts InferFiltersFromGenerate
+    // adds (pushdown stops at the aggregate, so the whole pair-struct
+    // array built 3× per bucket — the r17 generate-filter pathology,
+    // here in its agg-bounded form), while the position sequences cost
+    // ints and both generates + the element_at projection fuse into one
+    // codegen stage with no per-pair array state. Pair SET is identical:
+    // (ids[i], ids[j]) over the same sorted array, i < j.
     kept
       .groupBy("band", "bkey").agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, size(ids)-1),
-           |  i -> transform(slice(ids, i+1, size(ids)-i),
-           |    b -> struct(element_at(ids, i) as $out1, b as $out2))))""".stripMargin)).as("p"))
-      .select(col(s"p.$out1").as(out1), col(s"p.$out2").as(out2))
+      .select(col("ids"), explode(expr("sequence(1, size(ids)-1)")).as("i"))
+      .select(col("ids"), col("i"),
+        explode(expr("sequence(i+1, size(ids))")).as("j"))
+      .selectExpr(s"element_at(ids, i) AS $out1", s"element_at(ids, j) AS $out2")
       .distinct()
   }
 
