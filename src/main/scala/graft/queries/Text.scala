@@ -387,6 +387,12 @@ object Text {
         }
       }
     }
+    releaseIdxCache.keys.filter(_._1 eq s).foreach { k =>
+      releaseIdxCache.remove(k).foreach { case (_, name, path, _) =>
+        s.sql(s"DROP TABLE IF EXISTS `$name`")
+        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
+      }
+    }
   }
 
   /** Persisted corpus LSH signature index for incremental dedup (t26),
@@ -628,6 +634,96 @@ object Text {
         flagged.observe("graft_t26_delta_cap", metrics.head, metrics.tail: _*)
     }
     observed.filter(col("kept")).select("bk", "doc_id")
+  }
+
+  /** Candidate-source mode for the composed release's near-dup stage
+    * (VERDICT r17 next #1): `index` (the default) takes the banded
+    * signatures from a PERSISTED bucketed signature index — the
+    * maintained t26 index itself at the oracle banding (topped up with
+    * per-row signatures for the shard it excludes, exactly the t27 r15
+    * move), a full-corpus xx-keyed sibling at every other banding — so
+    * a release RE-run (new decon list, new mixture weights: the common
+    * production event) stops re-paying the corpus-wide signature
+    * derivation that dominated the r17 x1000 warm pass (172.6 s of
+    * xxhash64 banding for state already sitting on disk). `derive`
+    * recomputes per-row signatures per run (the r17 shape, kept for
+    * measurement and as the fallback that needs no index build).
+    * Candidate sets are IDENTICAL by construction in both modes — see
+    * [[releaseCandKeys]] — so the gate's DuckDB oracle pins the indexed
+    * path every round.
+    */
+  private def releaseCandsMode: String =
+    sys.env.get("GRAFT_T28_CANDS")
+      .orElse(sys.props.get("graft.t28.cands")).getOrElse("index")
+
+  private val releaseIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), (DataFrame, String, String, Int)]
+
+  /** Build counter for the reuse-liveness spec (one build per (session,
+    * corpus, banding) is the asserted contract).
+    */
+  private[graft] val releaseIdxBuilds =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** The release pipeline's FULL-corpus xx-banded signature index at
+    * (bands, depth): the t26 build recipe (occupancy-capped signature
+    * rows, bucketed by the flattened band key, [[cappedIndexFrame]] →
+    * `Bucketed.writePrepared` with the frame already on the exact bucket
+    * spec) over ALL documents — the t26 gate's own index must exclude a
+    * shard to have a delta to demonstrate, a release index wants the
+    * whole corpus. Built once per (session, corpus, banding), scanned
+    * exchange-free by every subsequent release run at that banding.
+    */
+  private def releaseSigIndex(
+      s: SparkSession, dir: String, bands: Int, depth: Int): DataFrame =
+    releaseIdxCache.getOrElseUpdate((s, dir, bands, depth), {
+      releaseIdxBuilds.incrementAndGet()
+      val docs = Tables.documents(s, dir)
+      val buckets = indexBuckets(docs.count())
+      val tok = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val name = s"graft_t28_relidx_$tok"
+      val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+      val t0 = System.nanoTime()
+      graft.sources.Bucketed.writePrepared(
+        cappedIndexFrame(rowLshKeysXxAt(docs, bands, depth), buckets),
+        name, path, buckets, Seq("bk"), Seq("bk", "doc_id"))
+      buildSecs.put((s, "t28_release_index"), (System.nanoTime() - t0) / 1e9)
+      (graft.sources.Bucketed.table(s, name), name, path, buckets)
+    })._1
+
+  /** The (bk, doc_id) band-key rows feeding the release's candidate
+    * expansion, per mode and key family. Indexed modes yield the SAME
+    * candidate pairs as derivation, structurally, even through the
+    * occupancy caps: the index keeps the `cap` smallest doc_ids per
+    * bucket ([[cappedIndexFrame]]) and [[Lsh.cappedPairs]] re-caps its
+    * input to the `cap` smallest — and smallest-cap of
+    * (smallest-cap(A) ∪ B) equals smallest-cap(A ∪ B) for disjoint A, B
+    * (any overall-smallest element in A has fewer than `cap` A-elements
+    * below it, so the build kept it). So unlike t27 — where a capped
+    * index FAILS OPEN as a safety screen and is refused — a capped
+    * index here changes nothing the derived path wouldn't also drop.
+    */
+  private def releaseCandKeys(
+      s: SparkSession, dir: String, bands: Int, depth: Int,
+      oracleKeys: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    (releaseCandsMode, oracleKeys) match {
+      case ("derive", true) => rowLshKeysAt(docs, bands, depth)
+      case ("derive", false) => rowLshKeysXxAt(docs, bands, depth)
+      case (_, true) if bands == 4 && depth == 2 =>
+        // the maintained t26 index IS the oracle-banded signature store
+        // (corpus minus the doc_id%10==7 shard): scan it, top up the
+        // excluded shard per-row — t27's r15 move, now for candidates
+        val (idx, _) = incrementalIndex(s, dir)
+        idx.unionByName(
+          rowLshKeysAt(docs.filter(col("doc_id") % 10 === 7), bands, depth))
+      case (_, true) =>
+        // md5 keys at a non-oracle banding: a test-only combination (the
+        // gate pins md5 to 4×2) — no index exists for it, derive
+        rowLshKeysAt(docs, bands, depth)
+      case (_, false) => releaseSigIndex(s, dir, bands, depth)
+    }
   }
 
   /** The persisted index scan and its bucket count (the shard must
@@ -1745,10 +1841,13 @@ object Text {
     // choice) overrides for scale runs, where the oracle is not in
     // play: composition inherits its worst stage's scale knobs, and
     // this gate EXPOSES the knob instead of hard-coding the oracle
-    // shape. Key family follows the oracle's reach: the default
-    // banding must reproduce the oracle's md5-banded candidate set,
-    // so it keeps md5 keys; every env-chosen banding runs outside the
-    // oracle and bands with the ~10× cheaper xxhash64 keys
+    // shape. Key family follows the oracle's reach: the ORACLE banding
+    // (4×2 — default or explicitly pinned via the env, which must be
+    // indistinguishable: an operator spelling out the default gets the
+    // same hash-guaranteed candidate set, not a statistically-similar
+    // xx one) keeps md5 keys so the candidate set reproduces the
+    // oracle's md5 banding hash-for-hash; every OTHER banding runs
+    // outside the oracle and bands with the ~10× cheaper xxhash64 keys
     // (rowLshKeysXxAt / autoRowsForXx — the r16 x1000 warm pass spent
     // most of its 1513 s on md5 band keys no oracle ever read). ----
     GQuery("t28b_pipeline_scaled", t28OracleSql) { (s, dir) =>
@@ -1756,7 +1855,9 @@ object Text {
         case Some("auto") =>
           val (d, b) = autoRowsForXx(s, dir); (b, d, false)
         case Some(v) =>
-          val Array(b, d) = v.split(',').map(_.trim.toInt); (b, d, false)
+          val Array(b, d) = v.split(',').map(_.trim.toInt)
+          // explicit oracle banding == unset: md5 keys, oracle parity
+          (b, d, (b, d) == (4, 2))
         case None => (4, 2, true)
       }
       pipelineRelease(s, dir,
@@ -2126,12 +2227,25 @@ object Text {
       s"GRAFT_T28_EPS=$eps: need 0 < eps < 0.8")
     // bk embeds the band tag (inside the xx hash / as the md5 key's
     // prefix), so (0, bk) buckets identically to (band, bkey)
-    val keys =
-      if (oracleKeys) rowLshKeysAt(docs, bands, depth)
-      else rowLshKeysXxAt(docs, bands, depth)
+    val mode = releaseCandsMode
+    val keys = releaseCandKeys(s, dir, bands, depth, oracleKeys)
     val cand = Lsh.cappedPairs(
       keys.select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id")),
       "doc_id", "doc1", "doc2", "graft_lsh_text_scaled")
+    // the indexed xx path's whole point is that the corpus side rides
+    // the bucketed scan into the occupancy window AND the bucket groupBy
+    // with no exchange (HashPartitioning(bk) satisfies both clusterings
+    // through the bkey alias): the plan's ONE exchange is the pair-sized
+    // final distinct. REQUIREd so an optimizer/bucketing regression
+    // cannot silently re-shuffle corpus-scale signature rows — the
+    // derived form pays that exchange (its window shuffle) plus the
+    // derivation itself.
+    if (mode != "derive" && !oracleKeys) {
+      val n = graft.sources.Bucketed.shuffleCount(cand)
+      require(n == 1,
+        s"t28b indexed candidates: expected the pair distinct as the " +
+          s"only exchange, found $n:\n${cand.queryExecution.executedPlan}")
+    }
     val candDocs = cand.select(col("doc1").as("doc_id"))
       .union(cand.select(col("doc2"))).distinct()
     // semi-join BELOW the signature computation: the w×shingles hashes
@@ -2155,8 +2269,7 @@ object Text {
     val estPath = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft-t28b-est-${jvmToken}_${dirTag}_${bands}x${depth}w$w" +
       s"_n${estNonce.incrementAndGet()}"
-    jsonlHookInstalled
-    jsonlReap.add(estPath)
+    trackEstScratch(estPath)
     cand
       .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
       .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), "doc2")
@@ -2197,6 +2310,36 @@ object Text {
   }
 
   private val estNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Live t28b estimate-scratch paths, bounded to a small RING: the
+    * per-call nonce (r17) fixed the same-path overwrite race, but its
+    * reap was exit-hook-only — a long-lived serving/notebook JVM making
+    * repeated t28b calls leaked one candidate-sized parquet per call
+    * into tmpdir for JVM lifetime (VERDICT r17 "wrong" #1). The ring
+    * keeps the newest [[EstScratchRing]] paths live and deletes the
+    * oldest on overflow, so tmp holds O(ring) scratch regardless of call
+    * count. READ CONTRACT (same as stagedRows'): the scored frame
+    * [[rerankAt]] returns reads its scratch lazily — consume it within
+    * the next [[EstScratchRing]] same-JVM rerank calls; a caller holding
+    * results across more calls snapshots them first. Verify/Bench
+    * consume each gate's frame immediately, and concurrent in-flight
+    * calls stay well under the ring (TempStoreLifecycleSpec pins the
+    * bound across repeated calls).
+    */
+  private[graft] val EstScratchRing = 4
+  private val estLive = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def trackEstScratch(path: String): Unit = {
+    jsonlHookInstalled
+    jsonlReap.add(path)
+    estLive.add(path)
+    while (estLive.size > EstScratchRing) {
+      val old = estLive.poll()
+      if (old != null) {
+        jsonlReap.remove(old)
+        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(old))
+      }
+    }
+  }
 
   /** Exact shingle-set jaccard for every `borderline` (doc1, doc2) pair:
     * one `jx` row PER INPUT PAIR, structurally — intersection counts

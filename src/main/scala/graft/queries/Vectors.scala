@@ -382,6 +382,7 @@ object Vectors {
       vecPairCache.remove(k).foreach(_.unpersist())
     }
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
+    curveCache.keys.filter(_._1 eq s).foreach(curveCache.remove(_): Unit)
   }
 
   /** The persisted index root, for specs that drive it from a streaming
@@ -424,6 +425,7 @@ object Vectors {
     * proportional to cells.
     */
   private[graft] def buildIvfIndex(of: DataFrame, out: String): Unit = {
+    registered(of.sparkSession) // withNorm / the recall curve need array_dot
     val cent = of
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy("label", "d").agg(avg(col("x").cast("double")).as("c"))
@@ -470,7 +472,7 @@ object Vectors {
   private[graft] def writeRecallCurve(
       of: DataFrame, out: String,
       threshold: Long = HierarchicalRoutingThreshold): Unit = {
-    val s = of.sparkSession
+    val s = registered(of.sparkSession)
     val cent = s.read.parquet(s"$out/centroids")
     val nCells = cent.count()
     if (nCells <= threshold) return
@@ -478,10 +480,112 @@ object Vectors {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .orderBy(xxhash64(col("vec_id"))).limit(RecallSampleSize)
     val curve = measureRoutingRecall(sample, cent, nCells)
+    if (curve.isEmpty) return // empty sample: nothing measured, write nothing
+    // END-TO-END recall columns (r17 VERDICT missing #2): routing recall
+    // bounds only cell-finding; what a user's GRAFT_IVF_RECALL target
+    // actually buys on the s9/v11 serving path is route×ADC — and the
+    // gap to route×ADC×refine is the measured price of skipping v12's
+    // exact re-rank. Both measured here against exact cosine truth on
+    // the SAME query sample, one (nprobe, recall@k) point per routing
+    // probe depth. Skippable (GRAFT_IVF_E2E_CURVE=0) because it trains
+    // a PQ codebook over the corpus at build time — the honest cost of
+    // measuring the tier a PQ-serving deployment reads.
+    val e2e: Map[Int, (Double, Double)] =
+      if (!e2eCurveEnabled) Map.empty
+      else measureE2eRecall(of, sample, cent, nCells, curve.map(_._1)).toMap
     import s.implicits._
-    curve.toDF("nprobe", "recall").coalesce(1)
+    curve.map { case (np, r) =>
+      val (adc, ref) = e2e.getOrElse(np, (Double.NaN, Double.NaN))
+      (np, r, adc, ref)
+    }.toDF("nprobe", "recall", "recall_adc", "recall_refine").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/recall_curve")
+    // the curve changed on disk: drop every session's memoized copy
+    invalidateCurve(out)
   }
+
+  private def e2eCurveEnabled: Boolean =
+    !sys.env.get("GRAFT_IVF_E2E_CURVE")
+      .orElse(sys.props.get("graft.ivf.e2e.curve")).contains("0")
+
+  /** End-to-end recall@[[E2eK]] of the composed serving paths, per
+    * routing probe depth: route (top-`nprobe` supers → best cell) →
+    * ADC-rank the routed cell's PQ codes → top-k, and the same with
+    * v12's exact refine (ADC top-[[E2eRefinePool]] re-ranked by true
+    * cosine) — each against the exact-cosine top-k over the WHOLE
+    * corpus (self excluded). recall_refine ≥ recall_adc structurally:
+    * both draw from the same routed pool, and any true neighbor the
+    * pool contains outranks every non-neighbor under the exact score
+    * the refine sorts by. Cost: one PQ train+encode over `of` (the
+    * dominant term — the price of measuring the PQ tier), one brute
+    * truth pass (sample × corpus bounded top-k), then per-depth
+    * cell-pruned ADC scans (sample-cell-sized).
+    */
+  private[graft] def measureE2eRecall(
+      of: DataFrame, queries: DataFrame, cent: DataFrame, nCells: Long,
+      probes: Seq[Int]): Seq[(Int, (Double, Double))] = {
+    val s = of.sparkSession
+    registered(s)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sv = pqSubVectors(of.select("vec_id", "embedding"))
+    val cb = pqTrainCb(s, sv)
+    val codes = pqCodesArr(sv, cb)
+      .join(of.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      .persist(mem)
+    val q = queries
+      .withColumn("q_nrm", expr("sqrt(" + dotExpr("q_emb", "q_emb") + ")"))
+      .persist(mem)
+    val qsv = pqSubVectors(q.select(col("q_id").as("vec_id"),
+        col("q_emb").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+    val dtab = pqDistTabArr(qsv, cb).persist(mem)
+    val en = withNorm(of.select("vec_id", "embedding"))
+    def exactCos(cand: DataFrame): DataFrame = cand
+      .join(en, "vec_id")
+      .join(broadcast(q.select("q_id", "q_emb", "q_nrm")), "q_id")
+      .withColumn("cos",
+        expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+    // exact truth: brute top-k per sample query — corpus × sample rows
+    // through the bounded topk_by partial, never a window sort
+    val truth = topKByCos(
+      en.crossJoin(broadcast(q.select("q_id", "q_emb", "q_nrm")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))),
+      E2eK).select("q_id", "vec_id").persist(mem)
+    try {
+      val nq = q.count().toDouble
+      val (supers, kids) = hierarchyForRowRoute(cent, nCells)
+      probes.map { np =>
+        val routed = rowRouteHier(
+            q.select("q_id", "q_emb"), supers, kids, np)
+          .select("q_id", "cell")
+        val approx = codes
+          .join(broadcast(routed), "cell")
+          .join(broadcast(dtab), "q_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adist", adcLookup)
+        val pool = topK(approx, E2eRefinePool)
+          .select("q_id", "vec_id", "rk").persist(mem)
+        try {
+          val adcHits = pool.filter(col("rk") <= E2eK)
+            .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+          val refHits = topKByCos(exactCos(pool.select("q_id", "vec_id")), E2eK)
+            .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+          (np, (adcHits / (nq * E2eK), refHits / (nq * E2eK)))
+        } finally { pool.unpersist(); () }
+      }
+    } finally {
+      codes.unpersist(); dtab.unpersist(); truth.unpersist(); q.unpersist()
+      ()
+    }
+  }
+
+  /** E2E curve recall@k (k=10: FAISS's customary reporting point, deep
+    * enough that single-neighbor ties don't dominate) and the refine
+    * pool (3×k — v12's 10→3 pool ratio).
+    */
+  private[graft] val E2eK = 10
+  private[graft] val E2eRefinePool = 30
 
   /** The measured routing-recall curve: flat-argmax agreement of the
     * two-level router at each probed nprobe (powers of two up to the
@@ -501,6 +605,13 @@ object Vectors {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nq = q.count().toDouble
+      if (nq == 0) {
+        // an empty sample measures nothing — persisting its NaN "curve"
+        // would silently park the policy at the deepest probe point
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "routing-recall sample is empty — no curve measured")
+        return Seq.empty
+      }
       val probes = Iterator.iterate(1)(_ * 2)
         .takeWhile(_ < nSupers).toSeq :+ nSupers
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
@@ -545,32 +656,92 @@ object Vectors {
     }
   }
 
+  /** One persisted curve point: routing recall always; the end-to-end
+    * columns are NaN-absent on routing-only curves (pre-r18 indexes, or
+    * builds with GRAFT_IVF_E2E_CURVE=0).
+    */
+  private[graft] case class CurvePoint(
+      nprobe: Int, routing: Double, adc: Double, refine: Double) {
+    def hasE2e: Boolean = !adc.isNaN
+  }
+
+  /** Memoized per (session, index root): the curve is immutable per
+    * frozen quantizer (maintenance moves vectors, never centroids), so
+    * one driver-side parquet read per index per session is the right
+    * cost — the unmemoized r17 form re-read it on every rowRouteAuto
+    * plan construction (ADVICE r17). [[writeRecallCurve]] invalidates
+    * on rewrite. None = the index has no persisted curve.
+    */
+  private val curveCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Option[Seq[CurvePoint]]]
+
+  private def invalidateCurve(idx: String): Unit =
+    curveCache.keys.filter(_._2 == idx).foreach(curveCache.remove(_): Unit)
+
+  /** Read counter for the memoization spec (one listing per index per
+    * session is the asserted contract).
+    */
+  private[graft] val curveReads = new java.util.concurrent.atomic.AtomicLong()
+
+  private[graft] def loadCurve(
+      s: SparkSession, idx: String): Option[Seq[CurvePoint]] =
+    curveCache.getOrElseUpdate((s, idx), {
+      curveReads.incrementAndGet()
+      val p = new org.apache.hadoop.fs.Path(s"$idx/recall_curve")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val df = s.read.parquet(p.toString).orderBy("nprobe")
+        val e2e = df.columns.contains("recall_adc")
+        Some(df.collect().map { r =>
+          CurvePoint(r.getInt(0), r.getDouble(1),
+            if (e2e) r.getDouble(2) else Double.NaN,
+            if (e2e) r.getDouble(3) else Double.NaN)
+        }.toSeq)
+      }
+    })
+
   /** The serving tier's nprobe policy for a hierarchically-routed index:
-    * explicit `GRAFT_IVF_NPROBE` wins; otherwise the persisted recall
-    * curve picks the smallest nprobe meeting `GRAFT_IVF_RECALL`
-    * (default [[RecallTargetDefault]]); an index without a curve (built
-    * before r17, or externally) serves at the historical constant 2
-    * with a warning carrying the r16 measurement that made constants a
-    * trap.
+    * explicit `GRAFT_IVF_NPROBE` wins (at the call sites); otherwise the
+    * persisted recall curve picks the smallest nprobe meeting the
+    * target. `GRAFT_IVF_RECALL_E2E` targets the measured END-TO-END
+    * recall@k of the route×ADC serving path (what a PQ-serving
+    * deployment actually gets) and outranks `GRAFT_IVF_RECALL` (routing
+    * recall, default [[RecallTargetDefault]]). An e2e target against a
+    * routing-only curve falls back to routing with a loud warning; an
+    * index without any curve (built before r17, or externally) serves
+    * at the historical constant 2 with a warning carrying the r16
+    * measurement that made constants a trap.
     */
   private[graft] def nprobeForRecall(
-      s: SparkSession, idx: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$idx/recall_curve")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+      s: SparkSession, idx: String): Int = loadCurve(s, idx) match {
+    case None =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$idx has no recall_curve (pre-r17 build?) — serving at " +
           "nprobe=2, a constant the r16 study measured at 0.412 recall " +
           "on 10k cells; rebuild the index to get the measured policy")
       2
-    } else {
-      val target = sys.env.get("GRAFT_IVF_RECALL").map(_.toDouble)
-        .getOrElse(RecallTargetDefault)
-      val curve = s.read.parquet(p.toString).orderBy("nprobe").collect()
-        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
-      pickNprobe(curve, target)
-    }
+    case Some(points) =>
+      val e2eTarget = sys.env.get("GRAFT_IVF_RECALL_E2E")
+        .orElse(sys.props.get("graft.ivf.recall.e2e")).map(_.toDouble)
+      e2eTarget match {
+        case Some(t) if points.exists(_.hasE2e) =>
+          pickNprobe(points.filter(_.hasE2e).map(p => (p.nprobe, p.adc)), t)
+        case Some(t) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"GRAFT_IVF_RECALL_E2E=$t set but $idx's curve is " +
+              "routing-only (pre-r18 build or GRAFT_IVF_E2E_CURVE=0) — " +
+              "falling back to the ROUTING target; rebuild the index to " +
+              "measure the end-to-end tier")
+          pickNprobe(points.map(p => (p.nprobe, p.routing)), routingTarget)
+        case None =>
+          pickNprobe(points.map(p => (p.nprobe, p.routing)), routingTarget)
+      }
   }
+
+  private def routingTarget: Double =
+    sys.env.get("GRAFT_IVF_RECALL").orElse(sys.props.get("graft.ivf.recall"))
+      .map(_.toDouble).getOrElse(RecallTargetDefault)
 
   /** The persisted coarse quantizer as driver-side rows (cell, centroid),
     * deterministically ordered — the literal state [[rowRoute]] folds
@@ -702,35 +873,62 @@ object Vectors {
     * POSIX locks don't exist on HDFS/S3; a multi-process writer
     * topology on an object store needs an external coordinator (lease/
     * conditional put), which is out of scope for this single-writer
-    * design. Readers of committed cell files take no lock either way.
+    * design. On a NON-local root the contract fails LOUD, not silent:
+    * maintenance refuses to run unless the operator acknowledges a
+    * single-writer topology (`GRAFT_IVF_SINGLE_WRITER=1`) — the r17
+    * form no-opped the lock there, which read as protection it wasn't
+    * providing. Readers of committed cell files take no lock either way.
     */
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val heldRootLocks = ThreadLocal.withInitial[
     scala.collection.mutable.Set[String]](
     () => scala.collection.mutable.Set.empty[String])
-  private def withRootLock[T](idxRoot: String)(body: => T): T = {
+  private[graft] def withRootLock[T](idxRoot: String)(body: => T): T = {
     // key on the URI path, normalized — "file:/tmp/idx", "/tmp/idx" and
     // "/tmp/idx/" must share ONE monitor or the race closes only for
     // callers that happen to spell the root identically (cross-scheme
     // same-path collisions over-lock, which is safe)
     val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
-    val key = uri.getPath
+    val local = uri.getScheme == null || uri.getScheme == "file"
+    // local roots canonicalize through the FILESYSTEM (toRealPath after
+    // ensuring the dir exists): two spellings of one inode — a symlinked
+    // tmpdir, a bind mount — must share ONE monitor, or the JVM layer
+    // admits both and the second thread's fcntl lock() throws
+    // OverlappingFileLockException instead of serializing
+    val key = if (!local) uri.getPath else {
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(p)
+      p.toRealPath().toString
+    }
+    if (!local)
+      // POSIX locks don't exist off the local FS: a silent no-op here
+      // would let two writers on an object-store root replay the
+      // recovery-deletes-live-flush race with no warning. Single-writer
+      // topologies are the design contract — require the operator to
+      // SAY so; a multi-writer one needs an external coordinator
+      // (lease file / conditional put), out of scope by design.
+      require(singleWriterAck,
+        s"maintenance root $idxRoot is non-local ($uri): cross-process " +
+          "locking is unavailable off the local filesystem. Set " +
+          "GRAFT_IVF_SINGLE_WRITER=1 to acknowledge a single-writer " +
+          "topology, or coordinate writers externally (lease file / " +
+          "conditional put) before maintaining this index")
     rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
       // reentrant: nested maintenance calls (stageInsert → recoverFlush)
       // already hold this thread's process lock — a second fcntl lock
       // from the same JVM would throw OverlappingFileLockException
       if (heldRootLocks.get().contains(key)) body
       else {
-        val local = uri.getScheme == null || uri.getScheme == "file"
         val ch = if (!local) None else {
-          val p = java.nio.file.Paths.get(key)
-          java.nio.file.Files.createDirectories(p)
           val c = java.nio.channels.FileChannel.open(
-            p.resolve(".maintlock"),
+            java.nio.file.Paths.get(key).resolve(".maintlock"),
             java.nio.file.StandardOpenOption.CREATE,
             java.nio.file.StandardOpenOption.WRITE)
-          c.lock() // blocks until any other PROCESS's holder releases
+          // a lock() failure (interrupt, overlapping-lock pathology the
+          // canonical key didn't fold) must not leak the open channel
+          try c.lock() // blocks until any other PROCESS's holder releases
+          catch { case t: Throwable => c.close(); throw t }
           Some(c)
         }
         heldRootLocks.get().add(key)
@@ -742,6 +940,15 @@ object Vectors {
       }
     }
   }
+
+  /** Operator acknowledgment that exactly one process maintains non-local
+    * index roots (`GRAFT_IVF_SINGLE_WRITER=1`; the system property is the
+    * spec hook — env vars are immutable in-JVM).
+    */
+  private def singleWriterAck: Boolean =
+    sys.env.get("GRAFT_IVF_SINGLE_WRITER")
+      .orElse(sys.props.get("graft.ivf.single.writer"))
+      .contains("1")
 
   /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
     * index's staging table: ONE delta-sized append — no per-cell files,
@@ -1867,55 +2074,89 @@ object Vectors {
     * cell-pruned consumers don't re-join a corpus-sized embeddings scan
     * per execution.
     */
+  /** (vec_id, s, sv) sub-vector frame over a (vec_id, embedding) input —
+    * position explode over a FOLDABLE sequence, slice after: with the
+    * struct array inline in the generator, InferFiltersFromGenerate
+    * re-evaluates the whole M-slice array (and the cast transform it
+    * references) in two extra filter conjuncts per vector; the
+    * literal-bounded sequence folds the inferred filter away and each
+    * output row computes exactly one slice.
+    */
+  private def pqSubVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("s"))
+      .select(col("vec_id"), col("s"),
+        expr(s"slice(v, s * $PqSub + 1, $PqSub)").as("sv"))
+
+  /** d2(a, b) via the same three-dot expansion the oracle uses. */
+  private def pqL2(a: String, b: String) = expr(
+    s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)")
+
+  /** Per-(vector, subspace) code under codebook `cb` — argmin via
+    * min(struct(dist, code)): same deterministic choice as the oracle's
+    * row_number-by-(dist, code), but a map-side partial aggregate
+    * instead of a full sort-window over the N×K joined frame (the
+    * window form benched 5× slower at 2k vectors).
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "s")
+      .withColumn("dist", pqL2("sv", "cv"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"))
+
+  /** Train the PqM×PqK codebook over a sub-vector frame: PqIters
+    * deterministic Lloyd iterations from the vec_id 0..PqK-1 seed,
+    * each iteration's centroids materialized on the driver so the
+    * recursive codebook subplan executes once per iteration.
+    */
+  private[graft] def pqTrainCb(s: SparkSession, sv: DataFrame): DataFrame = {
+    def update(asg: DataFrame): DataFrame =
+      sv.join(asg, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("s", "code", "d").agg(davg18(col("x")).as("c"))
+        .groupBy("s", "code")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)").as("cv"))
+    val c0 = sv.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    def materialize(cb: DataFrame): DataFrame =
+      s.createDataFrame(
+        java.util.Arrays.asList(cb.collect(): _*), cb.schema).coalesce(1)
+    (1 to PqIters).foldLeft(c0)((c, _) => materialize(update(pqAssign(sv, c))))
+  }
+
+  /** Dense per-vector code array (8 bytes of index state per vector —
+    * the PQ memory story).
+    */
+  private def pqCodesArr(sv: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(sv, cb)
+      .groupBy("vec_id")
+      .agg(expr("transform(sort_array(collect_list(struct(s, code))), t -> t.code)")
+        .as("carr"))
+
+  /** Dense per-query 512-entry ADC distance array, indexed
+    * darr[s*K + code]. Absent codes (an emptied cluster) fill with
+    * +inf: no carr ever references them, the fill only keeps the fixed
+    * s*K+code indexing aligned. `qsv` is (q_id, s, qv).
+    */
+  private def pqDistTabArr(qsv: DataFrame, cb: DataFrame): DataFrame =
+    qsv.join(broadcast(cb), "s")
+      .select(col("q_id"), (col("s") * PqK + col("code")).as("i"),
+        pqL2("qv", "cv").as("pdist"))
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(col("i"), col("pdist")))).as("dm"))
+      .select(col("q_id"), expr(
+        s"transform(sequence(0, ${PqM * PqK - 1}), " +
+          "i -> coalesce(element_at(dm, i), CAST('Infinity' AS DOUBLE)))").as("darr"))
+
   private def pqEncode(
       s: SparkSession, dir: String): (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
     pqCache.getOrElseUpdate((s, dir), {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // position explode over a FOLDABLE sequence, slice after: with the
-      // struct array inline in the generator, InferFiltersFromGenerate
-      // re-evaluates the whole M-slice array (and the cast transform it
-      // references) in two extra filter conjuncts per vector; the
-      // literal-bounded sequence folds the inferred filter away and each
-      // output row computes exactly one slice
-      val sv = e.select(col("vec_id"), col("v"),
-          explode(expr(s"sequence(0, ${PqM - 1})")).as("s"))
-        .select(col("vec_id"), col("s"),
-          expr(s"slice(v, s * $PqSub + 1, $PqSub)").as("sv"))
-      // d2(a, b) via the same three-dot expansion the oracle uses
-      def l2(a: String, b: String) = expr(
-        s"array_dot($a, $a) - 2 * array_dot($a, $b) + array_dot($b, $b)")
-      // argmin via min(struct(dist, code)): same deterministic choice as
-      // the oracle's row_number-by-(dist, code), but a map-side partial
-      // aggregate instead of a full sort-window over the N×K joined frame
-      // (the window form benched 5× slower at 2k vectors)
-      def assign(cb: DataFrame): DataFrame =
-        sv.join(broadcast(cb), "s")
-          .withColumn("dist", l2("sv", "cv"))
-          .groupBy("vec_id", "s")
-          .agg(min(struct(col("dist"), col("code"))).as("m"))
-          .select(col("vec_id"), col("s"), col("m.code").as("code"))
-      def update(asg: DataFrame): DataFrame =
-        sv.join(asg, Seq("vec_id", "s"))
-          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
-          .groupBy("s", "code", "d").agg(davg18(col("x")).as("c"))
-          .groupBy("s", "code")
-          .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)").as("cv"))
-      val c0 = sv.filter(col("vec_id") < PqK)
-        .select(col("s"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-      def materialize(cb: DataFrame): DataFrame =
-        s.createDataFrame(
-          java.util.Arrays.asList(cb.collect(): _*), cb.schema).coalesce(1)
-      val cb = (1 to PqIters).foldLeft(c0)((c, _) => materialize(update(assign(c))))
-      // dense per-vector code array (8 bytes of index state per vector —
-      // the PQ memory story) and dense per-query 512-entry distance
-      // array, indexed darr[s*K + code]. Absent codes (an emptied cluster)
-      // fill with +inf: no carr ever references them, the fill only keeps
-      // the fixed s*K+code indexing aligned.
-      val codesArr = assign(cb)
-        .groupBy("vec_id")
-        .agg(expr("transform(sort_array(collect_list(struct(s, code))), t -> t.code)")
-          .as("carr"))
+      val sv = pqSubVectors(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      val cb = pqTrainCb(s, sv)
+      val codesArr = pqCodesArr(sv, cb)
         // cell rides the memoized codes: one join at encode time instead
         // of a corpus-sized embeddings re-join per cell-pruned execution
         .join(Tables.embeddings(s, dir)
@@ -1923,14 +2164,7 @@ object Vectors {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qsv = sv.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-      val dtabArr = qsv.join(broadcast(cb), "s")
-        .select(col("q_id"), (col("s") * PqK + col("code")).as("i"),
-          l2("qv", "cv").as("pdist"))
-        .groupBy("q_id")
-        .agg(map_from_entries(collect_list(struct(col("i"), col("pdist")))).as("dm"))
-        .select(col("q_id"), expr(
-          s"transform(sequence(0, ${PqM * PqK - 1}), " +
-            "i -> coalesce(element_at(dm, i), CAST('Infinity' AS DOUBLE)))").as("darr"))
+      val dtabArr = pqDistTabArr(qsv, cb)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the trained codebook itself, driver-side (M×K rows, tiny): s9's
       // per-row distance-table expression folds it in as literals

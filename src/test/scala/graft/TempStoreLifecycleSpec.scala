@@ -47,7 +47,15 @@ class TempStoreLifecycleSpec extends SparkSuite {
     Relational.clearBucketedCache(spark)
   }
 
+  // the session MUST exist before any tmpdir redirect: a lazily-created
+  // SparkContext places its block manager under the CURRENT
+  // java.io.tmpdir, and deleting the private dir afterwards would take
+  // the live shuffle store with it — poisoning every later suite in the
+  // JVM (bit exactly that when this suite ran first in a test batch)
+  private def materializeSession(): Unit = { spark.range(1).count(); () }
+
   test("two clear/rebuild cycles leave every temp store flat") {
+    materializeSession()
     val prevTmp = System.getProperty("java.io.tmpdir")
     val mine = java.nio.file.Files.createTempDirectory("graft-lifecycle-")
     System.setProperty("java.io.tmpdir", mine.toString)
@@ -58,6 +66,33 @@ class TempStoreLifecycleSpec extends SparkSuite {
       // the final rebuilt reaped stores) live under `mine`; clear them so
       // the suite leaves no private tmp tree, then drop the dir itself
       clearAll()
+      graft.engine.MultiAnalyzer.deleteRecursively(mine.toFile)
+    }
+  }
+
+  test("t28b estimate scratch is bounded by the nonce ring across repeated calls") {
+    // VERDICT r17 "wrong" #1: the per-call nonce fixed the overwrite race
+    // but reaped only at JVM exit — a long-lived session leaked one
+    // candidate-sized parquet per t28b call. The ring deletes the oldest
+    // past EstScratchRing live paths.
+    materializeSession()
+    val prevTmp = System.getProperty("java.io.tmpdir")
+    val mine = java.nio.file.Files.createTempDirectory("graft-estring-")
+    System.setProperty("java.io.tmpdir", mine.toString)
+    try {
+      Text.clearCaches(spark)
+      (1 to Text.EstScratchRing + 3).foreach { i =>
+        assert(Text.scoredPairsAt(spark, sf0001, 4, 2).count() > 0,
+          s"call $i returned no pairs")
+      }
+      val est = mine.toFile.listFiles().count(_.getName.startsWith("graft-t28b-est-"))
+      assert(est <= Text.EstScratchRing,
+        s"$est estimate scratch dirs live after ${Text.EstScratchRing + 3} calls " +
+          s"— ring (${Text.EstScratchRing}) not reaping")
+      assert(est > 0, "no estimate scratch observed — the calls bypassed the scratch path")
+    } finally {
+      System.setProperty("java.io.tmpdir", prevTmp)
+      Text.clearCaches(spark)
       graft.engine.MultiAnalyzer.deleteRecursively(mine.toFile)
     }
   }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END recall curve + policy (VERDICT r17 missing #2 / next
+  * #2): the persisted curve now also measures recall@k of the composed
+  * route×ADC serving path and of route×ADC×refine against exact cosine
+  * truth, `GRAFT_IVF_RECALL_E2E` targets the ADC column, and the curve
+  * is memoized per (session, index) so the serving path stops re-reading
+  * a parquet per plan construction (VERDICT r17 wrong #2 / ADVICE).
+  */
+class E2eRecallCurveSpec extends SparkSuite {
+
+  private def freshIndex(nVec: Int, nCells: Int): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-idx").toString
+    val emb = RoutingFixtures.vectors(spark, nVec, nCells)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Vectors.buildIvfIndex(emb, dir)
+    Vectors.writeRecallCurve(emb, dir, threshold = 16)
+    (dir, emb)
+  }
+
+  test("curve persists e2e columns; refine never loses to raw ADC; terminal routing is exact") {
+    val (dir, emb) = freshIndex(nVec = 2048, nCells = 64)
+    try {
+      val rows = spark.read.parquet(s"$dir/recall_curve").orderBy("nprobe").collect()
+      assert(rows.nonEmpty)
+      val cols = spark.read.parquet(s"$dir/recall_curve").columns.toSeq
+      assert(cols == Seq("nprobe", "recall", "recall_adc", "recall_refine"),
+        s"curve schema drifted: $cols")
+      val pts = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      pts.foreach { case (np, routing, adc, ref) =>
+        assert(routing >= 0.0 && routing <= 1.0, s"routing out of range at $np")
+        assert(adc >= 0.0 && adc <= 1.0, s"recall_adc out of range at $np: $adc")
+        assert(ref >= 0.0 && ref <= 1.0, s"recall_refine out of range at $np: $ref")
+        // structural: refine picks the exact-best k of a pool ⊇ ADC's
+        // top-k, and every true neighbor in the pool outranks every
+        // non-neighbor under the exact score — refine can only recover
+        assert(ref >= adc, s"refine recall $ref < ADC recall $adc at nprobe $np")
+      }
+      // the terminal point probes every super: routing is exact there,
+      // so its e2e gap is PURE quantization/cell-membership loss
+      assert(pts.last._2 == 1.0, s"terminal routing recall != 1.0: ${pts.last}")
+      // on the clustered fixture the composed path must actually work:
+      // a collapsed codebook or broken cell pruning reads as ~0 here
+      assert(pts.last._4 >= 0.5,
+        s"terminal refine recall ${pts.last._4} — composed path degenerate")
+      // e2e recall must not exceed routing by construction on this
+      // fixture is NOT asserted: a neighbor can live outside the flat
+      // argmax cell, and ADC ranks within the routed cell only.
+    } finally {
+      emb.unpersist()
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("GRAFT_IVF_RECALL_E2E targets the ADC column; default stays routing") {
+    val (dir, emb) = freshIndex(nVec = 1024, nCells = 64)
+    try {
+      val pts = Vectors.loadCurve(spark, dir).get
+      val routingPick = Vectors.pickNprobe(
+        pts.map(p => (p.nprobe, p.routing)), Vectors.RecallTargetDefault)
+      assert(Vectors.nprobeForRecall(spark, dir) == routingPick)
+      // target the measured ADC column just under its terminal value so
+      // the pick is well-defined on any fixture draw
+      val t = pts.last.adc - 1e-9
+      System.setProperty("graft.ivf.recall.e2e", t.toString)
+      try {
+        val expected = Vectors.pickNprobe(pts.map(p => (p.nprobe, p.adc)), t)
+        assert(Vectors.nprobeForRecall(spark, dir) == expected,
+          s"e2e target $t: expected nprobe $expected")
+      } finally System.clearProperty("graft.ivf.recall.e2e")
+    } finally {
+      emb.unpersist()
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("an e2e target against a routing-only curve falls back to routing, loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-legacy").toString
+    try {
+      import spark.implicits._
+      // a pre-r18 curve: (nprobe, recall) only
+      Seq((1, 0.4), (2, 0.7), (4, 0.95), (8, 1.0)).toDF("nprobe", "recall")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/recall_curve")
+      System.setProperty("graft.ivf.recall.e2e", "0.9")
+      try assert(Vectors.nprobeForRecall(spark, dir) == 4,
+        "legacy-curve fallback should pick by the routing column at the default target")
+      finally System.clearProperty("graft.ivf.recall.e2e")
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("the curve is read from disk once per (session, index)") {
+    val (dir, emb) = freshIndex(nVec = 1024, nCells = 64)
+    try {
+      Vectors.loadCurve(spark, dir) // first read may or may not be cached already
+      val before = Vectors.curveReads.get()
+      (1 to 5).foreach(_ => Vectors.nprobeForRecall(spark, dir))
+      Vectors.loadCurve(spark, dir)
+      assert(Vectors.curveReads.get() == before,
+        "repeated policy lookups re-read the persisted curve")
+    } finally {
+      emb.unpersist()
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("an empty query sample measures no curve instead of persisting NaNs") {
+    val nCells = 64
+    val c = RoutingFixtures.centroids(spark, nCells)
+    val q = RoutingFixtures.queries(spark, 4, nCells).filter(col("q_id") < 0)
+    val curve = Vectors.measureRoutingRecall(q, c, nCells)
+    assert(curve.isEmpty, s"empty sample produced a curve: $curve")
+  }
+}
