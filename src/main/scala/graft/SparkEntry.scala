@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[GQuery] =
     graft.queries.Relational.all ++ graft.queries.Spikes.all ++
       graft.queries.Text.all ++ graft.queries.Vectors.all ++
-      graft.queries.Engine.all ++ graft.queries.Media.all
+      graft.queries.Engine.all ++ graft.queries.Media.all ++
+      graft.queries.Tokenize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Bpe
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Subword (byte-level BPE) tokenization as a first-class pipeline tier
+  * (VERDICT r17 missing #3): t16's packing and t24's vocab stats count
+  * whitespace words, a unit no real training run uses — context fill,
+  * token budgets and mixture weights are all denominated in SUBWORD
+  * tokens. The tokenizer trains once per (session, corpus) on a
+  * deterministic driver-side sample (the offline step every production
+  * tokenizer has), broadcasts its merges, and encodes at scale through a
+  * mapPartitions batch kernel (the m1-m4 shape: per-partition state
+  * build, per-row tight loop, no UDF).
+  *
+  * Oracle strategy: DuckDB cannot run BPE, so the gates verify what SQL
+  * CAN see. t24b leans on the tiling property — byte-level tokens
+  * partition each document's UTF-8 bytes exactly, so the engine's
+  * Σ byteLen(token) over ALL tokens of ALL docs must equal the oracle's
+  * independent `sum(octet_length(text))` — a cross-engine check that
+  * touches every token of every document (a dropped, duplicated or
+  * mis-merged token anywhere breaks the sum). t16b pins the packing
+  * invariants (budget respected up to the straddling doc, conservation,
+  * whole-corpus encode/decode roundtrip) as engine-computed violation
+  * counts under a constant oracle — the v9 invariant-gate pattern.
+  * Kernel-level correctness (hand-worked merges, fixture pins,
+  * determinism, driver==kernel parity) lives in BpeSpec.
+  */
+object Tokenize {
+
+  /** Merge count (vocab 256 bytes + 256 merges = 512): small enough to
+    * train in milliseconds on the sample, large enough that common words
+    * compress to single tokens — the unit change is what matters, not
+    * vocab-size realism (a production run swaps in a bigger table; every
+    * plan shape here is merge-count-independent).
+    */
+  val NumMerges = 256
+
+  /** Deterministic training sample: the smallest-xxhash64 docs (the same
+    * unbiased-take idiom as the recall-curve sample).
+    */
+  val TrainSampleDocs = 2048
+
+  /** t16b's context length in TOKENS. */
+  val TokenBudget = 512
+
+  private val encCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Bpe.Encoder]
+
+  /** The corpus's trained tokenizer, memoized per (session, corpus). */
+  private[graft] def encoderFor(s: SparkSession, dir: String): Bpe.Encoder =
+    encCache.getOrElseUpdate((s, dir), {
+      val sample = Tables.documents(s, dir)
+        .select(col("text"), col("doc_id"))
+        .orderBy(xxhash64(col("doc_id"))).limit(TrainSampleDocs)
+        .collect().map(_.getString(0))
+      new Bpe.Encoder(Bpe.train(sample, NumMerges))
+    })
+
+  def clearCaches(s: SparkSession): Unit =
+    encCache.keys.filter(_._1 eq s).foreach(encCache.remove(_): Unit)
+
+  private val tokSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("n_tok", LongType), StructField("tok_bytes", LongType),
+    StructField("max_id", IntegerType), StructField("rt_ok", BooleanType)))
+
+  /** Per-document token stats in ONE corpus pass: token count, summed
+    * per-token byte length (the tiling check's left side), max token id
+    * (vocab-bound check), and the encode→decode roundtrip verdict. Map
+    * only — the kernel is the whole plan until the caller aggregates.
+    */
+  private[graft] def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val bc = s.sparkContext.broadcast(encoderFor(s, dir))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(tokSchema))
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    docs.mapPartitions { it =>
+      val e = bc.value
+      it.map { r =>
+        val text = r.getString(2)
+        val ids = e.encode(text)
+        var bytes = 0L
+        var maxId = 0
+        var j = 0
+        while (j < ids.length) {
+          bytes += e.byteLen(ids(j))
+          if (ids(j) > maxId) maxId = ids(j)
+          j += 1
+        }
+        Row(r.getLong(0), r.getString(1), ids.length.toLong, bytes, maxId,
+          e.decode(ids) == text)
+      }
+    }(enc).toDF()
+  }
+
+  def all: Seq[GQuery] = Seq(
+
+    // ---- t16b: sequence packing by TOKEN budget — t16's per-source
+    // window packing with the whitespace word count replaced by the BPE
+    // token count, which is the number a context-length budget actually
+    // constrains. The gate returns INVARIANT VIOLATION COUNTS (the v9
+    // pattern): over_budget — a (source, seq) whose token sum minus its
+    // straddling last doc reaches the budget (structurally impossible
+    // under floor-cumsum packing: the non-last docs span at most
+    // [seq·B, last_start) ⊂ one budget window); roundtrip_fails —
+    // documents where decode(encode(text)) != text (the kernel's
+    // end-to-end functional check, over the WHOLE corpus, not a
+    // sample); docs_packed — conservation, the one term DuckDB can
+    // recompute. ----
+    GQuery(
+      "t16b_token_pack",
+      """SELECT CAST(0 AS BIGINT) AS over_budget,
+        |  CAST(0 AS BIGINT) AS roundtrip_fails,
+        |  count(*) AS docs_packed
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val packed = tokenStats(s, dir)
+        .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+        .withColumn("seq_id", expr(s"start_off div $TokenBudget"))
+      val seqs = packed.groupBy("source", "seq_id")
+        .agg(sum("n_tok").as("stok"),
+          max_by(col("n_tok"), col("doc_id")).as("last_tok"),
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("rt_ok"), 1L).otherwise(0L)).as("rt_fails"))
+      seqs.agg(
+        sum(when(col("stok") - col("last_tok") >= TokenBudget, 1L)
+          .otherwise(0L)).as("over_budget"),
+        sum(col("rt_fails")).as("roundtrip_fails"),
+        sum(col("n_docs")).as("docs_packed"))
+    },
+
+    // ---- t24b: token-unit vocab accounting, cross-checked through the
+    // tiling identity: byte-level BPE tokens PARTITION each document's
+    // UTF-8 byte stream, so the engine-side Σ byteLen(token) — summed
+    // per token, through the trained vocab table, across every document
+    // — must equal DuckDB's independent sum(octet_length(text)). Any
+    // lost/duplicated/mis-merged token anywhere in the corpus breaks
+    // the equality; no SQL reimplementation of BPE needed.
+    // vocab_violations pins every emitted id under 256 + NumMerges. ----
+    GQuery(
+      "t24b_token_vocab",
+      s"""SELECT CAST(sum(strlen(text)) AS BIGINT) AS total_token_bytes,
+         |  CAST(0 AS BIGINT) AS vocab_violations,
+         |  count(*) AS total_docs
+         |FROM documents""".stripMargin) { (s, dir) =>
+      tokenStats(s, dir).agg(
+        sum("tok_bytes").as("total_token_bytes"),
+        sum(when(col("max_id") >= 256 + NumMerges, 1L).otherwise(0L))
+          .as("vocab_violations"),
+        count(lit(1)).as("total_docs"))
+    })
+}

@@ -490,14 +490,16 @@ object Vectors {
     // probe depth. Skippable (GRAFT_IVF_E2E_CURVE=0) because it trains
     // a PQ codebook over the corpus at build time — the honest cost of
     // measuring the tier a PQ-serving deployment reads.
-    val e2e: Map[Int, (Double, Double)] =
+    val e2e: Map[Int, E2ePoint] =
       if (!e2eCurveEnabled) Map.empty
       else measureE2eRecall(of, sample, cent, nCells, curve.map(_._1)).toMap
     import s.implicits._
+    val nan = E2ePoint(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     curve.map { case (np, r) =>
-      val (adc, ref) = e2e.getOrElse(np, (Double.NaN, Double.NaN))
-      (np, r, adc, ref)
-    }.toDF("nprobe", "recall", "recall_adc", "recall_refine").coalesce(1)
+      val p = e2e.getOrElse(np, nan)
+      (np, r, p.adc, p.refine, p.adcMulti, p.refineMulti)
+    }.toDF("nprobe", "recall", "recall_adc", "recall_refine",
+        "recall_adc_multi", "recall_refine_multi").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/recall_curve")
     // the curve changed on disk: drop every session's memoized copy
     invalidateCurve(out)
@@ -507,22 +509,34 @@ object Vectors {
     !sys.env.get("GRAFT_IVF_E2E_CURVE")
       .orElse(sys.props.get("graft.ivf.e2e.curve")).contains("0")
 
+  /** One measured e2e point: single-routed-cell ADC/refine (the shipped
+    * s9/v11 serving semantics) and MULTI-cell ADC/refine (v14's FAISS
+    * nprobe semantics: candidates from the flat top-nprobe cells — the
+    * recall the serving tier reaches by scanning every probed cell).
+    */
+  private[graft] case class E2ePoint(
+      adc: Double, refine: Double, adcMulti: Double, refineMulti: Double)
+
   /** End-to-end recall@[[E2eK]] of the composed serving paths, per
     * routing probe depth: route (top-`nprobe` supers → best cell) →
     * ADC-rank the routed cell's PQ codes → top-k, and the same with
     * v12's exact refine (ADC top-[[E2eRefinePool]] re-ranked by true
     * cosine) — each against the exact-cosine top-k over the WHOLE
-    * corpus (self excluded). recall_refine ≥ recall_adc structurally:
-    * both draw from the same routed pool, and any true neighbor the
-    * pool contains outranks every non-neighbor under the exact score
-    * the refine sorts by. Cost: one PQ train+encode over `of` (the
-    * dominant term — the price of measuring the PQ tier), one brute
-    * truth pass (sample × corpus bounded top-k), then per-depth
-    * cell-pruned ADC scans (sample-cell-sized).
+    * corpus (self excluded); plus both numbers for the MULTI-cell
+    * candidate scan (flat top-nprobe cells, v14) at the same depth.
+    * recall_refine ≥ recall_adc structurally WITHIN a candidate set:
+    * both draw from the same pool, and any true neighbor the pool
+    * contains outranks every non-neighbor under the exact score the
+    * refine sorts by. Multi vs single is NOT structurally monotone for
+    * fixed-k selection (a bigger haystack can push a true neighbor out
+    * of ADC's top-k) — which is exactly why it is measured. Cost: one
+    * PQ train+encode over `of` (the dominant term — the price of
+    * measuring the PQ tier), one brute truth pass (sample × corpus
+    * bounded top-k), then per-depth cell-pruned ADC scans.
     */
   private[graft] def measureE2eRecall(
       of: DataFrame, queries: DataFrame, cent: DataFrame, nCells: Long,
-      probes: Seq[Int]): Seq[(Int, (Double, Double))] = {
+      probes: Seq[Int]): Seq[(Int, E2ePoint)] = {
     val s = of.sparkSession
     registered(s)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -555,12 +569,10 @@ object Vectors {
     try {
       val nq = q.count().toDouble
       val (supers, kids) = hierarchyForRowRoute(cent, nCells)
-      probes.map { np =>
-        val routed = rowRouteHier(
-            q.select("q_id", "q_emb"), supers, kids, np)
-          .select("q_id", "cell")
+      // (adc, refine) recall for ONE candidate-cell assignment frame
+      def recallOf(cells: DataFrame): (Double, Double) = {
         val approx = codes
-          .join(broadcast(routed), "cell")
+          .join(broadcast(cells), "cell")
           .join(broadcast(dtab), "q_id")
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("adist", adcLookup)
@@ -571,8 +583,17 @@ object Vectors {
             .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
           val refHits = topKByCos(exactCos(pool.select("q_id", "vec_id")), E2eK)
             .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
-          (np, (adcHits / (nq * E2eK), refHits / (nq * E2eK)))
+          (adcHits / (nq * E2eK), refHits / (nq * E2eK))
         } finally { pool.unpersist(); () }
+      }
+      probes.map { np =>
+        val routed = rowRouteHier(
+            q.select("q_id", "q_emb"), supers, kids, np)
+          .select("q_id", "cell")
+        val (adc, ref) = recallOf(routed)
+        val (adcM, refM) =
+          recallOf(multiRoute(q.select("q_id", "q_emb"), cent, np))
+        (np, E2ePoint(adc, ref, adcM, refM))
       }
     } finally {
       codes.unpersist(); dtab.unpersist(); truth.unpersist(); q.unpersist()
@@ -582,10 +603,15 @@ object Vectors {
 
   /** E2E curve recall@k (k=10: FAISS's customary reporting point, deep
     * enough that single-neighbor ties don't dominate) and the refine
-    * pool (3×k — v12's 10→3 pool ratio).
+    * pool (default 3×k — v12's 10→3 pool ratio; `GRAFT_IVF_E2E_POOL`
+    * overrides for pool-sensitivity studies — the x100 study used it to
+    * attribute the recall ceiling to within-cell ADC resolution, not
+    * cell membership).
     */
   private[graft] val E2eK = 10
-  private[graft] val E2eRefinePool = 30
+  private[graft] def E2eRefinePool: Int =
+    sys.env.get("GRAFT_IVF_E2E_POOL")
+      .orElse(sys.props.get("graft.ivf.e2e.pool")).map(_.toInt).getOrElse(30)
 
   /** The measured routing-recall curve: flat-argmax agreement of the
     * two-level router at each probed nprobe (powers of two up to the
@@ -661,7 +687,8 @@ object Vectors {
     * builds with GRAFT_IVF_E2E_CURVE=0).
     */
   private[graft] case class CurvePoint(
-      nprobe: Int, routing: Double, adc: Double, refine: Double) {
+      nprobe: Int, routing: Double, adc: Double, refine: Double,
+      adcMulti: Double = Double.NaN, refineMulti: Double = Double.NaN) {
     def hasE2e: Boolean = !adc.isNaN
   }
 
@@ -693,10 +720,13 @@ object Vectors {
       else {
         val df = s.read.parquet(p.toString).orderBy("nprobe")
         val e2e = df.columns.contains("recall_adc")
+        val multi = df.columns.contains("recall_adc_multi")
         Some(df.collect().map { r =>
           CurvePoint(r.getInt(0), r.getDouble(1),
             if (e2e) r.getDouble(2) else Double.NaN,
-            if (e2e) r.getDouble(3) else Double.NaN)
+            if (e2e) r.getDouble(3) else Double.NaN,
+            if (multi) r.getDouble(4) else Double.NaN,
+            if (multi) r.getDouble(5) else Double.NaN)
         }.toSeq)
       }
     })
@@ -1626,6 +1656,40 @@ object Vectors {
       topKByCos(scored, 3)
     },
 
+    // ---- MULTI-CELL IVF-PQ search (FAISS nprobe semantics): candidates
+    // from the UNION of each query's top-nprobe cells by centroid dot,
+    // not just the argmax cell — what FAISS IVFPQ actually does with
+    // nprobe: scan every probed cell's codes. Work per query = nprobe ×
+    // avg-cell codes — the candidate-BREADTH/latency knob at 100 TB,
+    // priced per index by the persisted curve's recall_adc_multi /
+    // recall_refine_multi columns. The r18 e2e study is candid about
+    // what those columns measured on GenScale: FLAT — a direct check
+    // found 100% of the exact top-10 inside the argmax cell there, so
+    // breadth buys nothing on that geometry (the binding constraint is
+    // within-cell ADC resolution; see BASELINE r18). The operator
+    // exists for the geometries real embedding manifolds have — queries
+    // near Voronoi faces whose neighbors straddle cells — where
+    // single-cell scans lose exactly what this recovers, and the curve
+    // now measures WHICH regime an index is in instead of assuming.
+    // Cells per vector are disjoint (cell = label), so the union needs
+    // no dedupe and the plan is v11's with a top-2 cell frame in place
+    // of the argmax row — same broadcast shape, same bounded top-k. ----
+    GQuery("v14_ivfpq_multiprobe", ivfpqMultiOracleSql) { (s, dir) =>
+      registered(s)
+      val (codesArr, dtabArr, _) = pqEncode(s, dir)
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
+      val route = multiRoute(q, cent, nprobe = 2)
+      val approx = codesArr
+        .join(broadcast(route), "cell")
+        .join(broadcast(dtabArr), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookup)
+      topK(approx, 3)
+    },
+
     // ---- Incremental IVF maintenance (the v7 index as a LIVING store,
     // the t26 twin for vectors): index built over the corpus minus the
     // delta shard, delta inserted by routing against the FROZEN base
@@ -2261,6 +2325,65 @@ object Vectors {
        |    SELECT q_id, label,
        |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
        |    FROM qdot) WHERE rk = 1),
+       |approx AS (
+       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  FROM (
+       |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |    FROM af a
+       |    JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
+       |    JOIN qcell qc ON qc.label = el.label
+       |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |    WHERE a.vec_id <> qc.q_id
+       |    GROUP BY 1, 2))
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
+
+  /** Each query's top-`nprobe` cells by centroid dot product — the
+    * multi-cell (FAISS nprobe) candidate router: ONE bounded `topk_by`
+    * aggregation over the broadcast centroid table (same NaN→-∞ guard
+    * and (dp desc, cell asc) tie-break as every other routing tier), so
+    * map-side partials keep ≤nprobe rows per (task, query) before the
+    * single exchange. Cells are disjoint vector sets (cell = label), so
+    * the downstream candidate union needs no dedupe.
+    */
+  private[graft] def multiRoute(
+      queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    registered(queries.sparkSession)
+    require(nprobe >= 1, s"multiRoute: nprobe must be >= 1, got $nprobe")
+    queries
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        expr(dotExpr("q_emb", "centroid")).as("dp"))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(IF(isnan(dp), CAST('-Infinity' AS DOUBLE), -dp)," +
+        s" cell, $nprobe)").as("top"))
+      .select(col("q_id"),
+        explode(expr("transform(top, t -> CAST(t.id AS INT))")).as("cell"))
+  }
+
+  /** DuckDB twin of the v14 plan: v11's oracle with the qcell rank bound
+    * raised from the argmax to the top-2 cells (FAISS nprobe=2) — same
+    * centroid derivation, same ADC core, same (dp DESC, label) tiebreak.
+    */
+  private def ivfpqMultiOracleSql: String =
+    s"""WITH $pqCoreCtes,
+       |xr AS (
+       |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d
+       |  FROM embeddings),
+       |cent AS (SELECT label, d, avg(x) AS c FROM xr GROUP BY label, d),
+       |qdot AS (
+       |  SELECT xr.vec_id AS q_id, cent.label, sum(xr.x * cent.c) AS dp
+       |  FROM xr JOIN cent ON cent.d = xr.d
+       |  WHERE xr.vec_id % 25 = 0 GROUP BY xr.vec_id, cent.label),
+       |qcell AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+       |    FROM qdot) WHERE rk <= 2),
        |approx AS (
        |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
        |  FROM (

@@ -27,17 +27,20 @@ class E2eRecallCurveSpec extends SparkSuite {
       val rows = spark.read.parquet(s"$dir/recall_curve").orderBy("nprobe").collect()
       assert(rows.nonEmpty)
       val cols = spark.read.parquet(s"$dir/recall_curve").columns.toSeq
-      assert(cols == Seq("nprobe", "recall", "recall_adc", "recall_refine"),
-        s"curve schema drifted: $cols")
-      val pts = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-      pts.foreach { case (np, routing, adc, ref) =>
-        assert(routing >= 0.0 && routing <= 1.0, s"routing out of range at $np")
-        assert(adc >= 0.0 && adc <= 1.0, s"recall_adc out of range at $np: $adc")
-        assert(ref >= 0.0 && ref <= 1.0, s"recall_refine out of range at $np: $ref")
-        // structural: refine picks the exact-best k of a pool ⊇ ADC's
-        // top-k, and every true neighbor in the pool outranks every
-        // non-neighbor under the exact score — refine can only recover
+      assert(cols == Seq("nprobe", "recall", "recall_adc", "recall_refine",
+        "recall_adc_multi", "recall_refine_multi"), s"curve schema drifted: $cols")
+      val pts = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      pts.foreach { case (np, routing, adc, ref, adcM, refM) =>
+        Seq("routing" -> routing, "adc" -> adc, "refine" -> ref,
+          "adc_multi" -> adcM, "refine_multi" -> refM).foreach { case (n, v) =>
+          assert(v >= 0.0 && v <= 1.0, s"$n out of range at nprobe $np: $v")
+        }
+        // structural WITHIN a candidate set: refine picks the exact-best
+        // k of a pool ⊇ ADC's top-k, and every true neighbor in the pool
+        // outranks every non-neighbor under the exact score
         assert(ref >= adc, s"refine recall $ref < ADC recall $adc at nprobe $np")
+        assert(refM >= adcM, s"multi refine $refM < multi ADC $adcM at nprobe $np")
       }
       // the terminal point probes every super: routing is exact there,
       // so its e2e gap is PURE quantization/cell-membership loss
@@ -46,9 +49,15 @@ class E2eRecallCurveSpec extends SparkSuite {
       // a collapsed codebook or broken cell pruning reads as ~0 here
       assert(pts.last._4 >= 0.5,
         s"terminal refine recall ${pts.last._4} — composed path degenerate")
-      // e2e recall must not exceed routing by construction on this
-      // fixture is NOT asserted: a neighbor can live outside the flat
-      // argmax cell, and ADC ranks within the routed cell only.
+      // the multi-cell scan exists to lift the single-cell ceiling: on
+      // this fixture the deepest multi refine must do at least as well
+      // as the deepest single-cell refine (its candidate set contains
+      // the flat-argmax cell the single path scans at terminal depth)
+      assert(pts.last._6 >= pts.last._4 - 1e-9,
+        s"terminal multi refine ${pts.last._6} < single ${pts.last._4}")
+      // single vs multi at SHALLOW depths is deliberately not asserted:
+      // fixed-k selection from a bigger haystack is not structurally
+      // monotone — that non-monotonicity is why the curve measures both.
     } finally {
       emb.unpersist()
       graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
