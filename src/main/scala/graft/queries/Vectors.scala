@@ -601,6 +601,106 @@ object Vectors {
     }
   }
 
+  /** Raw-PQ vs RESIDUAL-PQ recall@[[E2eK]] under EXACT (flat argmax)
+    * routing, on the standard held-out sample: ((raw adc, raw refine),
+    * (residual adc, residual refine)). The isolation experiment for the
+    * r18 finding that raw-vector PQ can't order within a cell — routing
+    * is held exact so the ONLY variable is what the 8 bytes encode.
+    * Driven by ResidualRecallProbe (x-decade rows in BASELINE) and
+    * ResidualPqSpec (gate-scale floor).
+    */
+  private[graft] def measureResidualRecall(
+      s: SparkSession, dir: String,
+      sample: Int = RecallSampleSize): ((Double, Double), (Double, Double)) = {
+    registered(s)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Tables.embeddings(s, dir)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(davg18(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
+        .as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+      .persist(mem)
+    val q = e
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .orderBy(xxhash64(col("q_id"))).limit(sample)
+      .withColumn("q_nrm", expr("sqrt(" + dotExpr("q_emb", "q_emb") + ")"))
+      .persist(mem)
+    val en = withNorm(e.select("vec_id", "embedding"))
+    val truth = topKByCos(
+      en.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))),
+      E2eK).select("q_id", "vec_id").persist(mem)
+    // nCells=1 forces the FLAT branch: exact argmax routing at any size
+    val route = routeQueries(q.select("q_id", "q_emb"), cent, nCells = 1)
+      .persist(mem)
+    try {
+      val nq = q.count().toDouble
+      def recallFor(codes: DataFrame, dtab: DataFrame): (Double, Double) = {
+        val approx = codes
+          .join(broadcast(route), "cell")
+          .join(broadcast(dtab), "q_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adist", adcLookup)
+        val pool = topK(approx, E2eRefinePool)
+          .select("q_id", "vec_id", "rk").persist(mem)
+        try {
+          val adcHits = pool.filter(col("rk") <= E2eK)
+            .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+          val refined = topKByCos(
+            pool.select("q_id", "vec_id")
+              .join(en, "vec_id").join(broadcast(q), "q_id")
+              .withColumn("cos",
+                expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm"))),
+            E2eK)
+          val refHits = refined
+            .join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+          (adcHits / (nq * E2eK), refHits / (nq * E2eK))
+        } finally { pool.unpersist(); () }
+      }
+      // RAW: codes/tables over the vectors themselves
+      val svRaw = pqSubVectors(e.select("vec_id", "embedding"))
+      val cbRaw = pqTrainCb(s, svRaw)
+      val codesRaw = pqCodesArr(svRaw, cbRaw)
+        .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+        .persist(mem)
+      val qsvRaw = pqSubVectors(q.select(col("q_id").as("vec_id"),
+          col("q_emb").as("embedding")))
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtabRaw = pqDistTabArr(qsvRaw, cbRaw).persist(mem)
+      val raw = recallFor(codesRaw, dtabRaw)
+      codesRaw.unpersist(); dtabRaw.unpersist()
+      // RESIDUAL: the v15 recipe
+      val resid = e.join(broadcast(cent), e("label") === cent("cell"))
+        .select(col("vec_id"), col("label"), expr(
+          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val svR = pqSubVectors(resid.select("vec_id", "embedding"))
+      val cbR = pqTrainCb(s, svR)
+      val codesR = pqCodesArr(svR, cbR)
+        .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+        .persist(mem)
+      val qres = route.join(q.select("q_id", "q_emb"), "q_id")
+        .join(broadcast(cent), "cell")
+        .select(col("q_id").as("vec_id"), expr(
+          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val qsvR = pqSubVectors(qres)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtabR = pqDistTabArr(qsvR, cbR).persist(mem)
+      val res = recallFor(codesR, dtabR)
+      codesR.unpersist(); dtabR.unpersist()
+      (raw, res)
+    } finally {
+      cent.unpersist(); q.unpersist(); truth.unpersist(); route.unpersist()
+      ()
+    }
+  }
+
   /** E2E curve recall@k (k=10: FAISS's customary reporting point, deep
     * enough that single-neighbor ties don't dominate) and the refine
     * pool (default 3×k — v12's 10→3 pool ratio; `GRAFT_IVF_E2E_POOL`
@@ -1690,6 +1790,64 @@ object Vectors {
       topK(approx, 3)
     },
 
+    // ---- RESIDUAL IVF-PQ (FAISS IVFPQ's default encoding): codes
+    // quantize r = x − centroid(cell(x)) instead of x, and each query
+    // builds its ADC table from ITS residual against the routed cell,
+    // rq = q − centroid(routed). This is the fix the r18 e2e study
+    // measured the need for: raw-vector PQ spends its 8 bytes mostly on
+    // the shared cell center (GenScale: 0.8·center + 0.3·noise), so
+    // same-cell candidates land on near-identical codes and ADC can't
+    // order within the cell (ADC@10 0.13 at exact routing; pool-200
+    // refine == routing recall proved membership wasn't the problem).
+    // Residual encoding spends the same 8 bytes entirely on
+    // WITHIN-cell variation — the quantity in-cell ranking needs.
+    // Centroids here are decimal-exact (davg18) so both engines derive
+    // bit-identical residuals (the raw-PQ gates tolerate last-ulp
+    // centroid noise in routing only; residuals feed TRAINING, where a
+    // flipped seed diverges everything). Scale shape is v11's: codes
+    // carry 8 B/vector, the distance table is per (query, routed cell)
+    // — nprobe cells mean nprobe tables per query, still Q×nprobe×512
+    // doubles broadcast, never corpus-sized. ----
+    GQuery("v15_ivfpq_residual", ivfpqResidualOracleSql) { (s, dir) =>
+      registered(s)
+      val e = Tables.embeddings(s, dir)
+      // decimal-exact per-cell centroid: both engines land the same bits
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("label", "d").agg(davg18(col("x").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
+          .as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      val nCells = cent.count()
+      val resid = e
+        .join(broadcast(cent), e("label") === cent("cell"))
+        .select(col("vec_id"), col("label"), expr(
+          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val sv = pqSubVectors(resid.select("vec_id", "embedding"))
+      val cb = pqTrainCb(s, sv)
+      val codes = pqCodesArr(sv, cb)
+        .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val route = routeQueries(q, cent, nCells)
+      // the query's residual AGAINST ITS ROUTED CELL → its ADC table
+      val qres = route.join(q, "q_id").join(broadcast(cent), "cell")
+        .select(col("q_id").as("vec_id"), expr(
+          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val qsv = pqSubVectors(qres)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtab = pqDistTabArr(qsv, cb)
+      val approx = codes
+        .join(broadcast(route), "cell")
+        .join(broadcast(dtab), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookup)
+      topK(approx, 3)
+    },
+
     // ---- Incremental IVF maintenance (the v7 index as a LIVING store,
     // the t26 twin for vectors): index built over the corpus minus the
     // delta shard, delta inserted by routing against the FROZEN base
@@ -2249,15 +2407,22 @@ object Vectors {
     * final codes (`af`), and builds the per-query ADC distance table
     * (`dtab`). v10 and v11 append their own candidate scope + top-k.
     */
-  private def pqCoreCtes: String = {
-    def dist(a: String, b: String) =
-      s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+  private def pqSqlDist(a: String, b: String) =
+    s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+
+  /** The Lloyd training chain (c0 seed → a{i}/c{i} iterations → final
+    * assignment `af`) over whatever `sv` CTE precedes it — shared by the
+    * raw-vector oracle ([[pqCoreCtes]]) and the residual one
+    * ([[pqResidCtes]]), so the two engines' training recipes can never
+    * drift apart per input representation.
+    */
+  private def pqTrainCtes: String = {
     def assignCte(name: String, cb: String) =
       s"""$name AS (
          |  SELECT vec_id, s, code FROM (
          |    SELECT sv.vec_id, sv.s, $cb.code,
          |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
-         |        ORDER BY ${dist("sv.sv", s"$cb.cv")}, $cb.code) AS rn
+         |        ORDER BY ${pqSqlDist("sv.sv", s"$cb.cv")}, $cb.code) AS rn
          |    FROM sv JOIN $cb ON $cb.s = sv.s)
          |  WHERE rn = 1)"""
     def updateCtes(mean: String, cbOut: String, asg: String) =
@@ -2271,21 +2436,24 @@ object Vectors {
       assignCte(s"a${i - 1}", s"c${i - 1}") + ",\n" +
         updateCtes(s"cx${i - 1}", s"c$i", s"a${i - 1}")
     }.mkString(",\n")
+    s"""usv AS (SELECT vec_id, s, unnest(sv) AS x,
+       |               unnest(generate_series(0, ${PqSub - 1})) AS d FROM sv),
+       |c0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM sv WHERE vec_id < $PqK),
+       |$iterCtes,
+       |${assignCte("af", s"c$PqIters")}"""
+  }
+
+  private def pqCoreCtes: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sv AS (
        |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
        |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
-       |usv AS (SELECT vec_id, s, unnest(sv) AS x,
-       |               unnest(generate_series(0, ${PqSub - 1})) AS d FROM sv),
-       |c0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM sv WHERE vec_id < $PqK),
-       |$iterCtes,
-       |${assignCte("af", s"c$PqIters")},
+       |$pqTrainCtes,
        |qsv AS (SELECT vec_id AS q_id, s, sv AS qv FROM sv WHERE vec_id % 25 = 0),
        |dtab AS (
        |  SELECT q.q_id, q.s, c$PqIters.code,
-       |    ${dist("q.qv", s"c$PqIters.cv")} AS pdist
+       |    ${pqSqlDist("q.qv", s"c$PqIters.cv")} AS pdist
        |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s)"""
-  }
 
   /** DuckDB twin of the v10 plan (full-corpus ADC). The per-pair sum is
     * an s-ordered list added left-to-right, matching the engine's flat
@@ -2384,6 +2552,67 @@ object Vectors {
        |    SELECT q_id, label,
        |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
        |    FROM qdot) WHERE rk <= 2),
+       |approx AS (
+       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  FROM (
+       |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |    FROM af a
+       |    JOIN (SELECT vec_id, label FROM embeddings) el ON el.vec_id = a.vec_id
+       |    JOIN qcell qc ON qc.label = el.label
+       |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |    WHERE a.vec_id <> qc.q_id
+       |    GROUP BY 1, 2))
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
+
+  /** DuckDB twin of the v15 plan: decimal-exact per-cell centroids,
+    * residual vectors r = x − centroid(label), the SHARED Lloyd chain
+    * ([[pqTrainCtes]]) over residual sub-vectors, argmax routing on the
+    * same centroids, per-query ADC tables from the query's residual
+    * against its ROUTED cell, candidates = routed cell, top-3.
+    */
+  private def ivfpqResidualOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |xr AS (
+       |  SELECT vec_id, label, unnest(v) AS x,
+       |    unnest(generate_series(0, len(v) - 1)) AS d
+       |  FROM e),
+       |centd AS (
+       |  SELECT label, d,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(x) AS c
+       |  FROM xr GROUP BY label, d),
+       |rx AS (
+       |  SELECT xr.vec_id, xr.label, xr.d, xr.x - cd.c AS x
+       |  FROM xr JOIN centd cd ON cd.label = xr.label AND cd.d = xr.d),
+       |rv AS (SELECT vec_id, label, list(x ORDER BY d) AS v FROM rx GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
+       |  FROM rv, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+       |$pqTrainCtes,
+       |qdot AS (
+       |  SELECT xr.vec_id AS q_id, centd.label, sum(xr.x * centd.c) AS dp
+       |  FROM xr JOIN centd ON centd.d = xr.d
+       |  WHERE xr.vec_id % 25 = 0 GROUP BY xr.vec_id, centd.label),
+       |qcell AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+       |    FROM qdot) WHERE rk = 1),
+       |qrx AS (
+       |  SELECT xr.vec_id AS q_id, xr.d, xr.x - cd.c AS x
+       |  FROM xr JOIN qcell qc ON qc.q_id = xr.vec_id
+       |  JOIN centd cd ON cd.label = qc.label AND cd.d = xr.d),
+       |qrv AS (SELECT q_id, list(x ORDER BY d) AS v FROM qrx GROUP BY 1),
+       |qsv AS (
+       |  SELECT q_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS qv
+       |  FROM qrv, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+       |dtab AS (
+       |  SELECT q.q_id, q.s, c$PqIters.code,
+       |    ${pqSqlDist("q.qv", s"c$PqIters.cv")} AS pdist
+       |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s),
        |approx AS (
        |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
        |  FROM (
