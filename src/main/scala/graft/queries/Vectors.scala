@@ -383,6 +383,9 @@ object Vectors {
     }
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
     curveCache.keys.filter(_._1 eq s).foreach(curveCache.remove(_): Unit)
+    residPqCache.keys.filter(_._1 eq s).foreach { k =>
+      residPqCache.remove(k).foreach { case (_, _, codes, _) => codes.unpersist(); () }
+    }
   }
 
   /** The persisted index root, for specs that drive it from a streaming
@@ -1811,24 +1814,7 @@ object Vectors {
     GQuery("v15_ivfpq_residual", ivfpqResidualOracleSql) { (s, dir) =>
       registered(s)
       val e = Tables.embeddings(s, dir)
-      // decimal-exact per-cell centroid: both engines land the same bits
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("label", "d").agg(davg18(col("x").cast("double")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
-          .as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
-      val nCells = cent.count()
-      val resid = e
-        .join(broadcast(cent), e("label") === cent("cell"))
-        .select(col("vec_id"), col("label"), expr(
-          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
-            " (a, b) -> a - b)").as("embedding"))
-      val sv = pqSubVectors(resid.select("vec_id", "embedding"))
-      val cb = pqTrainCb(s, sv)
-      val codes = pqCodesArr(sv, cb)
-        .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      val (cent, nCells, codes, cb) = residualPq(s, dir)
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val route = routeQueries(q, cent, nCells)
@@ -2567,6 +2553,46 @@ object Vectors {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
        |  FROM approx)
        |WHERE rk <= 3""".stripMargin
+
+  private val residPqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Long, DataFrame, DataFrame)]
+
+  /** v15's corpus-side state, memoized per (session, dir) like
+    * [[pqEncode]]: (decimal-exact centroids — MATERIALIZED driver-side,
+    * they are cells-sized and feed three plan sites per execution —
+    * cell count, residual code table persisted, trained residual
+    * codebook). Left unmemoized, v15 re-ran two Lloyd trainings per
+    * bench pass and its block-manager churn taxed every OTHER gate's
+    * persisted frames (~7 s across the r18 bench's shared set —
+    * measured, see BASELINE r18 bench note).
+    */
+  private def residualPq(
+      s: SparkSession, dir: String): (DataFrame, Long, DataFrame, DataFrame) =
+    residPqCache.getOrElseUpdate((s, dir), {
+      val e = Tables.embeddings(s, dir)
+      // decimal-exact per-cell centroid: both engines land the same bits
+      val centQ = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("label", "d").agg(davg18(col("x").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
+          .as("centroid"))
+        .select(col("label").as("cell"), col("centroid"))
+      val cent = s.createDataFrame(
+        java.util.Arrays.asList(centQ.collect(): _*), centQ.schema).coalesce(1)
+      val nCells = cent.count()
+      val resid = e
+        .join(broadcast(cent), e("label") === cent("cell"))
+        .select(col("vec_id"), expr(
+          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val sv = pqSubVectors(resid)
+      val cb = pqTrainCb(s, sv)
+      val codes = pqCodesArr(sv, cb)
+        .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cent, nCells, codes, cb)
+    })
 
   /** DuckDB twin of the v15 plan: decimal-exact per-cell centroids,
     * residual vectors r = x − centroid(label), the SHARED Lloyd chain
