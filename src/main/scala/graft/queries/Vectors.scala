@@ -384,7 +384,9 @@ object Vectors {
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
     curveCache.keys.filter(_._1 eq s).foreach(curveCache.remove(_): Unit)
     residPqCache.keys.filter(_._1 eq s).foreach { k =>
-      residPqCache.remove(k).foreach { case (_, _, codes, _) => codes.unpersist(); () }
+      residPqCache.remove(k).foreach { case (_, _, codes, _, _) =>
+        codes.unpersist(); ()
+      }
     }
   }
 
@@ -1814,7 +1816,7 @@ object Vectors {
     GQuery("v15_ivfpq_residual", ivfpqResidualOracleSql) { (s, dir) =>
       registered(s)
       val e = Tables.embeddings(s, dir)
-      val (cent, nCells, codes, cb) = residualPq(s, dir)
+      val (cent, nCells, codes, cb, _) = residualPq(s, dir)
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val route = routeQueries(q, cent, nCells)
@@ -1832,6 +1834,36 @@ object Vectors {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
       topK(approx, 3)
+    },
+
+    // ---- STREAMING residual IVF-PQ search: v15 under the streaming
+    // contract that s7 (LSH), s8 (IVF) and s9 (raw PQ) already honor —
+    // every index family's serving form must be derivable per arriving
+    // row. Each query row derives its routed cell (rowRoute literals),
+    // subtracts THAT cell's centroid (centroid literals — the same
+    // plan-state budget as the router), and builds its 512-entry ADC
+    // table from the RESIDUAL (rowResidualAdcProbe) — all map-side,
+    // REQUIREd zero stream-side exchanges — then probes the static
+    // residual code table cell-pruned and emits ADC distances (top-k is
+    // the consumer's reduce, as in s9). Same oracle family as v15 minus
+    // the rank. StreamResidualAdcSpec pins two micro-batches == this
+    // batch form. ----
+    GQuery("s13_stream_ivfpq_residual", s13OracleSql) { (s, dir) =>
+      registered(s)
+      val (cent, _, codes, _, cbRows) = residualPq(s, dir)
+      val cents = cent.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probe = rowResidualAdcProbe(rowRoute(q, cents), cbRows, cents)
+        .drop("q_emb")
+      require(graft.sources.Bucketed.streamSideShuffles(probe) == 0,
+        s"s13: per-row route+residual dtab must be stream-side map-only:\n" +
+          probe.queryExecution.executedPlan)
+      codes
+        .join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
     },
 
     // ---- Incremental IVF maintenance (the v7 index as a LIVING store,
@@ -2019,7 +2051,8 @@ object Vectors {
     * quantizer staying small IS the PQ premise.
     */
   private[graft] def rowAdcProbe(
-      queries: DataFrame, cb: Array[(Int, Int, Seq[Double])]): DataFrame = {
+      queries: DataFrame, cb: Array[(Int, Int, Seq[Double])],
+      inputCol: String = "q_emb"): DataFrame = {
     registered(queries.sparkSession)
     val slots: Seq[Seq[Double]] = (0 until PqM * PqK).map { i =>
       cb.collectFirst { case (s, c, cv) if s == i / PqK && c == i % PqK => cv }
@@ -2042,7 +2075,7 @@ object Vectors {
     queries
       .withColumn("_cb", typedLit(slots))
       .withColumn("_cn", typedLit(cn))
-      .withColumn("v", expr("transform(q_emb, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr(s"transform($inputCol, x -> CAST(x AS DOUBLE))"))
       .withColumn("_qs", expr(
         s"transform(sequence(0, ${PqM - 1}), s -> slice(v, s * $PqSub + 1, $PqSub))"))
       .withColumn("_qq", expr("transform(_qs, q -> array_dot(q, q))"))
@@ -2056,6 +2089,35 @@ object Vectors {
            |          + element_at(_cn, i+1)
            |  END)""".stripMargin))
       .drop("_cb", "_cn", "v", "_qs", "_qq")
+  }
+
+  /** Per-ROW residual ADC distance table — s13's map-side derivation:
+    * the arriving query row already carries its routed `cell`
+    * ([[rowRoute]]); this subtracts THAT cell's centroid (both the cell
+    * ids and the centroid arrays fold in as literals — the same
+    * plan-state budget as [[rowRoute]] itself, so the flat-literal form
+    * holds to a few thousand cells; past the threshold the hierarchy's
+    * broadcast state carries the same centroids for a router-expression
+    * variant) and runs [[rowAdcProbe]]'s closed-form 512-entry table
+    * over the residual. Map-only, append-mode legal; values match the
+    * batch v15 dtab bit-for-bit (same subtraction on the same
+    * decimal-exact centroids, same three-dot expansion).
+    */
+  private[graft] def rowResidualAdcProbe(
+      queries: DataFrame, cb: Array[(Int, Int, Seq[Double])],
+      cents: Array[(Int, Seq[Double])]): DataFrame = {
+    registered(queries.sparkSession)
+    require(cents.nonEmpty, "rowResidualAdcProbe needs centroids")
+    rowAdcProbe(
+      queries
+        .withColumn("_rcl", typedLit(cents.map(_._1).toSeq))
+        .withColumn("_rce", typedLit(cents.map(_._2).toSeq))
+        .withColumn("rv", expr(
+          """zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)),
+            |  element_at(_rce, CAST(array_position(_rcl, cell) AS INT)),
+            |  (a, b) -> a - b)""".stripMargin))
+        .drop("_rcl", "_rce"),
+      cb, inputCol = "rv").drop("rv")
   }
 
   /** Per-ROW IVF routing: the coarse quantizer (every cell's centroid) as
@@ -2555,7 +2617,15 @@ object Vectors {
        |WHERE rk <= 3""".stripMargin
 
   private val residPqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, Long, DataFrame, DataFrame)]
+    .empty[(SparkSession, String),
+      (DataFrame, Long, DataFrame, DataFrame, Array[(Int, Int, Seq[Double])])]
+
+  /** The memoized residual-PQ state, for specs that drive it from a
+    * streaming plan (the gates go through the GQuery front door).
+    */
+  private[graft] def residualPqForTesting(s: SparkSession, dir: String):
+      (DataFrame, Long, DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
+    residualPq(s, dir)
 
   /** v15's corpus-side state, memoized per (session, dir) like
     * [[pqEncode]]: (decimal-exact centroids — MATERIALIZED driver-side,
@@ -2566,8 +2636,8 @@ object Vectors {
     * persisted frames (~7 s across the r18 bench's shared set —
     * measured, see BASELINE r18 bench note).
     */
-  private def residualPq(
-      s: SparkSession, dir: String): (DataFrame, Long, DataFrame, DataFrame) =
+  private def residualPq(s: SparkSession, dir: String):
+      (DataFrame, Long, DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
     residPqCache.getOrElseUpdate((s, dir), {
       val e = Tables.embeddings(s, dir)
       // decimal-exact per-cell centroid: both engines land the same bits
@@ -2591,7 +2661,11 @@ object Vectors {
       val codes = pqCodesArr(sv, cb)
         .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (cent, nCells, codes, cb)
+      // driver-side codebook rows (M×K, tiny): s13's per-row distance-
+      // table expression folds them in as literals, like s9's
+      val cbRows = cb.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      (cent, nCells, codes, cb, cbRows)
     })
 
   /** DuckDB twin of the v15 plan: decimal-exact per-cell centroids,
@@ -2601,7 +2675,18 @@ object Vectors {
     * against its ROUTED cell, candidates = routed cell, top-3.
     */
   private def ivfpqResidualOracleSql: String =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH $residualApproxCtes
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
+
+  /** Shared CTE body of the v15/s13 oracles: residual training + routing
+    * + per-query residual ADC tables + the routed-cell candidate scores.
+    */
+  private def residualApproxCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |xr AS (
        |  SELECT vec_id, label, unnest(v) AS x,
        |    unnest(generate_series(0, len(v) - 1)) AS d
@@ -2648,12 +2733,16 @@ object Vectors {
        |    JOIN qcell qc ON qc.label = el.label
        |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
        |    WHERE a.vec_id <> qc.q_id
-       |    GROUP BY 1, 2))
-       |SELECT q_id, vec_id, rk, adist FROM (
-       |  SELECT q_id, vec_id, adist,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
-       |  FROM approx)
-       |WHERE rk <= 3""".stripMargin
+       |    GROUP BY 1, 2))"""
+
+  /** DuckDB twin of the s13 plan: v15's candidate scores WITHOUT the
+    * top-k (append-mode streaming emits the scored candidates; the rank
+    * is the consumer's reduce) — every residual ADC distance the stream
+    * would emit.
+    */
+  private def s13OracleSql: String =
+    s"""WITH $residualApproxCtes
+       |SELECT q_id, vec_id, adist FROM approx""".stripMargin
 
   /** DuckDB twin of the s9 plan: v11's routed-cell ADC candidates WITHOUT
     * the top-k (append-mode streaming emits the scored candidates; the
