@@ -771,8 +771,12 @@ object Vectors {
 
   /** Smallest measured nprobe meeting `target`; the deepest measured
     * point (with a loud warning) when none does — a curve that tops out
-    * under the target means the hierarchy itself misroutes (isotropic
-    * centroids), which no nprobe fixes short of exhaustive.
+    * under the target means nprobe is not the binding constraint: for a
+    * ROUTING curve, the hierarchy itself misroutes (isotropic
+    * centroids); for an END-TO-END (ADC) curve, the measured cause on
+    * clustered corpora is within-cell code resolution (BASELINE r18:
+    * residual encoding — v15 — roughly tripled it where no probe depth
+    * moved it).
     */
   private[graft] def pickNprobe(
       curve: Seq[(Int, Double)], target: Double): Int = {
@@ -782,7 +786,9 @@ object Vectors {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"recall target $target unmet by every measured nprobe " +
           s"(deepest: ${sorted.last}) — serving at the deepest point; " +
-          "the quantizer hierarchy itself is the recall ceiling here")
+          "nprobe is not the binding constraint here (routing curve: " +
+          "the hierarchy misroutes; e2e/ADC curve: within-cell code " +
+          "resolution — consider the residual encoding, v15)")
       sorted.last._1
     }
   }
