@@ -73,6 +73,7 @@ object Bench {
     }
     def clearState(): Unit = if (!keepState) {
       queries.Text.clearCaches(spark)
+      queries.Tokenize.clearCaches(spark)
       queries.Vectors.clearIndexCache(spark)
       queries.Relational.clearBucketedCache(spark)
     }

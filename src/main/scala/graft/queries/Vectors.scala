@@ -813,8 +813,13 @@ object Vectors {
   private val curveCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Option[Seq[CurvePoint]]]
 
-  private def invalidateCurve(idx: String): Unit =
-    curveCache.keys.filter(_._2 == idx).foreach(curveCache.remove(_): Unit)
+  // cache keys fold through canonicalRoot like the maintenance lock
+  // (ADVICE r18 #2): aliased spellings of one root must hit one entry,
+  // and an invalidation through any spelling must evict it
+  private def invalidateCurve(idx: String): Unit = {
+    val key = canonicalRoot(idx)
+    curveCache.keys.filter(_._2 == key).foreach(curveCache.remove(_): Unit)
+  }
 
   /** Read counter for the memoization spec (one listing per index per
     * session is the asserted contract).
@@ -823,7 +828,7 @@ object Vectors {
 
   private[graft] def loadCurve(
       s: SparkSession, idx: String): Option[Seq[CurvePoint]] =
-    curveCache.getOrElseUpdate((s, idx), {
+    curveCache.getOrElseUpdate((s, canonicalRoot(idx)), {
       curveReads.incrementAndGet()
       val p = new org.apache.hadoop.fs.Path(s"$idx/recall_curve")
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1025,23 +1030,38 @@ object Vectors {
   private val heldRootLocks = ThreadLocal.withInitial[
     scala.collection.mutable.Set[String]](
     () => scala.collection.mutable.Set.empty[String])
-  private[graft] def withRootLock[T](idxRoot: String)(body: => T): T = {
-    // key on the URI path, normalized — "file:/tmp/idx", "/tmp/idx" and
-    // "/tmp/idx/" must share ONE monitor or the race closes only for
-    // callers that happen to spell the root identically (cross-scheme
-    // same-path collisions over-lock, which is safe)
+
+  /** Whether an index root lives on the local filesystem (where POSIX
+    * locks exist and toRealPath canonicalization applies).
+    */
+  private def isLocalRoot(idxRoot: String): Boolean = {
+    val scheme = new org.apache.hadoop.fs.Path(idxRoot).toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  /** Canonical key for an index root — the URI path, resolved through
+    * the FILESYSTEM for local roots (toRealPath after ensuring the dir
+    * exists): "file:/tmp/idx", "/tmp/idx", "/tmp/idx/" and a symlinked
+    * spelling of the same inode must fold to ONE key. Shared by the
+    * maintenance lock ([[withRootLock]]) and every per-root memo keyed
+    * by spelling (curveCache — ADVICE r18 #2: an aliased spelling
+    * previously kept a stale cached curve, including a cached None that
+    * pinned the legacy nprobe fallback).
+    */
+  private[graft] def canonicalRoot(idxRoot: String): String = {
     val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
-    val local = uri.getScheme == null || uri.getScheme == "file"
-    // local roots canonicalize through the FILESYSTEM (toRealPath after
-    // ensuring the dir exists): two spellings of one inode — a symlinked
-    // tmpdir, a bind mount — must share ONE monitor, or the JVM layer
-    // admits both and the second thread's fcntl lock() throws
-    // OverlappingFileLockException instead of serializing
-    val key = if (!local) uri.getPath else {
+    if (!isLocalRoot(idxRoot)) uri.getPath
+    else {
       val p = java.nio.file.Paths.get(uri.getPath)
       java.nio.file.Files.createDirectories(p)
       p.toRealPath().toString
     }
+  }
+
+  private[graft] def withRootLock[T](idxRoot: String)(body: => T): T = {
+    val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
+    val local = isLocalRoot(idxRoot)
+    val key = canonicalRoot(idxRoot)
     if (!local)
       // POSIX locks don't exist off the local FS: a silent no-op here
       // would let two writers on an object-store root replay the
@@ -1093,13 +1113,21 @@ object Vectors {
 
   /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
     * index's staging table: ONE delta-sized append — no per-cell files,
-    * no partition listing, cost ∝ delta bytes.
+    * no partition listing, cost ∝ delta bytes. If the root carries a
+    * residual-PQ tier, the same insert ALSO encodes the rows' residual
+    * codes against the FROZEN centroids + codebook (FAISS `add()` for
+    * IVFPQ: route → subtract → encode, assignment-only) into
+    * `residual/staging` — so residual serving sees inserts through the
+    * same index ∪ staging union as raw serving, with no retraining.
     */
   private[graft] def stageInsert(
       s: SparkSession, idxRoot: String, rows: DataFrame): Unit =
     withRootLock(idxRoot) {
       recoverFlush(s, idxRoot)
       rows.write.mode("append").parquet(s"$idxRoot/staging")
+      if (hasResidualTier(s, idxRoot))
+        encodeResidual(s, idxRoot, rows.select("vec_id", "embedding", "cell"))
+          .write.mode("append").parquet(s"$idxRoot/residual/staging")
     }
 
   /** The staged rows not yet flushed to cell files (None if the staging
@@ -1170,6 +1198,23 @@ object Vectors {
       .write.partitionBy("cell").mode("overwrite").parquet(flushOut.toString)
     st.join(broadcast(flushCells), Seq("cell"), "left_anti")
       .write.mode("overwrite").parquet(stagingNew.toString)
+    // residual twin, pre-commit (live residual staging untouched): the
+    // SAME flushed cell set's residual codes become per-cell files for
+    // residual/codes, the remainder the new residual staging — so the
+    // residual tier's staging drains in lockstep with the raw one
+    // instead of growing with insert lifetime
+    val rStaging = new Path(root, "residual/staging")
+    if (fs.exists(rStaging) &&
+        fs.listStatus(rStaging).exists(_.getPath.getName.endsWith(".parquet"))) {
+      val rst = s.read.parquet(rStaging.toString)
+      rst.join(broadcast(flushCells), Seq("cell"), "left_semi")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(new Path(root, "_flush_out_resid").toString)
+      rst.join(broadcast(flushCells), Seq("cell"), "left_anti")
+        .write.mode("overwrite")
+        .parquet(new Path(root, "_staging_new_resid").toString)
+    }
     // COMMIT: from here recovery finishes the flush instead of undoing it
     if (!fs.rename(staging, new Path(root, "_staging_old")))
       throw new java.io.IOException(
@@ -1187,30 +1232,52 @@ object Vectors {
     import org.apache.hadoop.fs.Path
     val root = new Path(idxRoot)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // per-cell file mover shared by both sides: every step is a rename
+    // that disappears from its source on success, re-runnable after a
+    // crash from wherever it stopped
+    def moveCells(outName: String, destName: String): Unit = {
+      val flushOut = new Path(root, outName)
+      if (fs.exists(flushOut)) {
+        fs.listStatus(flushOut)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+          .foreach { d =>
+            val dstDir = new Path(new Path(root, destName), d.getPath.getName)
+            fs.mkdirs(dstDir)
+            fs.listStatus(d.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                // part file names carry the write job's UUID — unique
+                // across flushes, so the move never collides
+                if (!fs.rename(f.getPath, new Path(dstDir, f.getPath.getName)))
+                  throw new java.io.IOException(
+                    s"flush: file move failed: ${f.getPath} -> $dstDir")
+              }
+          }
+        fs.delete(flushOut, true)
+      }
+    }
     val staging = new Path(root, "staging")
     val stagingNew = new Path(root, "_staging_new")
-    val flushOut = new Path(root, "_flush_out")
     if (fs.exists(stagingNew) && !fs.exists(staging))
       if (!fs.rename(stagingNew, staging))
         throw new java.io.IOException(s"flush: residual swap-in failed")
-    if (fs.exists(flushOut)) {
-      fs.listStatus(flushOut)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
-        .foreach { d =>
-          val dstDir = new Path(new Path(root, "vectors"), d.getPath.getName)
-          fs.mkdirs(dstDir)
-          fs.listStatus(d.getPath)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .foreach { f =>
-              // part file names carry the write job's UUID — unique
-              // across flushes, so the move never collides
-              if (!fs.rename(f.getPath, new Path(dstDir, f.getPath.getName)))
-                throw new java.io.IOException(
-                  s"flush: file move failed: ${f.getPath} -> $dstDir")
-            }
-        }
-      fs.delete(flushOut, true)
-    }
+    moveCells("_flush_out", "vectors")
+    // residual side (present only when the flush carried residual-staged
+    // codes): retire the live residual staging FIRST (its rename is this
+    // side's commit — the raw side's happened in flushStaging), then the
+    // same idempotent swap-in + per-cell move tail
+    val rStaging = new Path(root, "residual/staging")
+    val rStagingNew = new Path(root, "_staging_new_resid")
+    if (fs.exists(rStagingNew) && fs.exists(rStaging))
+      if (!fs.rename(rStaging, new Path(root, "_rstaging_old")))
+        throw new java.io.IOException(
+          s"flush: residual-staging retire rename failed")
+    if (fs.exists(rStagingNew) && !fs.exists(rStaging))
+      if (!fs.rename(rStagingNew, rStaging))
+        throw new java.io.IOException(
+          s"flush: residual-staging swap-in failed")
+    moveCells("_flush_out_resid", "residual/codes")
+    fs.delete(new Path(root, "_rstaging_old"), true)
     fs.delete(new Path(root, "_staging_old"), true)
   }
 
@@ -1228,6 +1295,13 @@ object Vectors {
     else {
       fs.delete(new Path(root, "_flush_out"), true)
       fs.delete(new Path(root, "_staging_new"), true)
+      fs.delete(new Path(root, "_flush_out_resid"), true)
+      fs.delete(new Path(root, "_staging_new_resid"), true)
+      // a crash between the residual retire rename and its swap-in can
+      // only happen POST-commit (completeFlush), where the branch above
+      // resumes it — an orphan _rstaging_old without the commit marker
+      // means the swap-in finished and only the cleanup delete was lost
+      fs.delete(new Path(root, "_rstaging_old"), true)
     }
   }
 
@@ -2633,40 +2707,167 @@ object Vectors {
       (DataFrame, Long, DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
     residualPq(s, dir)
 
-  /** v15's corpus-side state, memoized per (session, dir) like
-    * [[pqEncode]]: (decimal-exact centroids — MATERIALIZED driver-side,
-    * they are cells-sized and feed three plan sites per execution —
-    * cell count, residual code table persisted, trained residual
-    * codebook). Left unmemoized, v15 re-ran two Lloyd trainings per
-    * bench pass and its block-manager churn taxed every OTHER gate's
-    * persisted frames (~7 s across the r18 bench's shared set —
-    * measured, see BASELINE r18 bench note).
+  /** Drop one root's residual SESSION memo (unpersisting its code
+    * table) — what a serving restart loses; the reopen-without-retrain
+    * spec's hook. The on-disk artifacts are untouched.
+    */
+  private[graft] def invalidateResidualSession(
+      s: SparkSession, root: String): Unit =
+    residPqCache.remove((s, canonicalRoot(root))).foreach {
+      case (_, _, codes, _, _) => codes.unpersist(); ()
+    }
+
+  /** Residual-tier TRAININGS this JVM performed — the no-retrain proof:
+    * a process that opens a root whose residual artifacts already exist
+    * must serve with this counter untouched (ResidualPersistSpec
+    * in-process, tools.ResidualServeProbe as a genuine second process).
+    */
+  private[graft] val residualTrains =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Marker written LAST by [[ensureResidualTier]]: artifacts under
+    * `residual/` are complete iff it exists (a crashed build leaves no
+    * marker and is rebuilt from scratch under the root lock).
+    */
+  private def residualMarker(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/residual/_TIER_COMPLETE")
+
+  private[graft] def hasResidualTier(s: SparkSession, root: String): Boolean = {
+    val p = residualMarker(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build the residual-PQ index family ON DISK under `root` if absent
+    * (VERDICT r18 next #1) — the state FAISS's IVFPQ persists in its
+    * index file, as three parquet dirs the serving tier loads at open:
+    *
+    *   residual/centroids  (cell, centroid)  decimal-exact per-cell
+    *                       means — residuals feed TRAINING, where a
+    *                       last-ulp divergence flips seeds and diverges
+    *                       everything, so these are davg18, not avg
+    *   residual/codebook   (s, code, cv)     the trained residual PQ
+    *                       codebook (M×K rows)
+    *   residual/codes      cell-partitioned (vec_id, carr): 8 B/vector
+    *                       of residual codes, laid out like `vectors/`
+    *                       so cell-pruned probes touch only probed cells
+    *
+    * Trains from the root's OWN `vectors/` layout (self-contained: a
+    * process opening the root needs no corpus handle), under the root
+    * maintenance lock with a completion marker — a second process
+    * arriving mid-build blocks on the lock, then finds the marker and
+    * loads instead of retraining. Before this existed, the tier was
+    * session-memoized ONLY: every serving restart re-paid two Lloyd
+    * trainings and maintenance could not touch the encoding at all.
+    */
+  private[graft] def ensureResidualTier(s: SparkSession, root: String): Unit = {
+    if (hasResidualTier(s, root)) return
+    withRootLock(root) {
+      if (hasResidualTier(s, root)) return // lost the build race: done
+      registered(s)
+      residualTrains.incrementAndGet()
+      val fs = residualMarker(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // a crashed prior build left partial artifacts without the marker
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/residual"), true)
+      val v = s.read.parquet(s"$root/vectors")
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      // decimal-exact per-cell centroid: both engines land the same bits
+      val cent = v
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(davg18(col("x").cast("double")).as("c"))
+        .groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
+          .as("centroid"))
+      cent.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/residual/centroids")
+      val centRead = s.read.parquet(s"$root/residual/centroids")
+      val resid = v.join(broadcast(centRead), "cell")
+        .select(col("vec_id"), col("cell"), expr(
+          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val sv = pqSubVectors(resid.select("vec_id", "embedding"))
+      val cb = pqTrainCb(s, sv)
+      cb.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/residual/codebook")
+      // clustered per-cell write, like buildIvfIndex: one file per cell,
+      // not cells × tasks files
+      pqCodesArr(sv, cb)
+        .join(v.select("vec_id", "cell"), "vec_id")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$root/residual/codes")
+      fs.create(residualMarker(root), true).close()
+    }
+  }
+
+  /** Residual-encode routed rows (vec_id, embedding, cell) against the
+    * root's FROZEN residual artifacts — FAISS `add()` for IVFPQ: route
+    * (the caller already did — `cell` rides the row), subtract the
+    * routed cell's centroid, assign codes under the frozen codebook.
+    * Assignment-only: centroids and codebook never move, so the
+    * persisted recall curve stays valid across inserts.
+    */
+  private[graft] def encodeResidual(
+      s: SparkSession, root: String, rows: DataFrame): DataFrame = {
+    registered(s)
+    val cent = s.read.parquet(s"$root/residual/centroids")
+    val cb = s.read.parquet(s"$root/residual/codebook")
+    val resid = rows.join(broadcast(cent), "cell")
+      .select(col("vec_id"), expr(
+        "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
+          " (a, b) -> a - b)").as("embedding"))
+    pqCodesArr(pqSubVectors(resid), cb)
+      .join(rows.select("vec_id", "cell"), "vec_id")
+      .select("vec_id", "carr", "cell")
+  }
+
+  /** Residual codes staged since the last flush (None when the tier has
+    * none) — the code-side twin of [[stagedRows]], same read contract.
+    */
+  private[graft] def residualStagedCodes(
+      s: SparkSession, root: String): Option[DataFrame] = withRootLock(root) {
+    recoverFlush(s, root)
+    val p = new org.apache.hadoop.fs.Path(s"$root/residual/staging")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(s.read.parquet(p.toString))
+    else None
+  }
+
+  /** v15/s13's serving state, loaded from the PERSISTED residual tier of
+    * the corpus's index root and memoized per (session, canonical root):
+    * (decimal-exact centroids — MATERIALIZED driver-side, they are
+    * cells-sized and feed three plan sites per execution — cell count,
+    * residual code table persisted in memory over the on-disk family,
+    * codebook frame, driver-side codebook rows). The r18 form memoized
+    * the TRAINED state per session with no on-disk artifact — a serving
+    * restart re-paid two Lloyd trainings and a second process could not
+    * share the tier at all (VERDICT r18 missing #1); the artifacts now
+    * outlive the JVM and every open after the first is a load.
     */
   private def residualPq(s: SparkSession, dir: String):
       (DataFrame, Long, DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
-    residPqCache.getOrElseUpdate((s, dir), {
-      val e = Tables.embeddings(s, dir)
-      // decimal-exact per-cell centroid: both engines land the same bits
-      val centQ = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("label", "d").agg(davg18(col("x").cast("double")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
-          .as("centroid"))
-        .select(col("label").as("cell"), col("centroid"))
+    residualPqOpen(s, ivfIndex(s, dir))
+
+  /** Open (building if absent) the persisted residual tier of an index
+    * root. Public to specs/tools via [[residualPqForTesting]] and the
+    * serve probe; the gates go through [[residualPq]].
+    */
+  private[graft] def residualPqOpen(s: SparkSession, root: String):
+      (DataFrame, Long, DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
+    residPqCache.getOrElseUpdate((s, canonicalRoot(root)), {
+      ensureResidualTier(s, root)
+      val centQ = s.read.parquet(s"$root/residual/centroids")
+        .select("cell", "centroid")
       val cent = s.createDataFrame(
         java.util.Arrays.asList(centQ.collect(): _*), centQ.schema).coalesce(1)
       val nCells = cent.count()
-      val resid = e
-        .join(broadcast(cent), e("label") === cent("cell"))
-        .select(col("vec_id"), expr(
-          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
-            " (a, b) -> a - b)").as("embedding"))
-      val sv = pqSubVectors(resid)
-      val cb = pqTrainCb(s, sv)
-      val codes = pqCodesArr(sv, cb)
-        .join(e.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      val codes = s.read.parquet(s"$root/residual/codes")
+        .select("vec_id", "carr", "cell")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = s.read.parquet(s"$root/residual/codebook")
+        .select("s", "code", "cv")
       // driver-side codebook rows (M×K, tiny): s13's per-row distance-
       // table expression folds them in as literals, like s9's
       val cbRows = cb.collect()

@@ -51,6 +51,7 @@ object Diag {
     println(s"[diag] persisted RDDs: ${sc.getPersistentRDDs.size}")
     sample("state-resident")
     graft.queries.Text.clearCaches(spark)
+    graft.queries.Tokenize.clearCaches(spark)
     graft.queries.Vectors.clearIndexCache(spark)
     graft.queries.Relational.clearBucketedCache(spark)
     System.gc()

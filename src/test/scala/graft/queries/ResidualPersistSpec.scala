@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The residual-PQ tier as a PERSISTED index family (VERDICT r18 next
+  * #1): the encoding the engine declares production-grade for clustered
+  * geometry must outlive the JVM — r18 memoized the trained state per
+  * session only, so every serving restart re-paid two Lloyd trainings
+  * and a second process could not share the tier at all. Pins: the
+  * artifacts land on disk once; a reopen (session memo dropped) loads
+  * without retraining; a GENUINE second process serves with zero
+  * trainings; staged inserts encode residuals against the frozen
+  * centroids + codebook at insert time; and a flush drains the residual
+  * staging into per-cell code files without re-encoding.
+  */
+class ResidualPersistSpec extends SparkSuite {
+
+  private def freshRoot(nVec: Int, nCells: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resid-idx").toString
+    Vectors.buildIvfIndex(RoutingFixtures.vectors(spark, nVec, nCells), dir)
+    dir
+  }
+
+  private def rm(dir: String): Unit =
+    graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+
+  test("artifacts persist; reopen after dropping the session memo does not retrain") {
+    val root = freshRoot(nVec = 512, nCells = 16)
+    try {
+      val t0 = Vectors.residualTrains.get()
+      val (_, nCells, codes, _, cbRows) = Vectors.residualPqOpen(spark, root)
+      assert(Vectors.residualTrains.get() == t0 + 1, "first open must train")
+      assert(nCells == 16 && cbRows.nonEmpty)
+      val n1 = codes.count()
+      assert(n1 == 512)
+      for (a <- Seq("residual/_TIER_COMPLETE", "residual/centroids",
+          "residual/codebook", "residual/codes"))
+        assert(new java.io.File(s"$root/$a").exists(), s"missing artifact $a")
+      // drop the session memo (what a restart loses) and reopen through
+      // an ALIASED spelling — one canonical entry, zero retraining
+      Vectors.invalidateResidualSession(spark, root)
+      val (_, _, codes2, _, _) = Vectors.residualPqOpen(spark, root + "/")
+      assert(codes2.count() == n1)
+      assert(Vectors.residualTrains.get() == t0 + 1,
+        "reopen retrained despite persisted artifacts")
+      Vectors.invalidateResidualSession(spark, root)
+    } finally rm(root)
+  }
+
+  test("a second PROCESS serves from the persisted tier without retraining") {
+    val classes = new java.io.File("target/scala-2.13/classes")
+    assume(classes.isDirectory, "compiled classes dir absent")
+    val root = freshRoot(nVec = 256, nCells = 8)
+    try {
+      Vectors.residualPqOpen(spark, root) // builds + persists the tier
+      Vectors.invalidateResidualSession(spark, root)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq("java") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Xmx2g",
+        "-cp", s"${classes.getAbsolutePath}:/opt/spark/jars/*",
+        "graft.tools.ResidualServeProbe", root)).toArray
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "serve probe did not finish")
+      assert(p.exitValue() == 0, s"serve probe failed:\n$out")
+      val line = out.linesIterator.find(_.startsWith("residual_serve"))
+        .getOrElse(fail(s"no probe line in output:\n$out"))
+      assert(line.contains("trains=0"),
+        s"second process RETRAINED instead of loading the artifacts: $line")
+      assert(line.contains("code_rows=256"), s"unexpected code table: $line")
+      val probeRows = "probe_rows=(\\d+)".r.findFirstMatchIn(line)
+        .map(_.group(1).toLong).getOrElse(0L)
+      assert(probeRows > 0, s"second process served nothing: $line")
+    } finally rm(root)
+  }
+
+  test("staged inserts encode residuals at insert time; flush drains without re-encoding") {
+    val emb = RoutingFixtures.vectors(spark, 600, 16)
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val delta = emb.filter(col("vec_id") % 5 === 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-resid-maint").toString
+    try {
+      Vectors.buildIvfIndex(base, root)
+      Vectors.residualPqOpen(spark, root) // freeze centroids + codebook on base
+      val nBase = base.count()
+      val nDelta = delta.count()
+      // route the delta against the FROZEN base quantizer (FAISS add())
+      val cent = spark.read.parquet(s"$root/centroids")
+      val routed = Vectors.routeQueries(
+          delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          cent, cent.count())
+        .withColumnRenamed("q_id", "vec_id")
+      val rows = delta
+        .withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
+        .join(routed, "vec_id")
+        .select("vec_id", "label", "embedding", "nrm", "cell")
+      val cbBytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$root/residual/codebook").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath)
+      Vectors.stageInsert(spark, root, rows)
+      // frozen state untouched by the insert (assignment-only)
+      val cbBytes2 = java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$root/residual/codebook").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath)
+      assert(java.util.Arrays.equals(cbBytes, cbBytes2),
+        "stageInsert rewrote the frozen residual codebook")
+      val staged = Vectors.residualStagedCodes(spark, root)
+        .getOrElse(fail("no residual codes staged"))
+      assert(staged.count() == nDelta)
+      // at-insert-time codes == the frozen encoder applied now: a drifted
+      // codebook, a re-route, or a missed subtraction all break this
+      val expect = Vectors.encodeResidual(
+        spark, root, rows.select("vec_id", "embedding", "cell"))
+      assert(staged.join(expect, Seq("vec_id", "cell", "carr"), "left_anti")
+        .count() == 0, "staged residual codes drifted from the frozen encoding")
+      val stagedPick = staged.orderBy("vec_id").limit(3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+      // flush everything: residual staging drains to per-cell code files
+      assert(Vectors.flushStaging(spark, root, blockBytes = 1L) > 0)
+      // drained: the swapped-in remainder is a zero-row table (the raw
+      // side's post-drain shape too — an empty parquet part survives)
+      assert(Vectors.residualStagedCodes(spark, root).forall(_.count() == 0),
+        "residual staging did not drain with the raw flush")
+      Vectors.invalidateResidualSession(spark, root)
+      val codesAfter = spark.read.parquet(s"$root/residual/codes")
+      assert(codesAfter.count() == nBase + nDelta,
+        "flushed residual codes lost or duplicated rows")
+      // moved, not re-encoded: the flushed rows carry identical codes
+      val after = codesAfter
+        .filter(col("vec_id").isin(stagedPick.map(_._1): _*))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+      assert(after == stagedPick, "flush re-encoded or reordered codes")
+    } finally rm(root)
+  }
+}
