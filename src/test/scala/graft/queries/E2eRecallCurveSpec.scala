@@ -21,26 +21,41 @@ class E2eRecallCurveSpec extends SparkSuite {
     (dir, emb)
   }
 
-  test("curve persists e2e columns; refine never loses to raw ADC; terminal routing is exact") {
+  test("curve persists e2e columns for BOTH encodings; refine never loses to ADC; terminal routing is exact") {
     val (dir, emb) = freshIndex(nVec = 2048, nCells = 64)
     try {
-      val rows = spark.read.parquet(s"$dir/recall_curve").orderBy("nprobe").collect()
+      val df = spark.read.parquet(s"$dir/recall_curve").orderBy("nprobe")
+      val rows = df.collect()
       assert(rows.nonEmpty)
-      val cols = spark.read.parquet(s"$dir/recall_curve").columns.toSeq
-      assert(cols == Seq("nprobe", "recall", "recall_adc", "recall_refine",
-        "recall_adc_multi", "recall_refine_multi"), s"curve schema drifted: $cols")
+      assert(df.columns.toSeq == Seq("nprobe", "recall",
+        "recall_adc", "recall_refine",
+        "recall_adc_multi", "recall_refine_multi",
+        "recall_adc_resid", "recall_refine_resid",
+        "recall_adc_resid_multi", "recall_refine_resid_multi",
+        "encodings"), s"curve schema drifted: ${df.columns.toSeq}")
+      // the curve records which encodings it measured
+      assert(rows.forall(_.getString(10) == "raw,residual"),
+        "encodings column did not record the measured tiers")
       val pts = rows.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
-      pts.foreach { case (np, routing, adc, ref, adcM, refM) =>
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getDouble(9)))
+      pts.foreach { case (np, routing, adc, ref, adcM, refM, adcR, refR,
+          adcRM, refRM) =>
         Seq("routing" -> routing, "adc" -> adc, "refine" -> ref,
-          "adc_multi" -> adcM, "refine_multi" -> refM).foreach { case (n, v) =>
-          assert(v >= 0.0 && v <= 1.0, s"$n out of range at nprobe $np: $v")
-        }
+          "adc_multi" -> adcM, "refine_multi" -> refM,
+          "adc_resid" -> adcR, "refine_resid" -> refR,
+          "adc_resid_multi" -> adcRM, "refine_resid_multi" -> refRM)
+          .foreach { case (n, v) =>
+            assert(v >= 0.0 && v <= 1.0, s"$n out of range at nprobe $np: $v")
+          }
         // structural WITHIN a candidate set: refine picks the exact-best
         // k of a pool ⊇ ADC's top-k, and every true neighbor in the pool
         // outranks every non-neighbor under the exact score
         assert(ref >= adc, s"refine recall $ref < ADC recall $adc at nprobe $np")
         assert(refM >= adcM, s"multi refine $refM < multi ADC $adcM at nprobe $np")
+        assert(refR >= adcR, s"resid refine $refR < resid ADC $adcR at nprobe $np")
+        assert(refRM >= adcRM,
+          s"resid multi refine $refRM < resid multi ADC $adcRM at nprobe $np")
       }
       // the terminal point probes every super: routing is exact there,
       // so its e2e gap is PURE quantization/cell-membership loss
@@ -55,6 +70,12 @@ class E2eRecallCurveSpec extends SparkSuite {
       // the flat-argmax cell the single path scans at terminal depth)
       assert(pts.last._6 >= pts.last._4 - 1e-9,
         s"terminal multi refine ${pts.last._6} < single ${pts.last._4}")
+      // the r18 finding, now priced by the curve itself: at exact
+      // (terminal) routing, residual ADC must not lose to raw ADC on
+      // clustered geometry — the 8 bytes move from the shared cell
+      // center to the within-cell variation ranking needs
+      assert(pts.last._7 >= pts.last._3 - 1e-9,
+        s"terminal resid ADC ${pts.last._7} < raw ADC ${pts.last._3}")
       // single vs multi at SHALLOW depths is deliberately not asserted:
       // fixed-k selection from a bigger haystack is not structurally
       // monotone — that non-monotonicity is why the curve measures both.
@@ -64,22 +85,79 @@ class E2eRecallCurveSpec extends SparkSuite {
     }
   }
 
-  test("GRAFT_IVF_RECALL_E2E targets the ADC column; default stays routing") {
+  test("GenScale x10: the persisted curve prices the residual tier above raw ADC") {
+    val x10 = "/tmp/scale/x10"
+    assume(new java.io.File(s"$x10/embeddings.parquet").exists(),
+      "GenScale x10 fixture absent (tools/runtool.sh graft.tools.GenScale)")
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-x10").toString
+    // small held-out sample bounds the suite's cost; stderr ~0.04 is
+    // fine for a ≥-with-margin pin
+    System.setProperty("graft.ivf.recall.sample", "128")
+    try {
+      val emb = graft.Tables.embeddings(spark, x10)
+      Vectors.buildIvfIndex(emb, dir)
+      Vectors.writeRecallCurve(emb, dir, threshold = 16)
+      val last = spark.read.parquet(s"$dir/recall_curve")
+        .orderBy(col("nprobe").desc).limit(1).collect().head
+      val (adcRaw, adcResid) = (last.getDouble(2), last.getDouble(6))
+      // ResidualPqSpec pins the isolation margin at x10 (~3×); the curve
+      // must now carry that same signal — resid beats raw by a real
+      // margin at terminal (exact) routing on GenScale geometry
+      assert(adcResid >= adcRaw + 0.05,
+        f"x10 curve: resid ADC $adcResid%.3f did not beat raw $adcRaw%.3f")
+    } finally {
+      System.clearProperty("graft.ivf.recall.sample")
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("GRAFT_IVF_RECALL_E2E targets the residual column by default; TIER=raw pins raw") {
+    val (dir, emb) = freshIndex(nVec = 1024, nCells = 64)
+    try {
+      val pts = Vectors.loadCurve(spark, dir).get
+      assert(pts.exists(_.hasResid), "curve lost its residual columns")
+      val t = 0.5
+      System.setProperty("graft.ivf.recall.e2e", t.toString)
+      try {
+        val expectResid = Vectors.pickNprobe(
+          pts.filter(_.hasResid).map(p => (p.nprobe, p.residAdc)), t)
+        assert(Vectors.nprobeForRecall(spark, dir) == expectResid,
+          "default e2e target did not price the residual tier")
+        System.setProperty("graft.ivf.recall.tier", "raw")
+        try {
+          val expectRaw = Vectors.pickNprobe(
+            pts.filter(_.hasE2e).map(p => (p.nprobe, p.adc)), t)
+          assert(Vectors.nprobeForRecall(spark, dir) == expectRaw,
+            "TIER=raw did not price the raw column")
+        } finally System.clearProperty("graft.ivf.recall.tier")
+      } finally System.clearProperty("graft.ivf.recall.e2e")
+    } finally {
+      emb.unpersist()
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("GRAFT_IVF_RECALL_E2E targets the measured ADC tier; default stays routing") {
     val (dir, emb) = freshIndex(nVec = 1024, nCells = 64)
     try {
       val pts = Vectors.loadCurve(spark, dir).get
       val routingPick = Vectors.pickNprobe(
         pts.map(p => (p.nprobe, p.routing)), Vectors.RecallTargetDefault)
       assert(Vectors.nprobeForRecall(spark, dir) == routingPick)
-      // target the measured ADC column just under its terminal value so
-      // the pick is well-defined on any fixture draw
+      // target the measured raw-ADC column just under its terminal value
+      // so the pick is well-defined on any fixture draw (TIER=raw: the
+      // tier default is residual, spec'd separately)
       val t = pts.last.adc - 1e-9
       System.setProperty("graft.ivf.recall.e2e", t.toString)
+      System.setProperty("graft.ivf.recall.tier", "raw")
       try {
         val expected = Vectors.pickNprobe(pts.map(p => (p.nprobe, p.adc)), t)
         assert(Vectors.nprobeForRecall(spark, dir) == expected,
           s"e2e target $t: expected nprobe $expected")
-      } finally System.clearProperty("graft.ivf.recall.e2e")
+      } finally {
+        System.clearProperty("graft.ivf.recall.e2e")
+        System.clearProperty("graft.ivf.recall.tier")
+      }
     } finally {
       emb.unpersist()
       graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
