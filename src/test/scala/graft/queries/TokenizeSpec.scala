@@ -78,4 +78,32 @@ class TokenizeSpec extends SparkSuite {
     val t24b = graft.SparkEntry.queries("t24b_token_vocab")(spark, sf0001).head()
     assert(t24b.getLong(1) == 0L && t24b.getLong(2) > 0L && t24b.getLong(0) > 0L)
   }
+
+  test("t16b/t24b hold under an IMPORTED published vocabulary") {
+    // the committed GPT-2-format artifact replaces corpus training
+    // (GRAFT_BPE_MERGES / GRAFT_BPE_VOCAB): token budgets become the
+    // model's units, and t24b's tiling identity — being tokenizer-
+    // independent — gates the import for free
+    def res(n: String) = getClass.getResource(s"/bpe/$n").getPath
+    System.setProperty("graft.bpe.merges", res("mini_merges.txt"))
+    System.setProperty("graft.bpe.vocab", res("mini_vocab.json"))
+    Tokenize.clearCaches(spark)
+    try {
+      val e = Tokenize.encoderFor(spark, sf0001)
+      assert(e.vocabSize == 312 && e.publishedIds != null,
+        "imported artifact not in effect")
+      val t16b = graft.SparkEntry.queries("t16b_token_pack")(spark, sf0001).head()
+      assert(t16b.getLong(0) == 0L && t16b.getLong(1) == 0L && t16b.getLong(2) > 0L)
+      val t24b = graft.SparkEntry.queries("t24b_token_vocab")(spark, sf0001).head()
+      val rawBytes = Tables.documents(spark, sf0001)
+        .agg(sum(octet_length(col("text")))).head().getLong(0)
+      assert(t24b.getLong(0) == rawBytes,
+        s"tiling identity broke under import: ${t24b.getLong(0)} != $rawBytes")
+      assert(t24b.getLong(1) == 0L, "vocab violations under the imported size")
+    } finally {
+      System.clearProperty("graft.bpe.merges")
+      System.clearProperty("graft.bpe.vocab")
+      Tokenize.clearCaches(spark)
+    }
+  }
 }
