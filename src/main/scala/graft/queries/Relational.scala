@@ -409,6 +409,7 @@ object Relational {
           java.util.concurrent.ThreadLocalRandom.current().nextLong()))
       // stable per-(session, dir) path: rebuilds overwrite in place
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-${sess}_$tag"
+      graft.engine.TempReaper.register(base)
       val ev = Tables.events(s, dir)
         .select(col("user_id").as("gid"), col("event_id"), col("value"))
       val spikesT = s"graft_b_spikes_${sess}_$tag"

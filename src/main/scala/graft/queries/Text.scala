@@ -684,6 +684,7 @@ object Text {
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       val name = s"graft_t28_relidx_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+      graft.engine.TempReaper.register(path)
       val t0 = System.nanoTime()
       graft.sources.Bucketed.writePrepared(
         cappedIndexFrame(rowLshKeysXxAt(docs, bands, depth), buckets),
@@ -740,6 +741,7 @@ object Text {
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       val name = s"graft_t26_idx_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+      graft.engine.TempReaper.register(path)
       val t0 = System.nanoTime()
       // capped frame is already partitioned to the exact bucket spec —
       // writePrepared skips the second corpus-sized exchange
@@ -789,6 +791,7 @@ object Text {
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
       val name = s"graft_s10_exh_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+      graft.engine.TempReaper.register(path)
       val prepared = corpus.select(md5(lower(col("text"))).as("h"))
         .repartition(buckets, col("h"))
         .dropDuplicates("h")
@@ -815,14 +818,8 @@ object Text {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private lazy val jvmToken = java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong())
-  // ONE shutdown hook per JVM over a shared path set (same pattern as
-  // jvmToken): a hook per (session, dir) entry would accumulate
-  // unboundedly across sessions, each pinning its path for JVM lifetime
-  private val jsonlReap = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val jsonlHookInstalled: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      jsonlReap.forEach(p =>
-        graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(p)))))
+  // exit-reaped via the JVM-wide TempReaper set (one hook; a hook per
+  // (session, dir) entry would accumulate unboundedly across sessions)
   private def jsonlCopy(s: SparkSession, dir: String): String =
     jsonlDirs.getOrElseUpdate((s, dir), {
       val tag = java.security.MessageDigest.getInstance("MD5")
@@ -830,8 +827,7 @@ object Text {
       val path =
         s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-${jvmToken}_$tag"
       Tables.documents(s, dir).write.mode("overwrite").json(path)
-      jsonlHookInstalled
-      jsonlReap.add(path)
+      graft.engine.TempReaper.register(path)
       path
     })
 
@@ -2329,13 +2325,12 @@ object Text {
   private[graft] val EstScratchRing = 4
   private val estLive = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private def trackEstScratch(path: String): Unit = {
-    jsonlHookInstalled
-    jsonlReap.add(path)
+    graft.engine.TempReaper.register(path)
     estLive.add(path)
     while (estLive.size > EstScratchRing) {
       val old = estLive.poll()
       if (old != null) {
-        jsonlReap.remove(old)
+        graft.engine.TempReaper.unregister(old)
         graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(old))
       }
     }

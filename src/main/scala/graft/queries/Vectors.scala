@@ -408,6 +408,9 @@ object Vectors {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"$prefix$tok")
     java.nio.file.Files.createDirectories(p)
+    // exit-reaped derived state: a JVM that dies without clearIndexCache
+    // must not leave an index root in tmp (VERDICT r18 wrong #1)
+    graft.engine.TempReaper.register(p.toString)
     p.toString
   }
 
