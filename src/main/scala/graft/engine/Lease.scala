@@ -40,17 +40,22 @@ object Lease {
       java.util.concurrent.ThreadLocalRandom.current().nextLong()) +
       "@" + ProcessHandle.current().pid()
 
-  /** The live (owner, expiryMs) of a lease file, None if absent or
-    * unreadable (a torn write loses the lease — safe direction: the
-    * writer's renewal rewrites it, a stealer treats garbage as expired).
+  /** The (owner, expiryMs) of a lease file: None iff the file is
+    * ABSENT. A file that exists but is torn — empty (a crash between
+    * create and write), missing its expiry line, or unparsable — reads
+    * as an already-EXPIRED corpse (owner "", expiry MIN): create-if-
+    * absent will keep failing against it forever, so it must be
+    * steal-able, never invisible (a None for an existing file would
+    * permanently lock out every writer).
     */
   def read(fs: FileSystem, path: Path): Option[(String, Long)] =
     try {
       val in = fs.open(path)
       val bytes = try in.readAllBytes() finally in.close()
       new String(bytes, "UTF-8").split("\n", 3) match {
-        case Array(o, e, _*) if o.nonEmpty => Some((o, e.trim.toLong))
-        case _ => None
+        case Array(o, e, _*) if o.nonEmpty && e.trim.nonEmpty =>
+          Some((o, e.trim.toLong))
+        case _ => Some(("", Long.MinValue)) // torn: an expired corpse
       }
     } catch {
       case _: java.io.FileNotFoundException => None
@@ -66,7 +71,28 @@ object Lease {
       true
     } catch { case _: java.io.IOException => false }
 
-  /** One acquire attempt; true iff this owner now holds the lease. */
+  /** Guard interval a stealer waits between winning the create race and
+    * confirming ownership (see the steal note below). Injectable so the
+    * spec's mocked-clock tests don't sleep.
+    */
+  private[graft] def stealConfirmMs: Long =
+    sys.props.get("graft.lease.steal.confirm.ms").map(_.toLong).getOrElse(200L)
+
+  /** One acquire attempt; true iff this owner now holds the lease.
+    *
+    * STEAL is the protocol's one non-atomic composite (delete the
+    * expired corpse, re-race create-if-absent): two stealers can
+    * interleave so that B's delete lands on A's FRESH lease. The
+    * confirm step closes that to a narrow window — after winning the
+    * create, wait [[stealConfirmMs]] and re-read: a concurrent
+    * stealer's delete+create inside the guard changes the owner and
+    * the re-read returns false (the loser backs off and retries
+    * against a now-LIVE lease). The residual window is a stealer
+    * suspended longer than the guard between its expiry read and its
+    * delete — closing it fully needs a conditional-put/etag primitive
+    * the generic FileSystem API does not expose; size the TTL and
+    * guard to dominate pause times on the deployment's store.
+    */
   def acquire(
       fs: FileSystem, path: Path, owner: String, ttlMs: Long,
       now: () => Long = () => System.currentTimeMillis()): Boolean =
@@ -75,9 +101,16 @@ object Lease {
       case Some((o, _)) if o == owner =>
         renew(fs, path, owner, ttlMs, now) // re-entrant acquire = renew
       case Some((_, exp)) if exp < now() =>
-        // expired: steal — delete the corpse, re-race the atomic create
+        // expired: steal — delete the corpse, re-race the atomic
+        // create, then CONFIRM ownership past the guard interval
         fs.delete(path, false)
-        write(fs, path, owner, now() + ttlMs, overwrite = false)
+        if (!write(fs, path, owner, now() + ttlMs, overwrite = false)) false
+        else {
+          Thread.sleep(stealConfirmMs)
+          val confirmed = read(fs, path).exists(_._1 == owner)
+          if (confirmed) renew(fs, path, owner, ttlMs, now) // re-stamp expiry past the guard
+          confirmed
+        }
       case Some(_) => false // live lease by another owner
       case None => // holder released between our create and read
         write(fs, path, owner, now() + ttlMs, overwrite = false)
@@ -121,27 +154,40 @@ object Lease {
       Thread.sleep(pollMs)
     }
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val renewer = new Thread(() => {
       while (!stop.get()) {
         try Thread.sleep(math.max(1L, ttlMs / 3))
         catch { case _: InterruptedException => stop.set(true) }
-        if (!stop.get() && !renew(fs, path, owner, ttlMs, now))
+        if (!stop.get() && !renew(fs, path, owner, ttlMs, now)) {
           // lost the lease (stolen after an expiry we slept through):
-          // nothing safe to do from a daemon — the next maintenance op
-          // re-acquires; log loudly for the operator
+          // another writer may be mutating the root NOW. A daemon
+          // cannot safely abort an arbitrary body mid-step; record the
+          // loss so withLease FAILS LOUD after the body instead of
+          // reporting a success that may have raced a second writer
+          lost.set(true)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"lease $path lost by $owner during maintenance — another " +
               "writer may have stolen an expired lease; verify TTL vs " +
               "maintenance duration")
+        }
       }
     }, "graft-lease-renewer")
     renewer.setDaemon(true)
     renewer.start()
-    try body
-    finally {
-      stop.set(true)
-      renewer.interrupt()
-      release(fs, path, owner)
-    }
+    val r =
+      try body
+      finally {
+        stop.set(true)
+        renewer.interrupt()
+        release(fs, path, owner)
+      }
+    if (lost.get())
+      throw new java.io.IOException(
+        s"lease $path was LOST mid-maintenance (owner $owner): a second " +
+          "writer may have run concurrently — verify the root's state " +
+          "(recoverFlush) and re-run; raise GRAFT_IVF_LEASE_TTL_MS above " +
+          "the op duration + store pause times")
+    r
   }
 }

@@ -1134,28 +1134,41 @@ object Vectors {
     scheme == null || scheme == "file"
   }
 
-  /** Canonical key for an index root — the URI path, resolved through
-    * the FILESYSTEM for local roots (toRealPath after ensuring the dir
-    * exists): "file:/tmp/idx", "/tmp/idx", "/tmp/idx/" and a symlinked
-    * spelling of the same inode must fold to ONE key. Shared by the
+  /** Canonical key for an index root. Local roots resolve through the
+    * FILESYSTEM (toRealPath when the dir exists, normalized absolute
+    * path otherwise — resolution is read-only: pure readers like
+    * loadCurve must never mkdir a mistyped root): "file:/tmp/idx",
+    * "/tmp/idx", "/tmp/idx/" and a symlinked spelling of the same inode
+    * fold to ONE key. Non-local roots keep their SCHEME AND AUTHORITY —
+    * s3a://bucketA/idx and s3a://bucketB/idx are different roots and
+    * must not share a cache entry or a reentrancy key (folding them
+    * over-locks safely, but the curve/residual memos are VALUE caches
+    * where a collision serves the wrong index's state). Shared by the
     * maintenance lock ([[withRootLock]]) and every per-root memo keyed
-    * by spelling (curveCache — ADVICE r18 #2: an aliased spelling
-    * previously kept a stale cached curve, including a cached None that
-    * pinned the legacy nprobe fallback).
+    * by spelling (curveCache / residPqCache — ADVICE r18 #2: an aliased
+    * spelling previously kept a stale cached curve, including a cached
+    * None that pinned the legacy nprobe fallback).
     */
   private[graft] def canonicalRoot(idxRoot: String): String = {
     val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
-    if (!isLocalRoot(idxRoot)) uri.getPath
+    if (!isLocalRoot(idxRoot))
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
     else {
       val p = java.nio.file.Paths.get(uri.getPath)
-      java.nio.file.Files.createDirectories(p)
-      p.toRealPath().toString
+      if (java.nio.file.Files.exists(p)) p.toRealPath().toString
+      else p.toAbsolutePath.normalize().toString
     }
   }
 
   private[graft] def withRootLock[T](idxRoot: String)(body: => T): T = {
     val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
     val local = isLocalRoot(idxRoot)
+    // the lock places a file under the root: ensure it exists BEFORE
+    // canonicalizing so the key is the realpath (symlink-folded), not
+    // the normalized fallback a not-yet-created root would get
+    if (local)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(uri.getPath))
     val key = canonicalRoot(idxRoot)
     // cross-process exclusion strategy for this root: local → POSIX
     // flock; non-local with a TTL configured → the lease-file protocol
@@ -1327,6 +1340,25 @@ object Vectors {
     // residual tier's staging drains in lockstep with the raw one
     // instead of growing with insert lifetime
     val rStaging = new Path(root, "residual/staging")
+    if (hasResidualTier(s, idxRoot)) {
+      // RECONCILE first: raw-staged rows missing residual codes (staged
+      // before the tier existed; a crash between stageInsert's raw and
+      // residual appends) are encoded NOW — the flush is the moment the
+      // divergence would otherwise become permanent (the raw rows leave
+      // staging; the residual twin would never see them again)
+      val haveCodes =
+        if (fs.exists(rStaging) &&
+            fs.listStatus(rStaging).exists(_.getPath.getName.endsWith(".parquet")))
+          Some(s.read.parquet(rStaging.toString))
+        else None
+      val missing = haveCodes match {
+        case Some(r) => st.join(r.select("vec_id"), Seq("vec_id"), "left_anti")
+        case None => st
+      }
+      if (missing.limit(1).count() > 0)
+        encodeResidual(s, idxRoot, missing.select("vec_id", "embedding", "cell"))
+          .write.mode("append").parquet(rStaging.toString)
+    }
     if (fs.exists(rStaging) &&
         fs.listStatus(rStaging).exists(_.getPath.getName.endsWith(".parquet"))) {
       val rst = s.read.parquet(rStaging.toString)
@@ -1343,6 +1375,10 @@ object Vectors {
       throw new java.io.IOException(
         s"flush commit rename failed: $staging (staging untouched)")
     completeFlush(s, idxRoot)
+    // the on-disk residual family changed (staged codes moved into
+    // residual/codes): a session memo opened pre-flush now under-reads
+    // the code table for the index ∪ staging union — drop it
+    invalidateResidualSession(s, idxRoot)
     nFlush.toInt
   }
 
@@ -3090,6 +3126,20 @@ object Vectors {
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"$root/residual/codes")
       fs.create(residualMarker(root), true).close()
+      // rows staged BEFORE the tier existed (stageInsert skips residual
+      // encoding without one) get their codes NOW, so residual serving
+      // and the flush's residual twin see them; a crash between the
+      // marker and this write is healed by flushStaging's reconcile
+      val stPath = new org.apache.hadoop.fs.Path(s"$root/staging")
+      if (fs.exists(stPath) &&
+          fs.listStatus(stPath).exists(_.getPath.getName.endsWith(".parquet"))) {
+        val st = s.read.parquet(stPath.toString)
+        encodeResidualWith(
+          st.select("vec_id", "embedding", "cell"),
+          s.read.parquet(s"$root/residual/centroids"),
+          s.read.parquet(s"$root/residual/codebook"))
+          .write.mode("overwrite").parquet(s"$root/residual/staging")
+      }
     }
   }
 
@@ -3103,8 +3153,19 @@ object Vectors {
   private[graft] def encodeResidual(
       s: SparkSession, root: String, rows: DataFrame): DataFrame = {
     registered(s)
-    val cent = s.read.parquet(s"$root/residual/centroids")
-    val cb = s.read.parquet(s"$root/residual/codebook")
+    // frozen-by-design state through the session memo — re-reading the
+    // two artifact parquets per insert is pure fixed I/O (per-call
+    // listings; remote round trips on an object store)
+    val (cent, _, _, cb, _) = residualPqOpen(s, root)
+    encodeResidualWith(rows, cent, cb)
+  }
+
+  /** The encoder over EXPLICIT frozen state — shared by the memoized
+    * path above and build-time call sites that cannot re-enter the
+    * session memo (ensureResidualTier runs inside its own cache lambda).
+    */
+  private def encodeResidualWith(
+      rows: DataFrame, cent: DataFrame, cb: DataFrame): DataFrame = {
     val resid = rows.join(broadcast(cent), "cell")
       .select(col("vec_id"), expr(
         "zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), centroid," +
@@ -3126,6 +3187,23 @@ object Vectors {
         fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
       Some(s.read.parquet(p.toString))
     else None
+  }
+
+  /** The residual code table a SERVING path should scan on a maintained
+    * root: the persisted family ∪ the staged-insert codes — the same
+    * index ∪ staging union raw serving (v13/s12) does, so residual
+    * search sees inserts between stageInsert and flush. (The gate roots
+    * are static — their staging is always empty and this reduces to the
+    * memoized table; flushStaging invalidates the memo when it moves
+    * staged codes into the family.)
+    */
+  private[graft] def residualServingCodes(
+      s: SparkSession, root: String): DataFrame = {
+    val (_, _, codes, _, _) = residualPqOpen(s, root)
+    residualStagedCodes(s, root) match {
+      case Some(st) => codes.unionByName(st.select("vec_id", "carr", "cell"))
+      case None => codes
+    }
   }
 
   /** v15/s13's serving state, loaded from the PERSISTED residual tier of

@@ -96,6 +96,67 @@ class LeaseSpec extends SparkSuite {
     }
   }
 
+  test("a torn lease file (crash between create and write) is steal-able, not a lockout") {
+    val (fs, p, dir) = fsAndDir()
+    try {
+      // an empty lease file: exists, so create-if-absent fails forever —
+      // it must read as an expired corpse, never as 'absent'
+      fs.create(p, true).close()
+      assert(Lease.read(fs, p).contains(("", Long.MinValue)))
+      assert(Lease.acquire(fs, p, "rescuer", 500L, () => 1000L),
+        "torn lease locked every writer out")
+      assert(Lease.read(fs, p).exists(_._1 == "rescuer"))
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("a steal whose fresh lease is deleted by a racing stealer is NOT confirmed") {
+    val (fs, p, dir) = fsAndDir()
+    System.setProperty("graft.lease.steal.confirm.ms", "400")
+    try {
+      var t = 1000L
+      val now = () => t
+      assert(Lease.acquire(fs, p, "crashed", 100L, now))
+      t = 2000L // expired
+      // the racing stealer: saw the same expired corpse before our
+      // delete; its delete lands DURING our confirm guard, killing our
+      // fresh lease, and its create wins
+      val rival = new Thread(() => {
+        Thread.sleep(100)
+        fs.delete(p, false)
+        Lease.acquire(fs, p, "rival", 100000L, () => 2000L); ()
+      })
+      rival.start()
+      val got = Lease.acquire(fs, p, "me", 100000L, now)
+      rival.join(5000)
+      assert(!got, "steal confirmed despite losing its lease in the guard window")
+      assert(Lease.read(fs, p).exists(_._1 == "rival"))
+    } finally {
+      System.clearProperty("graft.lease.steal.confirm.ms")
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("withLease fails LOUD when the lease is lost mid-body") {
+    val (fs, p, dir) = fsAndDir()
+    try {
+      val e = intercept[java.io.IOException] {
+        Lease.withLease(fs, p, "me", ttlMs = 150L, pollMs = 20L) {
+          // simulate a thief overwriting the lease while the body runs
+          Thread.sleep(60)
+          val out = fs.create(p, true)
+          out.write("thief\n999999999999999\n".getBytes("UTF-8")); out.close()
+          Thread.sleep(300) // let the renewal daemon observe the loss
+        }
+      }
+      assert(e.getMessage.contains("LOST"),
+        s"lost lease must fail the maintenance op: ${e.getMessage}")
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("withLease times out loudly when the holder never frees") {
     val (fs, p, dir) = fsAndDir()
     try {

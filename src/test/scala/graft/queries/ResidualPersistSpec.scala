@@ -117,6 +117,10 @@ class ResidualPersistSpec extends SparkSuite {
       val staged = Vectors.residualStagedCodes(spark, root)
         .getOrElse(fail("no residual codes staged"))
       assert(staged.count() == nDelta)
+      // SERVING sees the staged inserts pre-flush: the index ∪ staging
+      // union (same contract as raw v13/s12 serving)
+      assert(Vectors.residualServingCodes(spark, root).count() == nBase + nDelta,
+        "residual serving union missed staged codes")
       // at-insert-time codes == the frozen encoder applied now: a drifted
       // codebook, a re-route, or a missed subtraction all break this
       val expect = Vectors.encodeResidual(
@@ -131,7 +135,10 @@ class ResidualPersistSpec extends SparkSuite {
       // side's post-drain shape too — an empty parquet part survives)
       assert(Vectors.residualStagedCodes(spark, root).forall(_.count() == 0),
         "residual staging did not drain with the raw flush")
-      Vectors.invalidateResidualSession(spark, root)
+      // the flush invalidated the session memo itself: the serving
+      // union stays complete with NO manual invalidation
+      assert(Vectors.residualServingCodes(spark, root).count() == nBase + nDelta,
+        "post-flush serving union stale (memo not invalidated by flush)")
       val codesAfter = spark.read.parquet(s"$root/residual/codes")
       assert(codesAfter.count() == nBase + nDelta,
         "flushed residual codes lost or duplicated rows")
@@ -141,6 +148,44 @@ class ResidualPersistSpec extends SparkSuite {
         .orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
       assert(after == stagedPick, "flush re-encoded or reordered codes")
+    } finally rm(root)
+  }
+
+  test("rows staged BEFORE the tier exists still reach residual/codes") {
+    // the ordering hole a review caught: stageInsert skips residual
+    // encoding when no tier exists; the tier build then trained from
+    // vectors/ only and the flush's residual twin no-op'd — those rows
+    // were permanently missing from residual search. Now the tier build
+    // encodes live staging, and the flush reconciles any remainder.
+    val emb = RoutingFixtures.vectors(spark, 400, 8)
+    val base = emb.filter(col("vec_id") % 4 =!= 1)
+    val delta = emb.filter(col("vec_id") % 4 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft-resid-order").toString
+    try {
+      Vectors.buildIvfIndex(base, root)
+      val cent = spark.read.parquet(s"$root/centroids")
+      val routed = Vectors.routeQueries(
+          delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          cent, cent.count())
+        .withColumnRenamed("q_id", "vec_id")
+      val rows = delta
+        .withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
+        .join(routed, "vec_id")
+        .select("vec_id", "label", "embedding", "nrm", "cell")
+      // stage FIRST — no residual tier exists yet
+      Vectors.stageInsert(spark, root, rows)
+      assert(!Vectors.hasResidualTier(spark, root))
+      // tier build encodes the live staging it finds
+      Vectors.residualPqOpen(spark, root)
+      val staged = Vectors.residualStagedCodes(spark, root)
+        .map(_.count()).getOrElse(0L)
+      assert(staged == delta.count(),
+        s"tier build did not encode pre-existing staged rows ($staged)")
+      assert(Vectors.residualServingCodes(spark, root).count() == emb.count())
+      // and the flush lands them in the persisted family
+      assert(Vectors.flushStaging(spark, root, blockBytes = 1L) > 0)
+      assert(spark.read.parquet(s"$root/residual/codes").count() == emb.count(),
+        "pre-tier staged rows missing from residual/codes after flush")
     } finally rm(root)
   }
 }
