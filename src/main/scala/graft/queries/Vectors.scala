@@ -369,7 +369,7 @@ object Vectors {
     * (pinned by TempStoreLifecycleSpec).
     */
   def clearIndexCache(s: SparkSession): Unit = {
-    Seq(ivfCache, ivfIncrCache).foreach { m =>
+    Seq(ivfCache, ivfIncrCache, residLivingCache).foreach { m =>
       m.keys.filter(_._1 eq s).foreach { k =>
         m.remove(k).foreach(p =>
           graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(p)))
@@ -2165,6 +2165,75 @@ object Vectors {
         .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
     },
 
+    // ---- RESIDUAL search over the LIVING index (v13 × v15): the
+    // maintained-index story for the production encoding. The residual
+    // tier freezes on the BASE corpus; the delta inserts through the
+    // staging tier with residual codes encoded AT INSERT against the
+    // frozen centroids + codebook (FAISS add(): assignment-only), half
+    // flushed to per-cell code files, half left staged. Serving scans
+    // the persisted code family ∪ the staged codes — the same
+    // index ∪ staging union raw serving (v13) does — so a query sees
+    // every insert the index owns, at 8 B/vector, in-cell-ordered by
+    // the residual encoding. The oracle is the full recompute: residual
+    // training on the base shard only, code ASSIGNMENT over
+    // base ∪ routed-delta under that frozen codebook
+    // (pqTrainCtes(trainSrc=svb, assignSrc=sv)), so a delta row that
+    // was re-trained into the codebook, lost by the flush, or missed by
+    // the staging union hash-fails. ----
+    GQuery("v17_residual_living", residualLivingOracleSql) { (s, dir) =>
+      registered(s)
+      val root = residualLivingIndex(s, dir)
+      val (cent, nCells, _, cb, _) = residualPqOpen(s, root)
+      val codes = residualServingCodes(s, root)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val route = routeQueries(q, cent, nCells)
+      val qres = route.join(q, "q_id").join(broadcast(cent), "cell")
+        .select(col("q_id").as("vec_id"), expr(
+          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val qsv = pqSubVectors(qres)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtab = pqDistTabArr(qsv, cb)
+      val approx = codes
+        .join(broadcast(route), "cell")
+        .join(broadcast(dtab), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookup)
+      topK(approx, 3)
+    },
+
+    // ---- STREAMING residual search over the LIVING index: s13's
+    // serving contract against the maintained residual root — arriving
+    // queries must see every residual code the index owns, including
+    // staged-insert codes between stageInsert and flush. Per-row route
+    // + residual ADC table (map-only, REQUIREd zero stream-side
+    // exchanges), then the stream-static join against
+    // codes ∪ residual-staging; top-k is the consumer's reduce.
+    // Completes the serving matrix: {static, maintained} × {raw,
+    // residual} × {batch, streaming} all have gated forms.
+    // StreamResidualLivingSpec pins two micro-batches == batch AND that
+    // staged-ONLY codes reach the emitted candidates (liveness). ----
+    GQuery("s15_stream_residual_living", s15OracleSql) { (s, dir) =>
+      registered(s)
+      val root = residualLivingIndex(s, dir)
+      val (cent, _, _, _, cbRows) = residualPqOpen(s, root)
+      val codes = residualServingCodes(s, root)
+      val cents = cent.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probe = rowResidualAdcProbe(rowRoute(q, cents), cbRows, cents)
+        .drop("q_emb")
+      require(graft.sources.Bucketed.streamSideShuffles(probe) == 0,
+        s"s15: per-row route+residual dtab must be stream-side map-only:\n" +
+          probe.queryExecution.executedPlan)
+      codes
+        .join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
+    },
+
     // ---- Incremental IVF maintenance (the v7 index as a LIVING store,
     // the t26 twin for vectors): index built over the corpus minus the
     // delta shard, delta inserted by routing against the FROZEN base
@@ -2778,14 +2847,21 @@ object Vectors {
     * ([[pqResidCtes]]), so the two engines' training recipes can never
     * drift apart per input representation.
     */
-  private def pqTrainCtes: String = {
-    def assignCte(name: String, cb: String) =
+  /** @param trainSrc  CTE the Lloyd iterations train over
+    * @param assignSrc CTE the FINAL `af` assignment covers — the
+    *                  maintained-residual oracle trains on the BASE
+    *                  shard but assigns codes to base ∪ inserted delta
+    *                  (FAISS add(): frozen codebook, assignment-only)
+    */
+  private def pqTrainCtes(
+      trainSrc: String = "sv", assignSrc: String = "sv"): String = {
+    def assignCte(name: String, cb: String, src: String) =
       s"""$name AS (
          |  SELECT vec_id, s, code FROM (
-         |    SELECT sv.vec_id, sv.s, $cb.code,
-         |      row_number() OVER (PARTITION BY sv.vec_id, sv.s
-         |        ORDER BY ${pqSqlDist("sv.sv", s"$cb.cv")}, $cb.code) AS rn
-         |    FROM sv JOIN $cb ON $cb.s = sv.s)
+         |    SELECT $src.vec_id, $src.s, $cb.code,
+         |      row_number() OVER (PARTITION BY $src.vec_id, $src.s
+         |        ORDER BY ${pqSqlDist(s"$src.sv", s"$cb.cv")}, $cb.code) AS rn
+         |    FROM $src JOIN $cb ON $cb.s = $src.s)
          |  WHERE rn = 1)"""
     def updateCtes(mean: String, cbOut: String, asg: String) =
       s"""$mean AS (
@@ -2795,14 +2871,14 @@ object Vectors {
          |  GROUP BY 1, 2, 3),
          |$cbOut AS (SELECT s, code, list(c ORDER BY d) AS cv FROM $mean GROUP BY 1, 2)"""
     val iterCtes = (1 to PqIters).map { i =>
-      assignCte(s"a${i - 1}", s"c${i - 1}") + ",\n" +
+      assignCte(s"a${i - 1}", s"c${i - 1}", trainSrc) + ",\n" +
         updateCtes(s"cx${i - 1}", s"c$i", s"a${i - 1}")
     }.mkString(",\n")
     s"""usv AS (SELECT vec_id, s, unnest(sv) AS x,
-       |               unnest(generate_series(0, ${PqSub - 1})) AS d FROM sv),
-       |c0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM sv WHERE vec_id < $PqK),
+       |               unnest(generate_series(0, ${PqSub - 1})) AS d FROM $trainSrc),
+       |c0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM $trainSrc WHERE vec_id < $PqK),
        |$iterCtes,
-       |${assignCte("af", s"c$PqIters")}"""
+       |${assignCte("af", s"c$PqIters", assignSrc)}"""
   }
 
   private def pqCoreCtes: String =
@@ -2810,7 +2886,7 @@ object Vectors {
        |sv AS (
        |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
        |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
-       |$pqTrainCtes,
+       |${pqTrainCtes()},
        |qsv AS (SELECT vec_id AS q_id, s, sv AS qv FROM sv WHERE vec_id % 25 = 0),
        |dtab AS (
        |  SELECT q.q_id, q.s, c$PqIters.code,
@@ -3206,6 +3282,50 @@ object Vectors {
     }
   }
 
+  private val residLivingCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The living-residual root, for specs driving the v17/s15 serving
+    * paths directly (the gates go through the GQuery front door).
+    */
+  private[graft] def residualLivingIndexForTesting(
+      s: SparkSession, dir: String): String = residualLivingIndex(s, dir)
+
+  /** v17/s15's MAINTAINED residual index (the v13 recipe with the
+    * residual tier frozen before the delta arrives): base corpus
+    * (vec_id % 20 ≠ 3) builds the raw index AND the residual tier —
+    * training never sees the delta — then the delta inserts FAISS
+    * add()-style through the staging tier, residual-encoded at insert
+    * against the frozen centroids + codebook. One centroid family
+    * throughout: the tier's decimal-exact base centroids route the
+    * delta AND the queries (oracle-reproducible bit-for-bit). The gate
+    * exercises all three code states every run: original per-cell code
+    * files, flushed appends (first delta half, blockBytes=1), and
+    * staged-only codes (second half) that serving must union in.
+    */
+  private def residualLivingIndex(s: SparkSession, dir: String): String =
+    residLivingCache.getOrElseUpdate((s, dir), {
+      registered(s)
+      val out = freshStoreDir("graft-resid-living")
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 20 =!= 3)
+      buildIvfIndex(base, out)
+      val (cent, nCells, _, _, _) = residualPqOpen(s, out)
+      val delta = emb.filter(col("vec_id") % 20 === 3)
+      def routedRows(d: DataFrame): DataFrame = {
+        val routed = routeQueries(
+          d.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          cent, nCells)
+          .withColumnRenamed("q_id", "vec_id")
+        withNorm(d).join(routed, "vec_id")
+          .select("vec_id", "label", "embedding", "nrm", "cell")
+      }
+      stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 === 3)))
+      flushStaging(s, out, blockBytes = 1L)
+      stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 =!= 3)))
+      out
+    })
+
   /** v15/s13's serving state, loaded from the PERSISTED residual tier of
     * the corpus's index root and memoized per (session, canonical root):
     * (decimal-exact centroids — MATERIALIZED driver-side, they are
@@ -3296,7 +3416,7 @@ object Vectors {
        |sv AS (
        |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
        |  FROM rv, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
-       |$pqTrainCtes,
+       |${pqTrainCtes()},
        |qdot AS (
        |  SELECT xr.vec_id AS q_id, centd.label, sum(xr.x * centd.c) AS dp
        |  FROM xr JOIN centd ON centd.d = xr.d
@@ -3338,6 +3458,96 @@ object Vectors {
     */
   private def s13OracleSql: String =
     s"""WITH ${residualApproxCtes(1)}
+       |SELECT q_id, vec_id, adist FROM approx""".stripMargin
+
+  /** Shared CTE body of the v17/s15 oracles — the LIVING-index residual
+    * recompute: decimal-exact centroids from the BASE shard only
+    * (vec_id % 20 ≠ 3), the delta routed to its argmax cell under those
+    * frozen centroids (the v13 membership), residuals per member
+    * against the MEMBER'S cell, the Lloyd chain trained on the base
+    * residual sub-vectors but the final assignment covering EVERY
+    * member ([[pqTrainCtes]](svb, sv) — FAISS add(): frozen codebook,
+    * assignment-only), queries routed + residual'd the same way,
+    * candidates = the routed cell's members.
+    */
+  private def residualLivingCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |xr AS (
+       |  SELECT vec_id, label, unnest(v) AS x,
+       |    unnest(generate_series(0, len(v) - 1)) AS d
+       |  FROM e),
+       |centd AS (
+       |  SELECT label, d,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(x) AS c
+       |  FROM xr WHERE vec_id % 20 <> 3 GROUP BY label, d),
+       |ddot AS (
+       |  SELECT xr.vec_id, centd.label, sum(xr.x * centd.c) AS dp
+       |  FROM xr JOIN centd ON centd.d = xr.d
+       |  WHERE xr.vec_id % 20 = 3 GROUP BY xr.vec_id, centd.label),
+       |dcell AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT vec_id, label,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, label) AS rk
+       |    FROM ddot) WHERE rk = 1),
+       |mem AS (
+       |  SELECT vec_id, label AS cell FROM embeddings WHERE vec_id % 20 <> 3
+       |  UNION ALL SELECT vec_id, cell FROM dcell),
+       |rx AS (
+       |  SELECT xr.vec_id, m.cell, xr.d, xr.x - cd.c AS x
+       |  FROM xr JOIN mem m ON m.vec_id = xr.vec_id
+       |  JOIN centd cd ON cd.label = m.cell AND cd.d = xr.d),
+       |rv AS (SELECT vec_id, cell, list(x ORDER BY d) AS v FROM rx GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
+       |  FROM rv, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+       |svb AS (SELECT * FROM sv WHERE vec_id % 20 <> 3),
+       |${pqTrainCtes(trainSrc = "svb", assignSrc = "sv")},
+       |qdot AS (
+       |  SELECT xr.vec_id AS q_id, centd.label, sum(xr.x * centd.c) AS dp
+       |  FROM xr JOIN centd ON centd.d = xr.d
+       |  WHERE xr.vec_id % 25 = 0 GROUP BY xr.vec_id, centd.label),
+       |qcell AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
+       |    FROM qdot) WHERE rk = 1),
+       |qrx AS (
+       |  SELECT xr.vec_id AS q_id, xr.d, xr.x - cd.c AS x
+       |  FROM xr JOIN qcell qc ON qc.q_id = xr.vec_id
+       |  JOIN centd cd ON cd.label = qc.label AND cd.d = xr.d),
+       |qrv AS (SELECT q_id, list(x ORDER BY d) AS v FROM qrx GROUP BY 1),
+       |qsv AS (
+       |  SELECT q_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS qv
+       |  FROM qrv, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
+       |dtab AS (
+       |  SELECT q.q_id, q.s, c$PqIters.code,
+       |    ${pqSqlDist("q.qv", s"c$PqIters.cv")} AS pdist
+       |  FROM qsv q JOIN c$PqIters ON c$PqIters.s = q.s),
+       |approx AS (
+       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  FROM (
+       |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
+       |    FROM af a
+       |    JOIN mem m ON m.vec_id = a.vec_id
+       |    JOIN qcell qc ON qc.label = m.cell
+       |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
+       |    WHERE a.vec_id <> qc.q_id
+       |    GROUP BY 1, 2))"""
+
+  /** DuckDB twin of the v17 plan (living-index residual search). */
+  private def residualLivingOracleSql: String =
+    s"""WITH $residualLivingCtes
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
+
+  /** DuckDB twin of the s15 plan: v17's candidate scores without the
+    * rank — the consumer's reduce, as in s9/s12/s13.
+    */
+  private def s15OracleSql: String =
+    s"""WITH $residualLivingCtes
        |SELECT q_id, vec_id, adist FROM approx""".stripMargin
 
   /** DuckDB twin of the s14 plan: v16's multi-cell residual candidate
