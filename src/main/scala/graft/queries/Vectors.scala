@@ -1486,13 +1486,22 @@ object Vectors {
     * any `_old_` aside a prior crash stranded (live dir missing → the
     * aside IS the data) before the needy-cell listing runs.
     */
+  /** @param lockRoot the INDEX ROOT whose maintenance lock serializes
+    *                  this compaction (default: the cell dir's parent —
+    *                  right for `$root/vectors`; `$root/residual/codes`
+    *                  callers MUST pass the root explicitly, or the
+    *                  compaction takes a lock on `$root/residual` that
+    *                  no flush ever holds and races the residual twin's
+    *                  file moves)
+    */
   private[graft] def compactCells(
-      s: SparkSession, vectors: String, maxFiles: Int): Int =
-      // same monitor as the staging ops (callers pass `$idxRoot/vectors`):
-      // a flush moving files INTO a cell dir between compaction's listing
-      // and its swap would be silently dropped by the swap
-      withRootLock(
-        new org.apache.hadoop.fs.Path(vectors).getParent.toString) {
+      s: SparkSession, vectors: String, maxFiles: Int,
+      lockRoot: Option[String] = None): Int =
+      // same monitor as the staging ops: a flush moving files INTO a
+      // cell dir between compaction's listing and its swap would be
+      // silently dropped by the swap
+      withRootLock(lockRoot.getOrElse(
+        new org.apache.hadoop.fs.Path(vectors).getParent.toString)) {
     import org.apache.hadoop.fs.Path
     val root = new Path(vectors)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)

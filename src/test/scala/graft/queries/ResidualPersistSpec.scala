@@ -151,6 +151,52 @@ class ResidualPersistSpec extends SparkSuite {
     } finally rm(root)
   }
 
+  test("residual code cells compact under the root lock; codes survive byte-identical") {
+    // each flush appends one file per flushed cell to residual/codes —
+    // over many insert/flush cycles the per-cell file count grows like
+    // the raw side's, and the SAME compaction machinery folds it back
+    // (with the lock taken on the INDEX ROOT, so it serializes with
+    // flushes — the default parent-derived lock would be $root/residual,
+    // which no flush holds)
+    val emb = RoutingFixtures.vectors(spark, 640, 8)
+    val base = emb.filter(col("vec_id") % 8 < 5)
+    val root = java.nio.file.Files.createTempDirectory("graft-resid-compact").toString
+    try {
+      Vectors.buildIvfIndex(base, root)
+      Vectors.residualPqOpen(spark, root)
+      val cent = spark.read.parquet(s"$root/centroids")
+      def insertAndFlush(m: Int): Unit = {
+        val d = emb.filter(col("vec_id") % 8 === m)
+        val routed = Vectors.routeQueries(
+            d.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+            cent, cent.count())
+          .withColumnRenamed("q_id", "vec_id")
+        Vectors.stageInsert(spark, root,
+          d.withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
+            .join(routed, "vec_id")
+            .select("vec_id", "label", "embedding", "nrm", "cell"))
+        assert(Vectors.flushStaging(spark, root, blockBytes = 1L) > 0)
+      }
+      Seq(5, 6, 7).foreach(insertAndFlush)
+      val codesDir = new java.io.File(s"$root/residual/codes")
+      def maxFilesPerCell: Int = codesDir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      assert(maxFilesPerCell >= 3,
+        s"fixture did not accumulate appended code files ($maxFilesPerCell)")
+      val before = spark.read.parquet(s"$root/residual/codes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+      assert(Vectors.compactCells(spark, s"$root/residual/codes",
+        maxFiles = 1, lockRoot = Some(root)) > 0)
+      assert(maxFilesPerCell == 1, "compaction left multi-file code cells")
+      val after = spark.read.parquet(s"$root/residual/codes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1).toSeq
+      assert(after == before, "compaction changed the residual codes")
+      Vectors.invalidateResidualSession(spark, root)
+      assert(Vectors.residualServingCodes(spark, root).count() == emb.count())
+    } finally rm(root)
+  }
+
   test("rows staged BEFORE the tier exists still reach residual/codes") {
     // the ordering hole a review caught: stageInsert skips residual
     // encoding when no tier exists; the tier build then trained from
