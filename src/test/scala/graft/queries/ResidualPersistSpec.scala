@@ -197,6 +197,93 @@ class ResidualPersistSpec extends SparkSuite {
     } finally rm(root)
   }
 
+  test("a crash between stageInsert's raw and residual appends heals at flush") {
+    // stageInsert writes the raw staging row, then its residual codes;
+    // a crash between the two leaves a raw-staged row with no residual
+    // twin. flushStaging's reconcile encodes the missing rows before
+    // draining — simulate the crash by deleting residual/staging after
+    // a normal insert.
+    val emb = RoutingFixtures.vectors(spark, 300, 8)
+    val base = emb.filter(col("vec_id") % 5 =!= 2)
+    val delta = emb.filter(col("vec_id") % 5 === 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-resid-crash").toString
+    try {
+      Vectors.buildIvfIndex(base, root)
+      Vectors.residualPqOpen(spark, root)
+      val cent = spark.read.parquet(s"$root/centroids")
+      val routed = Vectors.routeQueries(
+          delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          cent, cent.count())
+        .withColumnRenamed("q_id", "vec_id")
+      Vectors.stageInsert(spark, root,
+        delta.withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
+          .join(routed, "vec_id")
+          .select("vec_id", "label", "embedding", "nrm", "cell"))
+      // the simulated crash: the residual half of the insert is lost
+      graft.engine.MultiAnalyzer.deleteRecursively(
+        new java.io.File(s"$root/residual/staging"))
+      assert(Vectors.residualStagedCodes(spark, root).isEmpty)
+      assert(Vectors.flushStaging(spark, root, blockBytes = 1L) > 0)
+      Vectors.invalidateResidualSession(spark, root)
+      assert(spark.read.parquet(s"$root/residual/codes").count() == emb.count(),
+        "flush did not reconcile the crash-lost residual codes")
+    } finally rm(root)
+  }
+
+  test("recovery completes a flush that crashed after the commit, residual side included") {
+    // crash point: AFTER the commit rename (staging -> _staging_old),
+    // BEFORE completeFlush ran at all — _flush_out/_staging_new and the
+    // residual twins all sit pre-move. recoverFlush (run by the next
+    // maintenance entry) must finish BOTH sides idempotently.
+    val emb = RoutingFixtures.vectors(spark, 300, 8)
+    val base = emb.filter(col("vec_id") % 5 =!= 2)
+    val delta = emb.filter(col("vec_id") % 5 === 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-resid-crash2").toString
+    try {
+      Vectors.buildIvfIndex(base, root)
+      Vectors.residualPqOpen(spark, root)
+      val cent = spark.read.parquet(s"$root/centroids")
+      val routed = Vectors.routeQueries(
+          delta.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          cent, cent.count())
+        .withColumnRenamed("q_id", "vec_id")
+      Vectors.stageInsert(spark, root,
+        delta.withColumn("nrm", expr("sqrt(array_dot(embedding, embedding))"))
+          .join(routed, "vec_id")
+          .select("vec_id", "label", "embedding", "nrm", "cell"))
+      // reconstruct the exact post-commit crash state by hand: run the
+      // pre-commit writes + the commit rename, skip completeFlush
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = spark.read.parquet(s"$root/staging")
+      val allCells = st.select("cell").distinct()
+      st.join(broadcast(allCells), Seq("cell"), "left_semi")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$root/_flush_out")
+      st.join(broadcast(allCells), Seq("cell"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/_staging_new")
+      val rst = spark.read.parquet(s"$root/residual/staging")
+      rst.join(broadcast(allCells), Seq("cell"), "left_semi")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$root/_flush_out_resid")
+      rst.join(broadcast(allCells), Seq("cell"), "left_anti")
+        .write.mode("overwrite").parquet(s"$root/_staging_new_resid")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/staging"),
+        new org.apache.hadoop.fs.Path(s"$root/_staging_old")))
+      // "crash" — next maintenance op runs recovery
+      Vectors.recoverFlush(spark, root)
+      for (t <- Seq("_flush_out", "_staging_new", "_flush_out_resid",
+          "_staging_new_resid", "_staging_old", "_rstaging_old"))
+        assert(!new java.io.File(s"$root/$t").exists(), s"recovery left $t")
+      Vectors.invalidateResidualSession(spark, root)
+      assert(spark.read.parquet(s"$root/vectors").count() == emb.count())
+      assert(spark.read.parquet(s"$root/residual/codes").count() == emb.count(),
+        "recovery lost residual codes")
+      assert(Vectors.residualStagedCodes(spark, root).forall(_.count() == 0))
+    } finally rm(root)
+  }
+
   test("rows staged BEFORE the tier exists still reach residual/codes") {
     // the ordering hole a review caught: stageInsert skips residual
     // encoding when no tier exists; the tier build then trained from
