@@ -20,7 +20,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    from a crashed holder; a stealer deletes it and re-races on
   *    create-if-absent — of N concurrent stealers exactly one create
   *    succeeds.
-  *  - RELEASE: the owner deletes its own lease (never another's).
+  *  - RELEASE: the owner deletes its own lease (never another's, and
+  *    only while still unexpired — an expired lease is steal-able
+  *    garbage whose deletion could race a stealer's fresh create).
   *
   * Known window, documented: between a stealer's `delete` and its
   * `create`, a SECOND stealer can also delete — both then race the
@@ -40,15 +42,42 @@ object Lease {
       java.util.concurrent.ThreadLocalRandom.current().nextLong()) +
       "@" + ProcessHandle.current().pid()
 
+  /** Sentinel returned when the lease file cannot be read because of a
+    * TRANSIENT store failure (S3A throttling/5xx, HDFS DN timeout):
+    * an unknown owner with an expiry that never passes, so callers
+    * treat it as a live lease held by someone else — acquire keeps
+    * polling and a renewer keeps retrying, instead of the IOException
+    * aborting the whole withLease loop the polling was built to ride
+    * out.
+    */
+  private[graft] val Unreadable: (String, Long) = ("<unreadable>", Long.MaxValue)
+
   /** The (owner, expiryMs) of a lease file: None iff the file is
     * ABSENT. A file that exists but is torn — empty (a crash between
     * create and write), missing its expiry line, or unparsable — reads
     * as an already-EXPIRED corpse (owner "", expiry MIN): create-if-
     * absent will keep failing against it forever, so it must be
     * steal-able, never invisible (a None for an existing file would
-    * permanently lock out every writer).
+    * permanently lock out every writer). A transient IOException (NOT
+    * file-not-found) is retried once, then surfaced as [[Unreadable]]
+    * — a live lease by an unknown owner — so one store blip makes the
+    * caller poll again rather than fail a maintenance op.
     */
   def read(fs: FileSystem, path: Path): Option[(String, Long)] =
+    try readOnce(fs, path)
+    catch {
+      case _: java.io.IOException =>
+        try readOnce(fs, path)
+        catch {
+          case e: java.io.IOException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"lease $path unreadable after retry (${e.getMessage}); " +
+                "treating as live-by-unknown until the store recovers")
+            Some(Unreadable)
+        }
+    }
+
+  private def readOnce(fs: FileSystem, path: Path): Option[(String, Long)] =
     try {
       val in = fs.open(path)
       val bytes = try in.readAllBytes() finally in.close()
@@ -107,9 +136,14 @@ object Lease {
         if (!write(fs, path, owner, now() + ttlMs, overwrite = false)) false
         else {
           Thread.sleep(stealConfirmMs)
-          val confirmed = read(fs, path).exists(_._1 == owner)
-          if (confirmed) renew(fs, path, owner, ttlMs, now) // re-stamp expiry past the guard
-          confirmed
+          // confirm ownership past the guard, then RE-STAMP the expiry
+          // (the pre-sleep stamp burned the guard interval off the TTL).
+          // A failed re-stamp is an UNCONFIRMED steal: returning true on
+          // the stale stamp would silently shorten the effective TTL by
+          // the guard, so the caller retries — the re-entrant path
+          // (owner already matches) renews on the next attempt.
+          read(fs, path).exists(_._1 == owner) &&
+            renew(fs, path, owner, ttlMs, now)
         }
       case Some(_) => false // live lease by another owner
       case None => // holder released between our create and read
@@ -126,11 +160,25 @@ object Lease {
       case _ => false
     }
 
-  /** Delete this owner's lease (never another's). */
-  def release(fs: FileSystem, path: Path, owner: String): Unit =
+  /** Delete this owner's lease (never another's) — and only while it is
+    * still UNEXPIRED. An expired lease of ours is steal-able garbage: a
+    * stealer may acquire between our read (owner still matches) and our
+    * delete, and the delete would then kill the stealer's LIVE lease —
+    * the read-then-delete dual-writer window. Skipping the delete on an
+    * expired lease buys nothing lost (any writer steals the corpse) and
+    * closes that window to the one remaining race: a lease that expires
+    * AND is stolen inside the read→delete gap itself — which the TTL
+    * sizing rule (TTL ≫ op latency + pause times) makes vanishing,
+    * where the expired-delete window it replaces was open for the whole
+    * post-expiry epoch.
+    */
+  def release(
+      fs: FileSystem, path: Path, owner: String,
+      now: () => Long = () => System.currentTimeMillis()): Unit =
     read(fs, path) match {
-      case Some((o, _)) if o == owner => fs.delete(path, false); ()
-      case _ => ()
+      case Some((o, exp)) if o == owner && exp >= now() =>
+        fs.delete(path, false); ()
+      case _ => () // not ours, or ours-but-expired (steal-able garbage)
     }
 
   /** Blocking acquire (the flock semantics maintenance callers expect:
@@ -160,34 +208,62 @@ object Lease {
         try Thread.sleep(math.max(1L, ttlMs / 3))
         catch { case _: InterruptedException => stop.set(true) }
         if (!stop.get() && !renew(fs, path, owner, ttlMs, now)) {
-          // lost the lease (stolen after an expiry we slept through):
-          // another writer may be mutating the root NOW. A daemon
-          // cannot safely abort an arbitrary body mid-step; record the
-          // loss so withLease FAILS LOUD after the body instead of
-          // reporting a success that may have raced a second writer
-          lost.set(true)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"lease $path lost by $owner during maintenance — another " +
-              "writer may have stolen an expired lease; verify TTL vs " +
-              "maintenance duration")
+          // renew()==false is AMBIGUOUS: genuine loss (another owner
+          // holds it, or the file is gone) vs a transient store blip
+          // (the read surfaced Unreadable, or the overwrite itself
+          // threw). Re-read to distinguish — a false-positive loss
+          // would tell the operator a fully-successful maintenance op
+          // raced a second writer, on the strength of one 5xx.
+          val genuinelyLost = read(fs, path) match {
+            case Some((o, exp)) if o == owner =>
+              // still ours: the renew WRITE blipped. Retry the re-stamp
+              // once; even if that fails, the lease is lost only when
+              // the on-disk stamp has ALREADY expired (steal-able now).
+              !write(fs, path, owner, now() + ttlMs, overwrite = true) &&
+                exp < now()
+            case Some((o, _)) if o == Unreadable._1 =>
+              false // store unreadable: transient — retry next cycle
+            case _ =>
+              true // another owner, or absent: stolen after an expiry
+          }
+          if (genuinelyLost) {
+            // another writer may be mutating the root NOW. A daemon
+            // cannot safely abort an arbitrary body mid-step; record
+            // the loss so withLease FAILS LOUD after the body instead
+            // of reporting a success that may have raced a second writer
+            lost.set(true)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"lease $path lost by $owner during maintenance — another " +
+                "writer may have stolen an expired lease; verify TTL vs " +
+                "maintenance duration")
+          }
         }
       }
     }, "graft-lease-renewer")
     renewer.setDaemon(true)
     renewer.start()
+    def lostEx() = new java.io.IOException(
+      s"lease $path was LOST mid-maintenance (owner $owner): a second " +
+        "writer may have run concurrently — verify the root's state " +
+        "(recoverFlush) and re-run; raise GRAFT_IVF_LEASE_TTL_MS above " +
+        "the op duration + store pause times")
     val r =
       try body
+      catch {
+        case t: Throwable =>
+          // the body failed on its own; if the lease was ALSO lost, the
+          // concurrent-writer fact must ride the propagating exception
+          // (a WARN log alone makes a raced root undiagnosable from the
+          // failure the operator actually sees)
+          if (lost.get()) t.addSuppressed(lostEx())
+          throw t
+      }
       finally {
         stop.set(true)
         renewer.interrupt()
-        release(fs, path, owner)
+        release(fs, path, owner, now)
       }
-    if (lost.get())
-      throw new java.io.IOException(
-        s"lease $path was LOST mid-maintenance (owner $owner): a second " +
-          "writer may have run concurrently — verify the root's state " +
-          "(recoverFlush) and re-run; raise GRAFT_IVF_LEASE_TTL_MS above " +
-          "the op duration + store pause times")
+    if (lost.get()) throw lostEx()
     r
   }
 }

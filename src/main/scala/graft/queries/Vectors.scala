@@ -1024,8 +1024,19 @@ object Vectors {
 
   private[queries] def ivfIncrementalIndex(s: SparkSession, dir: String): String =
     ivfIncrCache.getOrElseUpdate((s, dir), {
-      registered(s) // withNorm/routeQueries need array_dot
       val out = freshStoreDir("graft-ivf-incr")
+      buildMaintainedIndex(s, dir, out)
+      out
+    })
+
+  /** v13's maintained-index recipe against a caller-chosen root — shared
+    * with [[ivfTombstoneIndex]], whose gate must mutate (delete from) a
+    * root of the SAME construction without perturbing v13/s12's shared
+    * one.
+    */
+  private def buildMaintainedIndex(
+      s: SparkSession, dir: String, out: String): Unit = {
+      registered(s) // withNorm/routeQueries need array_dot
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 20 =!= 3)
       buildIvfIndex(base, out)
@@ -1063,6 +1074,39 @@ object Vectors {
       compactCells(s, s"$out/vectors", maxFiles = CompactFileThreshold)
       // second delta half: STAYS staged — search must union it in
       stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 =!= 3)))
+  }
+
+  /** The maintained-index recipe against a caller-chosen root, for specs
+    * that must MUTATE (delete from) a private root without perturbing
+    * the memoized gate roots.
+    */
+  private[graft] def buildMaintainedIndexForTesting(
+      s: SparkSession, dir: String, out: String): Unit =
+    buildMaintainedIndex(s, dir, out)
+
+  private val ivfTombCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** v18/s16's index: the v13 maintained index with a TAKEDOWN applied —
+    * every `vec_id % 7 = 2` deleted, half (`% 14 = 2`, all base rows)
+    * physically vacuumed, the other half (`% 14 = 9` — which includes
+    * flushed-delta id 163 and staged-delta id 23, so every storage
+    * state carries live tombstones) left as LIVE tombstones the serving
+    * anti-join must mask. Built in its own root: deletions mutate
+    * serving results, and v13/s12's shared root must stay untouched.
+    */
+  private[graft] def ivfTombstoneIndex(s: SparkSession, dir: String): String =
+    ivfTombCache.getOrElseUpdate((s, dir), {
+      val out = freshStoreDir("graft-ivf-tomb")
+      buildMaintainedIndex(s, dir, out)
+      val ids = Tables.embeddings(s, dir).select("vec_id")
+      // takedown wave 1: physically applied (cell files rewritten,
+      // tombstones retired)
+      stageDelete(s, out, ids.filter(col("vec_id") % 14 === 2))
+      vacuumTombstones(s, out)
+      // takedown wave 2: stays a live tombstone — the serving-side
+      // anti-join is what the gate proves
+      stageDelete(s, out, ids.filter(col("vec_id") % 14 === 9))
       out
     })
 
@@ -1260,10 +1304,32 @@ object Vectors {
       s: SparkSession, idxRoot: String, rows: DataFrame): Unit =
     withRootLock(idxRoot) {
       recoverFlush(s, idxRoot)
-      rows.write.mode("append").parquet(s"$idxRoot/staging")
-      if (hasResidualTier(s, idxRoot))
-        encodeResidual(s, idxRoot, rows.select("vec_id", "embedding", "cell"))
-          .write.mode("append").parquet(s"$idxRoot/residual/staging")
+      val stagingPath = new org.apache.hadoop.fs.Path(s"$idxRoot/staging")
+      val fs = stagingPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val before: Set[String] =
+        if (fs.exists(stagingPath))
+          fs.listStatus(stagingPath).map(_.getPath.getName).toSet
+        else Set.empty[String]
+      rows.write.mode("append").parquet(stagingPath.toString)
+      if (hasResidualTier(s, idxRoot)) {
+        // Encode residuals from the JUST-WRITTEN staging files, never by
+        // re-evaluating `rows`: a nondeterministic input frame (sample /
+        // limit / uuid-derived) re-evaluated here could stage residual
+        // codes for vec_ids that never reached raw staging — phantom
+        // codes flushStaging's reconcile heals only in the missing
+        // direction, so they would flush into residual/codes and be
+        // served forever against vectors that don't exist. Reading back
+        // the appended files makes the two appends see identical rows
+        // BY CONSTRUCTION (we hold the root lock, so the before/after
+        // file-listing diff is exactly this insert's output).
+        val newFiles = fs.listStatus(stagingPath).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !before(p.getName))
+        if (newFiles.nonEmpty)
+          encodeResidual(s, idxRoot,
+            s.read.parquet(newFiles.map(_.toString).toIndexedSeq: _*)
+              .select("vec_id", "embedding", "cell"))
+            .write.mode("append").parquet(s"$idxRoot/residual/staging")
+      }
     }
 
   /** The staged rows not yet flushed to cell files (None if the staging
@@ -1306,7 +1372,17 @@ object Vectors {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new Path(root, "staging")
     if (!fs.exists(staging)) return 0
-    val st = s.read.parquet(staging.toString)
+    // tombstones apply to the rows the flush drains: a deleted staged
+    // row (and, below, its residual code — in lockstep, so the twins
+    // cannot diverge) never reaches a per-cell file. The tombstone
+    // table itself stays live: the INDEX side may still hold the ids
+    // until vacuumTombstones rewrites it.
+    val tombOpt = tombstoneIds(s, idxRoot).map(t => broadcast(t.select("vec_id")))
+    def minusTomb(df: DataFrame): DataFrame = tombOpt match {
+      case Some(t) => df.join(t, Seq("vec_id"), "left_anti")
+      case None => df
+    }
+    val st = minusTomb(s.read.parquet(staging.toString))
     val totalRows = st.count()
     if (totalRows == 0L) return 0
     val totalBytes = fs.listStatus(staging)
@@ -1361,7 +1437,7 @@ object Vectors {
     }
     if (fs.exists(rStaging) &&
         fs.listStatus(rStaging).exists(_.getPath.getName.endsWith(".parquet"))) {
-      val rst = s.read.parquet(rStaging.toString)
+      val rst = minusTomb(s.read.parquet(rStaging.toString))
       rst.join(broadcast(flushCells), Seq("cell"), "left_semi")
         .repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite")
@@ -1505,18 +1581,7 @@ object Vectors {
     import org.apache.hadoop.fs.Path
     val root = new Path(vectors)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // recovery: a crash after rename-aside but before rename-in leaves
-    // (_old_cell=N present, cell=N absent) — restore it; a crash after
-    // rename-in leaves a stale aside next to the live dir — drop it
-    fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_old_cell="))
-      .foreach { st =>
-        val live = new Path(root, st.getPath.getName.stripPrefix("_old_"))
-        if (fs.exists(live)) fs.delete(st.getPath, true)
-        else if (!fs.rename(st.getPath, live))
-          throw new java.io.IOException(
-            s"compaction recovery failed: ${st.getPath} -> $live")
-      }
+    recoverCellAsides(fs, root)
     // ONE glob (`cell=*/*.parquet`) replaces the per-cell listStatus
     // loop — the driver issues a single logical listing instead of N
     // round-trips, which dominate exactly this path once cells reach
@@ -1548,23 +1613,244 @@ object Vectors {
     s.read.option("basePath", vectors).parquet(needPaths.toIndexedSeq: _*)
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(staging.toString)
-    fs.listStatus(staging)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      .foreach { st =>
-        val dst = new Path(root, st.getPath.getName)
-        val aside = new Path(root, "_old_" + st.getPath.getName)
-        if (!fs.rename(dst, aside))
-          throw new java.io.IOException(
-            s"compaction aside-rename failed: $dst -> $aside (cell untouched)")
-        if (!fs.rename(st.getPath, dst)) {
-          fs.rename(aside, dst) // restore; best-effort — aside still holds the data
-          throw new java.io.IOException(
-            s"compaction swap-in failed: ${st.getPath} -> $dst (cell restored)")
-        }
-        fs.delete(aside, true)
-      }
+    swapInCells(fs, root, staging)
     fs.delete(staging, true)
     need.length
+  }
+
+  /** Restore any `_old_cell=` aside a crashed cell rewrite stranded:
+    * live dir missing → the aside IS the data (crash landed between
+    * rename-aside and rename-in); live dir present → the aside is a
+    * stale leftover of a completed swap — drop it. Shared by
+    * [[compactCells]] and [[vacuumTombstones]], which use the same
+    * rename-aside swap discipline.
+    */
+  private def recoverCellAsides(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_old_cell="))
+        .foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(
+            root, st.getPath.getName.stripPrefix("_old_"))
+          if (fs.exists(live)) fs.delete(st.getPath, true)
+          else if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"cell-rewrite recovery failed: ${st.getPath} -> $live")
+        }
+
+  /** Swap each `cell=` dir under `staging` over its live twin under
+    * `root`, crash-safe: the live dir is renamed aside (`_old_cell=N` —
+    * partitioned reads ignore `_` prefixes), the rewritten dir renamed
+    * in, and only then is the aside deleted — at no point is the cell's
+    * data absent from the filesystem. `retireCells` names cells whose
+    * rewrite produced NO output (every row dropped): their live dirs
+    * are retired through the same aside rename, so a crash mid-retire
+    * is recovered by [[recoverCellAsides]] like any other.
+    */
+  private def swapInCells(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path,
+      retireCells: Set[String] = Set.empty): Unit = {
+    import org.apache.hadoop.fs.Path
+    val written: Set[String] =
+      if (!fs.exists(staging)) Set.empty
+      else fs.listStatus(staging)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(_.getPath.getName).toSet
+    written.foreach { name =>
+      val dst = new Path(root, name)
+      val aside = new Path(root, "_old_" + name)
+      if (fs.exists(dst) && !fs.rename(dst, aside))
+        throw new java.io.IOException(
+          s"cell rewrite aside-rename failed: $dst -> $aside (cell untouched)")
+      if (!fs.rename(new Path(staging, name), dst)) {
+        fs.rename(aside, dst) // restore; best-effort — aside still holds the data
+        throw new java.io.IOException(
+          s"cell rewrite swap-in failed: $staging/$name -> $dst (cell restored)")
+      }
+      fs.delete(aside, true)
+    }
+    (retireCells -- written).foreach { name =>
+      val dst = new Path(root, name)
+      val aside = new Path(root, "_old_" + name)
+      if (fs.exists(dst)) {
+        if (!fs.rename(dst, aside))
+          throw new java.io.IOException(
+            s"cell retire aside-rename failed: $dst -> $aside")
+        fs.delete(aside, true)
+      }
+    }
+  }
+
+  // ---- tombstone tier: deletions for the maintained index families
+  // (VERDICT r19 missing #1 / next #1). A takedown (right-to-erasure —
+  // routine in LLM corpus operations) must not force a full index
+  // rebuild, and the serving tier must be able to FORGET a vector. The
+  // public precedent is FAISS `remove_ids`; the staging tier already
+  // gives the engine the delta slot it needs:
+  //
+  //   tombstones/   live deleted vec_ids (plain parquet, delta-sized)
+  //
+  //  - stageDelete appends ids — cost ∝ delete-batch bytes, like
+  //    stageInsert.
+  //  - SERVING = (index ∪ staging) ANTI tombstones: one delta-sized
+  //    broadcast anti-join (the s10 exact-dedup shape in reverse), so a
+  //    deleted row disappears from results IMMEDIATELY, before any
+  //    physical rewrite.
+  //  - flushStaging applies tombstones to the rows it drains: deleted
+  //    staged rows (raw AND residual codes, in lockstep) never reach
+  //    per-cell files.
+  //  - vacuumTombstones physically drops dead rows from the per-cell
+  //    raw files and the residual code files (the compactCells
+  //    rename-aside discipline), then RETIRES the applied tombstone
+  //    files. Until the retire, every intermediate state is masked by
+  //    the serving anti-join, so a crash anywhere mid-vacuum is
+  //    re-runnable and never serves a deleted row.
+  // ----
+
+  /** Stage a delete batch: append the ids to the root's tombstone
+    * table. One delta-sized append — the delete-side twin of
+    * [[stageInsert]]. Rows are dropped from serving at the next query
+    * (the anti-join in [[minusTombstones]]); physical space returns at
+    * the next [[vacuumTombstones]].
+    */
+  private[graft] def stageDelete(
+      s: SparkSession, idxRoot: String, ids: DataFrame): Unit =
+    withRootLock(idxRoot) {
+      recoverFlush(s, idxRoot)
+      ids.select(col("vec_id").cast("long").as("vec_id"))
+        .write.mode("append").parquet(s"$idxRoot/tombstones")
+    }
+
+  /** The live (not yet vacuumed) tombstone ids, None if there are none
+    * — same read contract as [[stagedRows]].
+    */
+  private[graft] def tombstoneIds(
+      s: SparkSession, idxRoot: String): Option[DataFrame] =
+      withRootLock(idxRoot) {
+    val p = new org.apache.hadoop.fs.Path(s"$idxRoot/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(s.read.parquet(p.toString))
+    else None
+  }
+
+  /** Serving-side deletion mask: `df` minus the root's live tombstones,
+    * as ONE broadcast anti-join on vec_id (the tombstone side is
+    * delta-sized by construction — takedown batches, not corpus). Roots
+    * with no tombstones return `df` unchanged, so the static gate
+    * plans carry no extra operator.
+    */
+  private[graft] def minusTombstones(
+      s: SparkSession, idxRoot: String, df: DataFrame): DataFrame =
+    tombstoneIds(s, idxRoot) match {
+      case Some(t) =>
+        df.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+
+  /** Physically apply the live tombstones and retire them: rewrite every
+    * cell file (raw vectors AND residual codes, in lockstep) holding a
+    * dead row, drop dead rows still in staging, then delete the applied
+    * tombstone files. Returns the number of tombstoned ids retired.
+    *
+    * Cost model: finding the affected cells is one column-pruned scan
+    * of (vec_id, cell) semi-joined against the delta-sized tombstones —
+    * the honest price of a bare-id delete (the caller has no cell) —
+    * and the rewrite touches ONLY affected cells (≤ one per tombstone),
+    * so a takedown batch costs ∝ touched-cell bytes, not index bytes.
+    * Same decade as stageInsert's delta pricing, vs the full rebuild a
+    * takedown forced before this op existed (BASELINE.md carries the
+    * x1000 measurement).
+    *
+    * CRASH SAFETY: until the final retire, the serving anti-join masks
+    * every dead row, so any partial state (staging swapped but cells
+    * not; some cells rewritten; a stranded `_old_cell=` aside) serves
+    * correctly and a re-run converges — the cell swaps use the
+    * compactCells rename-aside discipline ([[swapInCells]]), the
+    * staging rewrite reuses the flush protocol's own commit
+    * (`_staging_new` → rename staging aside → [[completeFlush]]), and
+    * the retire deletes exactly the tombstone files snapshotted at
+    * entry (the root lock bars concurrent appends).
+    */
+  private[graft] def vacuumTombstones(s: SparkSession, idxRoot: String): Long =
+      withRootLock(idxRoot) {
+    import org.apache.hadoop.fs.Path
+    recoverFlush(s, idxRoot)
+    val root = new Path(idxRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombDir = new Path(root, "tombstones")
+    if (!fs.exists(tombDir)) return 0L
+    val tombFiles = fs.listStatus(tombDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    if (tombFiles.isEmpty) return 0L
+    val tomb = s.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+      .select("vec_id")
+    val nTomb = tomb.distinct().count()
+    // 1. staging sides (raw + residual codes): rewrite minus tombstones
+    // through the flush protocol's OWN commit machinery — write the
+    // filtered tables as _staging_new / _staging_new_resid, rename the
+    // live staging aside (the commit marker), and let completeFlush's
+    // idempotent tail swap them in. A crash anywhere inside resumes
+    // from recoverFlush exactly like a crashed flush.
+    val staging = new Path(root, "staging")
+    def nonEmptyDir(p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (nonEmptyDir(staging)) {
+      s.read.parquet(staging.toString)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(new Path(root, "_staging_new").toString)
+      val rStaging = new Path(root, "residual/staging")
+      if (nonEmptyDir(rStaging))
+        s.read.parquet(rStaging.toString)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite")
+          .parquet(new Path(root, "_staging_new_resid").toString)
+      if (!fs.rename(staging, new Path(root, "_staging_old")))
+        throw new java.io.IOException(
+          s"vacuum staging commit rename failed: $staging (untouched)")
+      completeFlush(s, idxRoot)
+    }
+    // 2. per-cell files, raw + residual twins in lockstep: rewrite ONLY
+    // the cells that hold a dead row. The affected-cell scan is
+    // column-pruned to (vec_id, cell); the rewrite coalesces each
+    // touched cell to one file (a free compaction of exactly the cells
+    // already being rewritten).
+    def vacuumCellDir(dirName: String, stagingName: String): Unit = {
+      val dataRoot = new Path(root, dirName)
+      if (!fs.exists(dataRoot)) return
+      recoverCellAsides(fs, dataRoot)
+      if (!fs.listStatus(dataRoot).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("cell="))) return
+      val affected = s.read.parquet(dataRoot.toString)
+        .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+        .select("cell").distinct().collect().map(_.get(0).toString)
+      if (affected.isEmpty) return
+      val rwStaging = new Path(dataRoot, stagingName)
+      val affectedPaths = affected.map(c => new Path(dataRoot, s"cell=$c").toString)
+      s.read.option("basePath", dataRoot.toString)
+        .parquet(affectedPaths.toIndexedSeq: _*)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(rwStaging.toString)
+      swapInCells(fs, dataRoot, rwStaging,
+        retireCells = affected.map(c => s"cell=$c").toSet)
+      fs.delete(rwStaging, true)
+    }
+    vacuumCellDir("vectors", "_vacuum_staging")
+    vacuumCellDir("residual/codes", "_vacuum_staging")
+    // 3. RETIRE the applied tombstones: exactly the files snapshotted at
+    // entry (the root lock bars concurrent stageDelete appends). From
+    // here the deletion is purely physical — nothing left to mask.
+    tombFiles.foreach(f => fs.delete(f, false))
+    // the on-disk residual family may have changed: session memos
+    // opened pre-vacuum would over-read the code table
+    invalidateResidualSession(s, idxRoot)
+    nTomb
   }
 
   /** Shared oracle CTEs for the hyperplane-LSH candidate pipeline (the
@@ -2409,6 +2695,131 @@ object Vectors {
         case Some(st) => probed.unionByName(score(st))
         case None => probed
       }
+    },
+
+    // ---- DELETION from the maintained index (v13 + tombstones): the
+    // takedown path a right-to-erasure event needs (FAISS remove_ids is
+    // the public precedent). The gate's index carries BOTH deletion
+    // states every run: one takedown wave physically vacuumed (cell
+    // files rewritten, tombstones retired) and one live (masked only by
+    // the serving anti-join — ids spanning original cells, flushed
+    // appends, AND staged rows). Serving = (index ∪ staging) ANTI
+    // tombstones, one delta-sized broadcast anti-join per side. The
+    // oracle recomputes membership WITHOUT the deleted slice, so an
+    // over-/under-vacuum, a dead row the anti-join misses, or a deleted
+    // staged row that flushes anyway all hash-fail. ----
+    GQuery("v18_ivf_tombstone_delete", ivfTombOracleSql) { (s, dir) =>
+      registered(s)
+      val idx = ivfTombstoneIndex(s, dir)
+      val e = withNorm(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val cent = s.read.parquet(s"$idx/centroids")
+      val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
+      val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
+      def score(side: DataFrame): DataFrame = side
+        .join(broadcast(qcell), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+        .select("q_id", "vec_id", "cos")
+      // the anti-join runs BEFORE scoring: a dead row costs one hash
+      // probe, never a dot product
+      val probed = score(minusTombstones(s, idx, s.read.parquet(s"$idx/vectors")))
+      val all = stagedRows(s, idx) match {
+        case Some(st) => probed.unionByName(score(minusTombstones(s, idx, st)))
+        case None => probed
+      }
+      topKByCos(all, 3)
+    },
+
+    // ---- STREAMING serving under deletion: s12's living-index contract
+    // with the takedown applied — arriving queries must NOT see any
+    // deleted vector, whether vacuumed or still a live tombstone. The
+    // tombstone mask is a stream-STATIC anti-join (tombstones are index
+    // state, like the cells), so the stream side stays map-only
+    // (REQUIREd). StreamDeleteLivenessSpec pins the liveness half:
+    // deleted-but-unvacuumed ids provably absent from emitted
+    // candidates across micro-batches. ----
+    GQuery("s16_stream_tombstone_living", s16OracleSql) { (s, dir) =>
+      registered(s)
+      val idx = ivfTombstoneIndex(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val routed = rowRouteAuto(s, q, idx)
+        .withColumn("q_nrm", expr(s"sqrt(${dotExpr("q_emb", "q_emb")})"))
+      require(graft.sources.Bucketed.streamSideShuffles(routed) == 0,
+        s"s16: per-row routing must be stream-side map-only:\n" +
+          routed.queryExecution.executedPlan)
+      def score(side: DataFrame): DataFrame = side
+        .join(broadcast(routed), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr("embedding", "q_emb")) / (col("nrm") * col("q_nrm")))
+            .as("cos"))
+      val probed = score(minusTombstones(s, idx, s.read.parquet(s"$idx/vectors")))
+      stagedRows(s, idx) match {
+        case Some(st) => probed.unionByName(score(minusTombstones(s, idx, st)))
+        case None => probed
+      }
+    },
+
+    // ---- DELETION from the maintained RESIDUAL index (v17 +
+    // tombstones): the takedown path for the production encoding. The
+    // residual tier (centroids + codebook) froze pre-takedown and stays
+    // untouched — deletes remove CODES (vacuumed from the per-cell code
+    // files in lockstep with the raw cells; live ones masked by the
+    // same anti-join). Oracle: the v17 recompute with training and
+    // assignment over the full pre-takedown membership, candidates
+    // minus the deleted slice — a phantom residual code surviving the
+    // vacuum hash-fails. ----
+    GQuery("v19_residual_tombstone", residualTombOracleSql) { (s, dir) =>
+      registered(s)
+      val root = residualTombstoneIndex(s, dir)
+      val (cent, nCells, _, cb, _) = residualPqOpen(s, root)
+      val codes = minusTombstones(s, root, residualServingCodes(s, root))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val route = routeQueries(q, cent, nCells)
+      val qres = route.join(q, "q_id").join(broadcast(cent), "cell")
+        .select(col("q_id").as("vec_id"), expr(
+          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
+            " (a, b) -> a - b)").as("embedding"))
+      val qsv = pqSubVectors(qres)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtab = pqDistTabArr(qsv, cb)
+      val approx = codes
+        .join(broadcast(route), "cell")
+        .join(broadcast(dtab), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookup)
+      topK(approx, 3)
+    },
+
+    // ---- STREAMING residual serving under deletion: s15's contract on
+    // the takedown root — the stream-static code table is (persisted ∪
+    // staged) ANTI tombstones; per-row route + residual ADC table stays
+    // map-only (REQUIREd). Completes deletion coverage across the
+    // serving matrix: {raw, residual} × {batch, streaming}. ----
+    GQuery("s17_stream_residual_tombstone", s17OracleSql) { (s, dir) =>
+      registered(s)
+      val root = residualTombstoneIndex(s, dir)
+      val (cent, _, _, _, cbRows) = residualPqOpen(s, root)
+      val codes = minusTombstones(s, root, residualServingCodes(s, root))
+      val cents = cent.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probe = rowResidualAdcProbe(rowRoute(q, cents), cbRows, cents)
+        .drop("q_emb")
+      require(graft.sources.Bucketed.streamSideShuffles(probe) == 0,
+        s"s17: per-row route+residual dtab must be stream-side map-only:\n" +
+          probe.queryExecution.executedPlan)
+      codes
+        .join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adcLookup.as("adist"))
     }
   )
 
@@ -3314,8 +3725,18 @@ object Vectors {
     */
   private def residualLivingIndex(s: SparkSession, dir: String): String =
     residLivingCache.getOrElseUpdate((s, dir), {
-      registered(s)
       val out = freshStoreDir("graft-resid-living")
+      buildResidualLivingRoot(s, dir, out)
+      out
+    })
+
+  /** v17/s15's living-residual recipe against a caller-chosen root —
+    * shared with [[residualTombstoneIndex]] (v19/s17), which deletes
+    * from a root of the same construction without touching v17/s15's.
+    */
+  private def buildResidualLivingRoot(
+      s: SparkSession, dir: String, out: String): Unit = {
+      registered(s)
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 20 =!= 3)
       buildIvfIndex(base, out)
@@ -3332,6 +3753,34 @@ object Vectors {
       stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 === 3)))
       flushStaging(s, out, blockBytes = 1L)
       stageInsert(s, out, routedRows(delta.filter(col("vec_id") % 40 =!= 3)))
+  }
+
+  /** The living-residual recipe against a caller-chosen root — the
+    * residual twin of [[buildMaintainedIndexForTesting]].
+    */
+  private[graft] def buildResidualLivingRootForTesting(
+      s: SparkSession, dir: String, out: String): Unit =
+    buildResidualLivingRoot(s, dir, out)
+
+  private val residTombCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** v19/s17's root: the v17 living-residual index with the same
+    * takedown as [[ivfTombstoneIndex]] — `% 14 = 2` vacuumed (residual
+    * code files physically rewritten in lockstep with the raw cells),
+    * `% 14 = 9` live tombstones the residual serving path must mask.
+    * The residual TIER (centroids + codebook) is untouched by deletes:
+    * it froze on the base corpus before the takedown, exactly as FAISS
+    * `remove_ids` leaves a trained quantizer alone.
+    */
+  private[graft] def residualTombstoneIndex(s: SparkSession, dir: String): String =
+    residTombCache.getOrElseUpdate((s, dir), {
+      val out = freshStoreDir("graft-resid-tomb")
+      buildResidualLivingRoot(s, dir, out)
+      val ids = Tables.embeddings(s, dir).select("vec_id")
+      stageDelete(s, out, ids.filter(col("vec_id") % 14 === 2))
+      vacuumTombstones(s, out)
+      stageDelete(s, out, ids.filter(col("vec_id") % 14 === 9))
       out
     })
 
@@ -3479,7 +3928,15 @@ object Vectors {
     * assignment-only), queries routed + residual'd the same way,
     * candidates = the routed cell's members.
     */
-  private def residualLivingCtes: String =
+  private def residualLivingCtes: String = residualLivingCtesWith("")
+
+  /** `candAnd` injects the tombstone gates' candidate exclusion into
+    * the final membership join ONLY — training (svb) and assignment
+    * (sv) stay over the full pre-takedown membership, because the
+    * engine's codebook froze before the delete arrived (FAISS
+    * remove_ids leaves the trained quantizer alone).
+    */
+  private def residualLivingCtesWith(candAnd: String): String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |xr AS (
        |  SELECT vec_id, label, unnest(v) AS x,
@@ -3540,7 +3997,7 @@ object Vectors {
        |    JOIN mem m ON m.vec_id = a.vec_id
        |    JOIN qcell qc ON qc.label = m.cell
        |    JOIN dtab d ON d.s = a.s AND d.code = a.code AND d.q_id = qc.q_id
-       |    WHERE a.vec_id <> qc.q_id
+       |    WHERE a.vec_id <> qc.q_id$candAnd
        |    GROUP BY 1, 2))"""
 
   /** DuckDB twin of the v17 plan (living-index residual search). */
@@ -3557,6 +4014,22 @@ object Vectors {
     */
   private def s15OracleSql: String =
     s"""WITH $residualLivingCtes
+       |SELECT q_id, vec_id, adist FROM approx""".stripMargin
+
+  /** v19 oracle: the v17 recompute minus the deleted slice (training
+    * and code assignment untouched — the tier froze pre-takedown).
+    */
+  private def residualTombOracleSql: String =
+    s"""WITH ${residualLivingCtesWith(tombCandAnd)}
+       |SELECT q_id, vec_id, rk, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM approx)
+       |WHERE rk <= 3""".stripMargin
+
+  /** s17 oracle: the s15 recompute minus the deleted slice. */
+  private def s17OracleSql: String =
+    s"""WITH ${residualLivingCtesWith(tombCandAnd)}
        |SELECT q_id, vec_id, adist FROM approx""".stripMargin
 
   /** DuckDB twin of the s14 plan: v16's multi-cell residual candidate
@@ -3608,8 +4081,15 @@ object Vectors {
     * top-3 within the probed cell. Mirrors the v5/v7 oracle chain with
     * membership = base∪routed-delta instead of label cells.
     */
-  private def ivfIncrOracleSql: String =
-    """WITH x AS (
+  /** Shared CTE body of the v13/s12/v18/s16 oracles — the raw
+    * maintained-index recompute (base in its label cell, delta in its
+    * frozen-quantizer argmax cell). `candAnd` injects the tombstone
+    * gates' candidate exclusion into the ONE membership join both final
+    * selects share, so the takedown oracles cannot drift from the
+    * insert-only ones.
+    */
+  private def ivfIncrCtes: String =
+    """x AS (
       |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
       |    unnest(generate_series(0, len(embedding) - 1)) AS d
       |  FROM embeddings),
@@ -3640,64 +4120,55 @@ object Vectors {
       |e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings)
-      |SELECT q_id, vec_id, rk, cos FROM (
-      |  SELECT qc.q_id, m.vec_id,
-      |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
-      |    row_number() OVER (PARTITION BY qc.q_id
-      |                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
-      |                                m.vec_id) AS rk
-      |  FROM qcell qc
-      |  JOIN e q ON q.vec_id = qc.q_id
-      |  JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
-      |  JOIN e c ON c.vec_id = m.vec_id)
-      |WHERE rk <= 3""".stripMargin
+      |  FROM embeddings)""".stripMargin
 
-  /** s12 oracle: v13's full-recompute membership (base in its label
-    * cell, delta in its frozen-quantizer argmax cell), emitted as RAW
-    * scored candidates of each query's routed cell — no top-k window,
-    * because the streaming gate (append mode) leaves the final reduce
-    * to the consumer, exactly like s8/s9.
+  private def ivfIncrTopKSelect(candAnd: String): String =
+    s"""SELECT q_id, vec_id, rk, cos FROM (
+       |  SELECT qc.q_id, m.vec_id,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+       |    row_number() OVER (PARTITION BY qc.q_id
+       |                       ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+       |                                m.vec_id) AS rk
+       |  FROM qcell qc
+       |  JOIN e q ON q.vec_id = qc.q_id
+       |  JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id$candAnd
+       |  JOIN e c ON c.vec_id = m.vec_id)
+       |WHERE rk <= 3""".stripMargin
+
+  private def ivfIncrCandSelect(candAnd: String): String =
+    s"""SELECT qc.q_id, m.vec_id,
+       |  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       |FROM qcell qc
+       |JOIN e q ON q.vec_id = qc.q_id
+       |JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id$candAnd
+       |JOIN e c ON c.vec_id = m.vec_id""".stripMargin
+
+  /** The tombstone gates' takedown slice, as the oracle-side exclusion:
+    * the engine deleted `vec_id % 7 = 2` (half vacuumed, half live
+    * tombstones) and the oracle simply never admits them as candidates
+    * — an over-delete, an under-delete, a phantom residual code, or an
+    * anti-join miss all hash-fail.
+    */
+  private def tombCandAnd = " AND m.vec_id % 7 <> 2"
+
+  private def ivfIncrOracleSql: String =
+    s"WITH $ivfIncrCtes\n${ivfIncrTopKSelect("")}"
+
+  /** s12 oracle: v13's full-recompute membership, emitted as RAW scored
+    * candidates of each query's routed cell — no top-k window, because
+    * the streaming gate (append mode) leaves the final reduce to the
+    * consumer, exactly like s8/s9.
     */
   private def s12OracleSql: String =
-    """WITH x AS (
-      |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
-      |    unnest(generate_series(0, len(embedding) - 1)) AS d
-      |  FROM embeddings),
-      |cent AS (
-      |  SELECT label, d, avg(x) AS c FROM x WHERE vec_id % 20 <> 3
-      |  GROUP BY label, d),
-      |ddot AS (
-      |  SELECT x.vec_id, cent.label, sum(x.x * cent.c) AS dp
-      |  FROM x JOIN cent ON cent.d = x.d
-      |  WHERE x.vec_id % 20 = 3 GROUP BY x.vec_id, cent.label),
-      |dcell AS (
-      |  SELECT vec_id, label AS cell FROM (
-      |    SELECT vec_id, label,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, label) AS rk
-      |    FROM ddot) WHERE rk = 1),
-      |mem AS (
-      |  SELECT vec_id, label AS cell FROM embeddings WHERE vec_id % 20 <> 3
-      |  UNION ALL SELECT vec_id, cell FROM dcell),
-      |qdot AS (
-      |  SELECT x.vec_id AS q_id, cent.label, sum(x.x * cent.c) AS dp
-      |  FROM x JOIN cent ON cent.d = x.d
-      |  WHERE x.vec_id % 25 = 0 GROUP BY x.vec_id, cent.label),
-      |qcell AS (
-      |  SELECT q_id, label AS cell FROM (
-      |    SELECT q_id, label,
-      |      row_number() OVER (PARTITION BY q_id ORDER BY dp DESC, label) AS rk
-      |    FROM qdot) WHERE rk = 1),
-      |e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v,
-      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings)
-      |SELECT qc.q_id, m.vec_id,
-      |  list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
-      |FROM qcell qc
-      |JOIN e q ON q.vec_id = qc.q_id
-      |JOIN mem m ON m.cell = qc.cell AND m.vec_id <> qc.q_id
-      |JOIN e c ON c.vec_id = m.vec_id""".stripMargin
+    s"WITH $ivfIncrCtes\n${ivfIncrCandSelect("")}"
+
+  /** v18 oracle: the v13 recompute minus the deleted slice. */
+  private def ivfTombOracleSql: String =
+    s"WITH $ivfIncrCtes\n${ivfIncrTopKSelect(tombCandAnd)}"
+
+  /** s16 oracle: the s12 recompute minus the deleted slice. */
+  private def s16OracleSql: String =
+    s"WITH $ivfIncrCtes\n${ivfIncrCandSelect(tombCandAnd)}"
 
   private def ivfpqRefineOracleSql: String =
     s"""WITH $pqCoreCtes,

@@ -39,9 +39,9 @@ class LeaseSpec extends SparkSuite {
       assert(Lease.read(fs, p).contains(("owner-a", 1900L)))
       // a non-holder cannot renew or release
       assert(!Lease.renew(fs, p, "owner-b", 500L, now))
-      Lease.release(fs, p, "owner-b")
+      Lease.release(fs, p, "owner-b", now)
       assert(Lease.read(fs, p).isDefined, "non-holder release must not delete")
-      Lease.release(fs, p, "owner-a")
+      Lease.release(fs, p, "owner-a", now)
       assert(Lease.read(fs, p).isEmpty, "holder release must delete")
       // after release anyone acquires
       assert(Lease.acquire(fs, p, "owner-b", 500L, now))
@@ -152,6 +152,73 @@ class LeaseSpec extends SparkSuite {
       }
       assert(e.getMessage.contains("LOST"),
         s"lost lease must fail the maintenance op: ${e.getMessage}")
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("release skips an EXPIRED lease of its own (steal-able garbage, not ours to delete)") {
+    val (fs, p, dir) = fsAndDir()
+    try {
+      var t = 1000L
+      val now = () => t
+      assert(Lease.acquire(fs, p, "owner-a", 500L, now))
+      t = 2000L // past expiry: a stealer could be mid-acquire right now —
+      // deleting would race its fresh create (the ADVICE r19 window)
+      Lease.release(fs, p, "owner-a", now)
+      assert(Lease.read(fs, p).isDefined,
+        "release deleted an expired lease — the stealer-race window is open")
+      // an UNEXPIRED lease still releases normally
+      t = 3000L
+      assert(Lease.acquire(fs, p, "owner-a", 500L, now))
+      Lease.release(fs, p, "owner-a", now)
+      assert(Lease.read(fs, p).isEmpty)
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("a lost lease rides a FAILING body as a suppressed exception") {
+    val (fs, p, dir) = fsAndDir()
+    try {
+      val e = intercept[RuntimeException] {
+        Lease.withLease(fs, p, "me", ttlMs = 150L, pollMs = 20L) {
+          Thread.sleep(60)
+          val out = fs.create(p, true)
+          out.write("thief\n999999999999999\n".getBytes("UTF-8")); out.close()
+          Thread.sleep(300) // let the renewal daemon observe the loss
+          throw new RuntimeException("body failed on its own")
+        }
+      }
+      assert(e.getMessage.contains("body failed"))
+      assert(e.getSuppressed.exists(_.getMessage.contains("LOST")),
+        "the concurrent-writer fact must ride the body's exception, " +
+          s"not just a WARN log: suppressed=${e.getSuppressed.toSeq}")
+    } finally {
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("a transient renew blip is NOT reported as a lost lease") {
+    val (fs, p, dir) = fsAndDir()
+    try {
+      // the daemon's renew fails once (we delete the file under it to
+      // force renew()==false), but the re-read path re-stamps: the file
+      // gone means genuine loss — so instead simulate the TRANSIENT
+      // case directly: owner still matches on re-read, write succeeds.
+      // Here: replace the lease content with OUR OWN owner but stale
+      // expiry mid-body; renew succeeds against it, no loss recorded.
+      val r = Lease.withLease(fs, p, "me", ttlMs = 150L, pollMs = 20L) {
+        Thread.sleep(60)
+        // overwrite with our own owner and an almost-expired stamp —
+        // the daemon's renew sees owner==me and re-stamps (no loss)
+        val out = fs.create(p, true)
+        out.write(s"me\n${System.currentTimeMillis() + 1}\n".getBytes("UTF-8"))
+        out.close()
+        Thread.sleep(300)
+        42
+      }
+      assert(r == 42, "withLease failed a body whose lease was never lost")
     } finally {
       graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(dir))
     }
