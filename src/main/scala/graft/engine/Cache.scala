@@ -151,7 +151,13 @@ final class CacheManager(
       try stream.toArray
         .map(f => dir.relativize(f.asInstanceOf[java.nio.file.Path]).toString).sorted
       finally stream.close()
-    for (f <- files.filterNot(n => n.endsWith(".crc") || n.endsWith("_SUCCESS"))) {
+    // hash DATA files only: dot/underscore names are maintenance control
+    // state, invisible to Spark's own scans (.maintlock/.maintlease from
+    // RootLock, _SUCCESS, compaction markers) — a lock file appearing
+    // after the write-time digest must not read as corruption (C4 is
+    // about the data, and bit it in r20 when register() grew the lock)
+    for (f <- files.filterNot(n =>
+        n.endsWith(".crc") || n.startsWith("_") || n.startsWith("."))) {
       md.update(f.getBytes("UTF-8"))
       md.update(java.security.MessageDigest.getInstance("MD5")
         .digest(Files.readAllBytes(dir.resolve(f))))

@@ -425,6 +425,9 @@ object Text {
   private def indexBuckets(nDocs: Long): Int =
     math.max(8L, (nDocs * 4 + 499999) / 500000).toInt
 
+  private[graft] def indexBucketsForTesting(nDocs: Long): Int =
+    indexBuckets(nDocs)
+
   /** A document frame's LSH signatures in the index layout `(bk, doc_id)`
     * with the flattened band key `bk = band|bkey` — the row format the
     * persisted index stores and shards join on ([[graft.sources.Bucketed]]
@@ -730,8 +733,16 @@ object Text {
   /** The persisted index scan and its bucket count (the shard must
     * repartition to exactly that count for the exchange-free join).
     */
-  private def incrementalIndex(s: SparkSession, dir: String): (DataFrame, Int) = {
-    val t = idxCache.getOrElseUpdate((s, dir), {
+  private def incrementalIndex(s: SparkSession, dir: String): (DataFrame, Int) =
+    incrementalIndexIn(s, dir, idxCache, "t26")
+
+  private def incrementalIndexIn(
+      s: SparkSession, dir: String,
+      cache: scala.collection.concurrent.TrieMap[
+        (SparkSession, String), (DataFrame, String, String, Int)],
+      tag: String,
+      postBuild: String => Unit = _ => ()): (DataFrame, Int) = {
+    val t = cache.getOrElseUpdate((s, dir), {
       val corpus = signatureFrame(
         Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7))
       val buckets = indexBuckets(Tables.documents(s, dir).count())
@@ -739,17 +750,17 @@ object Text {
       // share a live path/table name — same policy as bucketedTables
       val tok = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
-      val name = s"graft_t26_idx_$tok"
+      val name = s"graft_${tag}_idx_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
       graft.engine.TempReaper.register(path)
       val t0 = System.nanoTime()
       // capped frame is already partitioned to the exact bucket spec —
       // writePrepared skips the second corpus-sized exchange
-      val obs = org.apache.spark.sql.Observation(s"graft_t26_index_cap_$tok")
+      val obs = org.apache.spark.sql.Observation(s"graft_${tag}_index_cap_$tok")
       graft.sources.Bucketed.writePrepared(
         cappedIndexFrame(corpus, buckets, obs = Some(obs)), name, path,
         buckets, Seq("bk"), Seq("bk", "doc_id"))
-      buildSecs.put((s, "t26_index"), (System.nanoTime() - t0) / 1e9)
+      buildSecs.put((s, s"${tag}_index"), (System.nanoTime() - t0) / 1e9)
       // pin the cap's correctness contract: a capped (dropped > 0) build
       // is VALID at corpus scale but diverges from an uncapped-recompute
       // oracle by design — surface it loudly, and record the stats so
@@ -764,39 +775,54 @@ object Text {
             s"(max bucket $maxBucket, cap " +
             s"${Lsh.DefaultBucketCap}) — uncapped-oracle comparisons at " +
             "this corpus scale will diverge by design")
+      postBuild(name)
       (graft.sources.Bucketed.table(s, name), name, path, buckets)
     })
     (t._1, t._4)
   }
 
-  /** Persisted corpus EXACT-hash index (distinct `h = md5(lower(text))`),
-    * bucketed by `h` — the t26 pattern at the exact-dedup granularity.
-    * An arriving shard drops its re-crawled exact duplicates by
-    * anti-joining this table with the corpus side exchange-free (s10);
-    * at 100 TB the index is maintained alongside the signature index,
-    * so per-shard exact dedup costs one shard-sized shuffle, never a
-    * corpus groupBy. One exchange total at build: the repartition to
-    * the bucket spec doubles as the distinct's clustering, and
-    * writePrepared skips the writer's own exchange. No occupancy cap:
-    * `h` is unique per distinct normalized text, so the bucket fan-in
-    * is the hash function's own balance, not data skew.
+  /** Persisted corpus EXACT-hash index (`h = md5(lower(text))`, one row
+    * per corpus document), bucketed by `h` — the t26 pattern at the
+    * exact-dedup granularity. An arriving shard drops its re-crawled
+    * exact duplicates by anti-joining this table on `h` with the corpus
+    * side exchange-free (s10); at 100 TB the index is maintained
+    * alongside the signature index, so per-shard exact dedup costs one
+    * shard-sized shuffle, never a corpus groupBy. One exchange total at
+    * build: the repartition to the bucket spec is the only clustering,
+    * and writePrepared skips the writer's own exchange. The row carries
+    * `doc_id` so DELETIONS are multiplicity-correct by construction: a
+    * hash stops vetoing admission only when its LAST carrier document
+    * is deleted (tombstones remove (h, doc_id) rows; any surviving row
+    * with the same `h` keeps the veto — no refcount needed). The
+    * anti-join's semantics are unchanged by the duplicate `h` rows. No
+    * occupancy cap: bucket fan-in is the hash function's own balance,
+    * not data skew.
     */
   private val exhCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, String, String, Int)]
-  private def exactHashIndex(s: SparkSession, dir: String): (DataFrame, Int) = {
-    val t = exhCache.getOrElseUpdate((s, dir), {
+  private def exactHashIndex(s: SparkSession, dir: String): (DataFrame, Int) =
+    exactHashIndexIn(s, dir, exhCache, "s10")
+
+  private def exactHashIndexIn(
+      s: SparkSession, dir: String,
+      cache: scala.collection.concurrent.TrieMap[
+        (SparkSession, String), (DataFrame, String, String, Int)],
+      tag: String,
+      postBuild: String => Unit = _ => ()): (DataFrame, Int) = {
+    val t = cache.getOrElseUpdate((s, dir), {
       val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
       val buckets = indexBuckets(Tables.documents(s, dir).count())
       val tok = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
-      val name = s"graft_s10_exh_$tok"
+      val name = s"graft_${tag}_exh_$tok"
       val path = s"${System.getProperty("java.io.tmpdir")}/$name"
       graft.engine.TempReaper.register(path)
-      val prepared = corpus.select(md5(lower(col("text"))).as("h"))
+      val prepared = corpus
+        .select(md5(lower(col("text"))).as("h"), col("doc_id"))
         .repartition(buckets, col("h"))
-        .dropDuplicates("h")
       graft.sources.Bucketed.writePrepared(
-        prepared, name, path, buckets, Seq("h"), Seq("h"))
+        prepared, name, path, buckets, Seq("h"), Seq("h", "doc_id"))
+      postBuild(name)
       (graft.sources.Bucketed.table(s, name), name, path, buckets)
     })
     (t._1, t._4)
@@ -807,6 +833,99 @@ object Text {
     */
   private[graft] def exactHashIndexForTesting(
       s: SparkSession, dir: String): (DataFrame, Int) = exactHashIndex(s, dir)
+
+  // ---- deletion variants of the maintained text indexes (VERDICT r19
+  // next #2): the same two index builds, but the gate's postBuild runs a
+  // TAKEDOWN — wave 1 (corpus doc_id % 14 = 2) is staged and VACUUMED
+  // (physically rewritten out through Bucketed.rewriteBuckets' commit
+  // protocol), wave 2 (% 14 = 9) stays a LIVE tombstone the serving
+  // mask must honor. Serving reads = table ANTI broadcast(tombstones),
+  // which preserves every exchange-free property the base gates REQUIRE
+  // — so a removed document stops vetoing re-admission (s18) and stops
+  // appearing as a near-dup/contamination source (t29/s19), while the
+  // indexes are never rebuilt. ----
+
+  private val delIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, String, String, Int)]
+  private val delExhCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, String, String, Int)]
+
+  /** The two-wave takedown over a maintained index's corpus rows. */
+  private def textTakedown(s: SparkSession, dir: String, name: String): Unit = {
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+    graft.sources.Bucketed.stageDelete(s, name,
+      corpus.filter(col("doc_id") % 14 === 2).select("doc_id"), "doc_id")
+    val retired = graft.sources.Bucketed.vacuumTombstones(s, name, "doc_id")
+    require(retired > 0, s"takedown wave 1 vacuumed nothing on $name")
+    graft.sources.Bucketed.stageDelete(s, name,
+      corpus.filter(col("doc_id") % 14 === 9).select("doc_id"), "doc_id")
+  }
+
+  /** The signature index with the takedown applied: raw cached table +
+    * the live-tombstone mask, re-applied per query (tombstones move).
+    */
+  private def deletedIncrementalIndex(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
+    val (_, buckets) = incrementalIndexIn(s, dir, delIdxCache, "t29",
+      postBuild = name => textTakedown(s, dir, name))
+    val name = delIdxCache((s, dir))._2
+    (graft.sources.Bucketed.minusTombstones(s, name,
+      graft.sources.Bucketed.table(s, name), "doc_id"), buckets)
+  }
+
+  /** The exact-hash index with the takedown applied (same mask). */
+  private def deletedExactHashIndex(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
+    val (_, buckets) = exactHashIndexIn(s, dir, delExhCache, "s18",
+      postBuild = name => textTakedown(s, dir, name))
+    val name = delExhCache((s, dir))._2
+    (graft.sources.Bucketed.minusTombstones(s, name,
+      graft.sources.Bucketed.table(s, name), "doc_id"), buckets)
+  }
+
+  /** Maintained-index accessors for the deletion specs. */
+  private[graft] def deletedIndexesForTesting(s: SparkSession, dir: String)
+      : ((DataFrame, Int), (DataFrame, Int), String, String) = {
+    val i = deletedIncrementalIndex(s, dir)
+    val e = deletedExactHashIndex(s, dir)
+    (i, e, delIdxCache((s, dir))._2, delExhCache((s, dir))._2)
+  }
+
+  /** t26's query body over an arbitrary (possibly deletion-masked)
+    * signature index: shard signatures pre-partitioned to the index's
+    * exact bucket spec, the probe join REQUIREd to add zero exchanges
+    * beyond the shard's own, candidates re-ranked by exact shingle
+    * jaccard.
+    */
+  private def incrementalDedupFrom(s: SparkSession, dir: String,
+      idx: DataFrame, buckets: Int, what: String): DataFrame = {
+    val sh = persistedShingles(s, dir)
+    // the shard's signatures (same per-row closed form as the index),
+    // pre-partitioned to the index's exact bucket spec
+    // (buckets × hash(bk)) so EnsureRequirements inserts nothing
+    val shard = rowLshKeys(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))
+      .withColumnRenamed("doc_id", "doc2")
+      .repartition(buckets, col("bk"))
+    val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
+      .join(shard.hint("merge"), "bk")
+    val added = graft.sources.Bucketed.shuffleCount(joined) -
+      graft.sources.Bucketed.shuffleCount(shard)
+    require(added == 0,
+      s"$what: corpus index side shuffled ($added extra " +
+        s"exchange(s)):\n${joined.queryExecution.executedPlan}")
+    val cand = joined.select("doc1", "doc2").distinct()
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+    cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
+      .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
+      .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
+          .as("jaccard"))
+  }
 
   /** One JSONL copy of `documents` per (session, dir), written to a stable
     * per-JVM tmp path (64 random bits per JVM: concurrent processes never
@@ -1669,32 +1788,7 @@ object Text {
          |JOIN n na ON na.doc_id = i.doc1
          |JOIN n nb ON nb.doc_id = i.doc2""".stripMargin) { (s, dir) =>
       val (idx, buckets) = incrementalIndex(s, dir)
-      val sh = persistedShingles(s, dir)
-      // the shard's signatures (same per-row closed form as the index),
-      // pre-partitioned to the index's exact bucket spec
-      // (buckets × hash(bk)) so EnsureRequirements inserts nothing
-      val shard = rowLshKeys(
-          Tables.documents(s, dir).filter(col("doc_id") % 10 === 7))
-        .withColumnRenamed("doc_id", "doc2")
-        .repartition(buckets, col("bk"))
-      val joined = idx.select(col("bk"), col("doc_id").as("doc1")).hint("merge")
-        .join(shard.hint("merge"), "bk")
-      val added = graft.sources.Bucketed.shuffleCount(joined) -
-        graft.sources.Bucketed.shuffleCount(shard)
-      require(added == 0,
-        s"incremental dedup: corpus index side shuffled ($added extra " +
-          s"exchange(s)):\n${joined.queryExecution.executedPlan}")
-      val cand = joined.select("doc1", "doc2").distinct()
-      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-      cand.join(a, "doc1").join(b, Seq("doc2", "shingle"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("ic"))
-        .join(n.select(col("doc_id").as("doc1"), col("ns").as("na")), "doc1")
-        .join(n.select(col("doc_id").as("doc2"), col("ns").as("nb")), "doc2")
-        .select(col("doc1"), col("doc2"),
-          (col("ic").cast("double") / (col("na") + col("nb") - col("ic")))
-            .as("jaccard"))
+      incrementalDedupFrom(s, dir, idx, buckets, "incremental dedup")
     },
 
     // ---- Streaming near-dup candidates against the maintained index
@@ -1979,6 +2073,155 @@ object Text {
       val (idx, buckets) = incrementalIndex(s, dir)
       // the per-release-batch dedup (batch-distinct here); the streaming
       // plan inside pipelineCandidates stays zero-state — see its note
+      pipelineCandidates(
+        streamAdmissionDelta(Tables.documents(s, dir)),
+        eidx, idx, buckets, requirePlan = true)
+        .dropDuplicates("doc1", "doc2")
+    },
+
+    // ---- t26 after a TAKEDOWN (deletions for the maintained signature
+    // index, VERDICT r19 next #2): the index is built once, then corpus
+    // docs doc_id % 14 = 2 are deleted and VACUUMED (physical rewrite of
+    // only the hit buckets through the commit-marker protocol) and
+    // % 14 = 9 deleted but left as LIVE tombstones — the serving scan
+    // masks them with one broadcast anti-join that keeps the corpus side
+    // exchange-free (REQUIREd, as in t26). The oracle recomputes the
+    // whole dedup WITHOUT the deleted corpus docs, so a stale index row
+    // surviving either deletion path hash-fails the gate. ----
+    GQuery(
+      "t29_incremental_dedup_deleted",
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+         |  FROM mh GROUP BY doc_id, j // 2),
+         |cand AS (
+         |  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+         |  FROM bands b1 JOIN bands b2
+         |    ON b1.band = b2.band AND b1.bkey = b2.bkey
+         |  WHERE b1.doc_id % 10 <> 7 AND b1.doc_id % 14 NOT IN (2, 9)
+         |    AND b2.doc_id % 10 = 7),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc1, c.doc2, count(*) AS ic
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc1
+         |  JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+         |  GROUP BY c.doc1, c.doc2)
+         |SELECT i.doc1, i.doc2,
+         |  CAST(i.ic AS DOUBLE) / (na.ns + nb.ns - i.ic) AS jaccard
+         |FROM inter i
+         |JOIN n na ON na.doc_id = i.doc1
+         |JOIN n nb ON nb.doc_id = i.doc2""".stripMargin) { (s, dir) =>
+      val (idx, buckets) = deletedIncrementalIndex(s, dir)
+      incrementalDedupFrom(s, dir, idx, buckets, "t29 deleted dedup")
+    },
+
+    // ---- s10 after the same takedown on the EXACT-hash index: deleted
+    // corpus documents stop vetoing re-admission — a re-crawl replay of
+    // a deleted doc's text now SURVIVES the anti-join (the takedown
+    // event is precisely why exact dedup must be able to forget). The
+    // index rows carry (h, doc_id), so the veto lapses only when the
+    // LAST carrier of a hash is deleted — multiplicity-correct with no
+    // refcounts. Delta construction is unchanged from s10 (an arriving
+    // shard doesn't know about takedowns); only the veto set shrinks.
+    // ----
+    GQuery(
+      "s18_stream_admission_deleted", {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+           |live AS (SELECT * FROM corpus WHERE doc_id % 14 NOT IN (2, 9)),
+           |delta AS (
+           |  SELECT doc_id, text, lang, source, n_chars FROM documents
+           |  WHERE doc_id % 10 = 7
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000, text, lang, source, n_chars
+           |  FROM corpus WHERE doc_id % 20 = 4),
+           |q AS (
+           |  SELECT doc_id, source, lang, text,
+           |    len(string_split(text, ' ')) AS n_tok,
+           |    least(1.0, n_chars / 400.0) * 0.5
+           |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+           |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+           |  FROM delta),
+           |adm AS (
+           |  SELECT doc_id, source, lang, text, n_tok, quality,
+           |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+           |      '@example.com tel: 415-555-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |      ' ip: 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           |  FROM q
+           |  WHERE quality >= 0.5
+           |    AND (doc_id * 1103515245 + 12345) % 1000 < 980
+           |    AND (doc_id * 2654435761) % 1000000 <
+           |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000)
+           |SELECT a.doc_id, a.source, a.lang, CAST(a.n_tok AS BIGINT) AS n_tok,
+           |  a.quality,
+           |  CAST(len(regexp_extract_all(a.t, '$email')) +
+           |       len(regexp_extract_all(a.t, '$phone')) +
+           |       len(regexp_extract_all(a.t, '$ip')) AS BIGINT) AS n_pii,
+           |  CAST(len(regexp_replace(regexp_replace(regexp_replace(a.t,
+           |    '$email', '<EMAIL>', 'g'),
+           |    '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g')) AS BIGINT) AS scrub_len
+           |FROM adm a
+           |WHERE NOT EXISTS (SELECT 1 FROM live c
+           |  WHERE md5(lower(c.text)) = md5(lower(a.text)))""".stripMargin
+      }) { (s, dir) =>
+      val (idx, buckets) = deletedExactHashIndex(s, dir)
+      admissionSurvivors(
+        streamAdmissionDelta(Tables.documents(s, dir)), idx, buckets,
+        requirePlan = true)
+    },
+
+    // ---- s11's composed streaming pipeline with BOTH maintained
+    // indexes under the takedown: replays of deleted corpus docs pass
+    // the exact-dedup stage AND deleted docs stop appearing as near-dup
+    // candidate sources (doc1) — one append-legal plan consulting two
+    // tombstone-masked bucketed indexes, exchange-free on both corpus
+    // sides exactly as s11 REQUIREs. ----
+    GQuery(
+      "s19_stream_pipeline_deleted",
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+         |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS bkey
+         |  FROM mh GROUP BY doc_id, j // 2),
+         |corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+         |live AS (SELECT * FROM corpus WHERE doc_id % 14 NOT IN (2, 9)),
+         |delta AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  WHERE doc_id % 10 = 7
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, text, lang, source, n_chars
+         |  FROM corpus WHERE doc_id % 20 = 4),
+         |q AS (
+         |  SELECT doc_id, source, text,
+         |    least(1.0, n_chars / 400.0) * 0.5
+         |      + least(0.3, CAST(len(regexp_extract_all(lower(text), '$StopRe')) AS DOUBLE)
+         |          / len(string_split(text, ' '))) * 0.5 / 0.3 AS quality
+         |  FROM delta),
+         |surv AS (
+         |  SELECT doc_id FROM q
+         |  WHERE quality >= 0.5
+         |    AND (doc_id * 1103515245 + 12345) % 1000 < 980
+         |    AND (doc_id * 2654435761) % 1000000 <
+         |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000
+         |    AND NOT EXISTS (SELECT 1 FROM live c
+         |      WHERE md5(lower(c.text)) = md5(lower(q.text))))
+         |SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+         |FROM bands b1 JOIN bands b2
+         |  ON b1.band = b2.band AND b1.bkey = b2.bkey
+         |WHERE b1.doc_id % 10 <> 7 AND b1.doc_id % 14 NOT IN (2, 9)
+         |  AND b2.doc_id IN (SELECT doc_id FROM surv)""".stripMargin) { (s, dir) =>
+      val (eidx, _) = deletedExactHashIndex(s, dir)
+      val (idx, buckets) = deletedIncrementalIndex(s, dir)
       pipelineCandidates(
         streamAdmissionDelta(Tables.documents(s, dir)),
         eidx, idx, buckets, requirePlan = true)

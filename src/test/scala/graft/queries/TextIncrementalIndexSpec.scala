@@ -174,4 +174,55 @@ class TextIncrementalIndexSpec extends SparkSuite {
       s"x10 maintenance sentinels nonzero: $m — append has diverged " +
         "from rebuild at sweep scale")
   }
+
+  test("append → compact → append cycle keeps the index exact and exchange-free") {
+    // VERDICT r19 missing #3's done-criterion: the maintained index
+    // survives a full maintenance cycle — a delta append fragments
+    // buckets, compactBuckets restores one file per bucket through the
+    // commit-marker rewrite, a SECOND delta appends onto the compacted
+    // store — and at every step the index equals the monotone rebuild
+    // and the probe join stays exchange-free on the corpus side.
+    val s = spark
+    val docs = graft.Tables.documents(s, sf0001)
+    val tok = java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    val name = s"graft_t26_cycle_$tok"
+    val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+    try {
+      val corpus = Text.signatureFrame(docs.filter(col("doc_id") % 10 =!= 7))
+      graft.sources.Bucketed.writePrepared(
+        Text.cappedIndexFrame(corpus, 8), name, path, 8, Seq("bk"),
+        Seq("bk", "doc_id"))
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      graft.sources.Bucketed.append(
+        Text.signatureFrame(delta.filter(col("doc_id") % 20 === 7)),
+        name, 8, Seq("bk"))
+      assert(graft.sources.Bucketed.bucketFileCounts(s, name)
+        .values.exists(_ > 1), "append did not fragment — cycle vacuous")
+      assert(graft.sources.Bucketed.compactBuckets(s, name) > 0)
+      assert(graft.sources.Bucketed.bucketFileCounts(s, name)
+        .values.forall(_ == 1), "compaction left fragmented buckets")
+      graft.sources.Bucketed.appendPrepared(
+        Text.cappedDelta(graft.sources.Bucketed.table(s, name),
+          Text.signatureFrame(delta.filter(col("doc_id") % 20 =!= 7)), 8),
+        name)
+      val got = graft.sources.Bucketed.table(s, name)
+      val want = Text.signatureFrame(docs)
+      assert(got.count() == want.count(),
+        "index row count drifted across the append→compact→append cycle")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "index rows differ from the full rebuild after the cycle")
+      // the t26 probe shape is still exchange-free over the cycled store
+      val shard = Text.signatureFrame(delta)
+        .withColumnRenamed("doc_id", "doc2").repartition(8, col("bk"))
+      val joined = got.hint("merge").join(shard.hint("merge"), "bk")
+      assert(graft.sources.Bucketed.shuffleCount(joined) ==
+          graft.sources.Bucketed.shuffleCount(shard),
+        s"cycle broke the exchange-free scan:\n" +
+          joined.queryExecution.executedPlan)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS `$name`")
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(path))
+    }
+  }
 }
