@@ -1130,166 +1130,20 @@ object Vectors {
   // deleted on recovery); after it, every remaining step is an
   // idempotent rename, re-runnable from recoverFlush. ----
 
-  /** Per-index-root mutual exclusion for the staging maintenance ops.
-    * The flush protocol is crash-safe but NOT concurrency-safe on its
-    * own: a stageInsert racing a pre-commit flushStaging runs
-    * recoverFlush, which (correctly, from its single-writer view)
-    * deletes the in-flight flush's _flush_out/_staging_new as garbage —
-    * and when that flush then commits (staging → _staging_old),
-    * completeFlush finds neither dir and deletes the staged rows' only
-    * copy. Every maintenance entry point (stageInsert / stagedRows /
-    * flushStaging / compactCells / recoverFlush via them) serializes
-    * on TWO nested layers:
-    *
-    *  1. the root's JVM monitor (cheap, reentrancy-tracked) — the
-    *     intra-process exclusion r16 added;
-    *  2. an exclusive POSIX file lock on `$root/.maintlock` (the C5
-    *     flock pattern from engine/Cache.scala) — CROSS-PROCESS
-    *     exclusion, because the repo's own tooling runs a second JVM
-    *     against the same roots (runtool alongside sbt is the
-    *     committed launcher's stated purpose), and the
-    *     recovery-deletes-live-flush race is identical across
-    *     processes. Blocking lock, not tryLock: maintenance ops are
-    *     short and callers want the op done, not an error
-    *     (IvfRootFlockSpec pins that a second process's holder stalls
-    *     maintenance until release).
-    *
-    * The file lock engages only for local (`file:`/schemeless) roots —
-    * POSIX locks don't exist on HDFS/S3; a multi-process writer
-    * topology on an object store needs an external coordinator (lease/
-    * conditional put), which is out of scope for this single-writer
-    * design. On a NON-local root the contract fails LOUD, not silent:
-    * maintenance refuses to run unless the operator acknowledges a
-    * single-writer topology (`GRAFT_IVF_SINGLE_WRITER=1`) — the r17
-    * form no-opped the lock there, which read as protection it wasn't
-    * providing. Readers of committed cell files take no lock either way.
+  /** Per-index-root mutual exclusion for the staging maintenance ops —
+    * the shared [[graft.engine.RootLock]] machinery (JVM monitor +
+    * POSIX flock on `$root/.maintlock` locally, the lease-file protocol
+    * on object stores, fail-loud otherwise; see RootLock's header for
+    * the protocol and the flush-protocol race it exists to prevent).
+    * Kept as thin aliases: every memo in this file keys by the SAME
+    * canonical root the lock uses, which is the invariant that made
+    * ADVICE r18 #2's aliased-spelling staleness impossible.
     */
-  private val rootLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private val heldRootLocks = ThreadLocal.withInitial[
-    scala.collection.mutable.Set[String]](
-    () => scala.collection.mutable.Set.empty[String])
+  private[graft] def withRootLock[T](idxRoot: String)(body: => T): T =
+    graft.engine.RootLock.withRoot(idxRoot)(body)
 
-  /** Whether an index root lives on the local filesystem (where POSIX
-    * locks exist and toRealPath canonicalization applies).
-    */
-  private def isLocalRoot(idxRoot: String): Boolean = {
-    val scheme = new org.apache.hadoop.fs.Path(idxRoot).toUri.getScheme
-    scheme == null || scheme == "file"
-  }
-
-  /** Canonical key for an index root. Local roots resolve through the
-    * FILESYSTEM (toRealPath when the dir exists, normalized absolute
-    * path otherwise — resolution is read-only: pure readers like
-    * loadCurve must never mkdir a mistyped root): "file:/tmp/idx",
-    * "/tmp/idx", "/tmp/idx/" and a symlinked spelling of the same inode
-    * fold to ONE key. Non-local roots keep their SCHEME AND AUTHORITY —
-    * s3a://bucketA/idx and s3a://bucketB/idx are different roots and
-    * must not share a cache entry or a reentrancy key (folding them
-    * over-locks safely, but the curve/residual memos are VALUE caches
-    * where a collision serves the wrong index's state). Shared by the
-    * maintenance lock ([[withRootLock]]) and every per-root memo keyed
-    * by spelling (curveCache / residPqCache — ADVICE r18 #2: an aliased
-    * spelling previously kept a stale cached curve, including a cached
-    * None that pinned the legacy nprobe fallback).
-    */
-  private[graft] def canonicalRoot(idxRoot: String): String = {
-    val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
-    if (!isLocalRoot(idxRoot))
-      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
-    else {
-      val p = java.nio.file.Paths.get(uri.getPath)
-      if (java.nio.file.Files.exists(p)) p.toRealPath().toString
-      else p.toAbsolutePath.normalize().toString
-    }
-  }
-
-  private[graft] def withRootLock[T](idxRoot: String)(body: => T): T = {
-    val uri = new org.apache.hadoop.fs.Path(idxRoot).toUri
-    val local = isLocalRoot(idxRoot)
-    // the lock places a file under the root: ensure it exists BEFORE
-    // canonicalizing so the key is the realpath (symlink-folded), not
-    // the normalized fallback a not-yet-created root would get
-    if (local)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(uri.getPath))
-    val key = canonicalRoot(idxRoot)
-    // cross-process exclusion strategy for this root: local → POSIX
-    // flock; non-local with a TTL configured → the lease-file protocol
-    // (engine/Lease.scala: create-if-absent + owner + TTL + renewal —
-    // VERDICT r18 missing #5); non-local otherwise → fail LOUD unless
-    // the operator acknowledges a single-writer topology.
-    // `graft.ivf.lease.force` routes LOCAL roots through the lease too,
-    // so the wiring is testable end-to-end without an object store.
-    val useLease = leaseTtlMs.isDefined && (!local || leaseForce)
-    if (!local && !useLease)
-      // POSIX locks don't exist off the local FS: a silent no-op here
-      // would let two writers on an object-store root replay the
-      // recovery-deletes-live-flush race with no warning.
-      require(singleWriterAck,
-        s"maintenance root $idxRoot is non-local ($uri): cross-process " +
-          "locking is unavailable off the local filesystem. Set " +
-          "GRAFT_IVF_LEASE_TTL_MS=<ms> to coordinate writers through " +
-          "the lease-file protocol, or GRAFT_IVF_SINGLE_WRITER=1 to " +
-          "acknowledge a single-writer topology")
-    rootLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      // reentrant: nested maintenance calls (stageInsert → recoverFlush)
-      // already hold this thread's process lock — a second fcntl lock
-      // from the same JVM would throw OverlappingFileLockException
-      if (heldRootLocks.get().contains(key)) body
-      else {
-        val ch = if (!local || useLease) None else {
-          val c = java.nio.channels.FileChannel.open(
-            java.nio.file.Paths.get(key).resolve(".maintlock"),
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
-          // a lock() failure (interrupt, overlapping-lock pathology the
-          // canonical key didn't fold) must not leak the open channel
-          try c.lock() // blocks until any other PROCESS's holder releases
-          catch { case t: Throwable => c.close(); throw t }
-          Some(c)
-        }
-        heldRootLocks.get().add(key)
-        try {
-          if (useLease) {
-            val conf = org.apache.spark.sql.SparkSession.getActiveSession
-              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-              .map(_.sparkContext.hadoopConfiguration)
-              .getOrElse(new org.apache.hadoop.conf.Configuration())
-            val lp = new org.apache.hadoop.fs.Path(idxRoot, ".maintlease")
-            graft.engine.Lease.withLease(
-              lp.getFileSystem(conf), lp, graft.engine.Lease.jvmOwner,
-              leaseTtlMs.get)(body)
-          } else body
-        } finally {
-          heldRootLocks.get().remove(key)
-          ch.foreach(_.close()) // close releases the lock
-        }
-      }
-    }
-  }
-
-  /** Lease TTL for non-local maintenance roots (`GRAFT_IVF_LEASE_TTL_MS`
-    * / prop `graft.ivf.lease.ttl.ms`): size it to dominate both the
-    * longest maintenance op (renewal halves the risk) and the store's
-    * metadata consistency lag.
-    */
-  private def leaseTtlMs: Option[Long] =
-    sys.env.get("GRAFT_IVF_LEASE_TTL_MS")
-      .orElse(sys.props.get("graft.ivf.lease.ttl.ms")).map(_.toLong)
-
-  private def leaseForce: Boolean =
-    sys.env.get("GRAFT_IVF_LEASE_FORCE")
-      .orElse(sys.props.get("graft.ivf.lease.force")).contains("1")
-
-  /** Operator acknowledgment that exactly one process maintains non-local
-    * index roots (`GRAFT_IVF_SINGLE_WRITER=1`; the system property is the
-    * spec hook — env vars are immutable in-JVM).
-    */
-  private def singleWriterAck: Boolean =
-    sys.env.get("GRAFT_IVF_SINGLE_WRITER")
-      .orElse(sys.props.get("graft.ivf.single.writer"))
-      .contains("1")
+  private[graft] def canonicalRoot(idxRoot: String): String =
+    graft.engine.RootLock.canonicalRoot(idxRoot)
 
   /** Stage routed rows (vec_id, label, embedding, nrm, cell) into the
     * index's staging table: ONE delta-sized append — no per-cell files,
@@ -2230,6 +2084,69 @@ object Vectors {
       topK(approx, 5)
     },
 
+    // ---- The PQ byte budget as a build knob (VERDICT r19 next #4):
+    // the SAME ADC chain at M=16 sub-quantizers — 16 B/vector of code
+    // state against v10's 8, 4-dim subspaces, finer within-cell code
+    // resolution (the lever the measured recall ceiling named). The
+    // whole train/assign/distance-table chain re-derives from (M, sub)
+    // on BOTH engines, so the doubled-byte geometry is hash-exact
+    // against DuckDB like v10, not merely plausible; the recall-vs-
+    // bytes tradeoff rows live in BASELINE.md (PqVariantsProfile). ----
+    GQuery("v20_pq_adc_m16", pqOracleSqlM(16, 4)) { (s, dir) =>
+      registered(s)
+      val (codesArr, dtabArr) = pqEncodeM(s, dir, 16)
+      val approx = codesArr.crossJoin(broadcast(dtabArr))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookupM(16))
+      topK(approx, 5)
+    },
+
+    // ---- OPQ rotation (VERDICT r19 next #4's second half; Ge et al.
+    // CVPR 2013, FAISS OPQMatrix — see queries/Opq.scala). DuckDB
+    // cannot recompute an SVD chain, so this is the v9-pattern
+    // INVARIANT gate: the oracle row is the constants the theorems
+    // demand. (1) R is orthogonal (defect ≤ 1e-8); (2) the alternating
+    // objective is non-increasing at EVERY half-step — each half is an
+    // exact block minimizer, so any increase is an implementation bug;
+    // (3) the final objective ≤ the identity-rotation (plain PQ)
+    // objective — OPQ warm-starts at R = I, so monotonicity makes the
+    // improvement a theorem, not a hope; (4) the DISTRIBUTED rotation
+    // plumbing round-trips: rotating the whole corpus by R and back by
+    // Rᵀ reproduces every embedding (the corpus-scale encode path the
+    // profile tool prices runs through exactly this map). Measured
+    // recall/error per (encoding, M) lives in BASELINE.md
+    // (PqVariantsProfile), where data-dependent numbers belong. ----
+    GQuery(
+      "v21_opq_invariants",
+      """SELECT CAST(0 AS BIGINT) AS orth_violations,
+        |  CAST(0 AS BIGINT) AS monotone_violations,
+        |  CAST(1 AS BIGINT) AS improved_vs_identity,
+        |  CAST(0 AS BIGINT) AS roundtrip_violations""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val res = opqFor(s, dir)
+      val orthViol = if (Opq.orthDefect(res.r) <= 1e-8) 0L else 1L
+      val monoViol = res.objectives.sliding(2).count {
+        case Seq(a, b) => b > a + 1e-9 * math.max(1.0, a)
+        case _ => false
+      }.toLong
+      val improved =
+        if (res.objectives.last <= res.objectives.head * (1 + 1e-12)) 1L
+        else 0L
+      val rt = emb
+        .withColumn("rv", rotated(col("embedding"), res.r))
+        .withColumn("back", rotated(col("rv"), transposed(res.r)))
+        .filter(expr(
+          """aggregate(zip_with(embedding, back,
+            |  (a, b) -> abs(CAST(a AS DOUBLE) - b)),
+            |  CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"""
+            .stripMargin) > 1e-6)
+        .count()
+      Seq((orthViol, monoViol, improved, rt)).toDF(
+        "orth_violations", "monotone_violations", "improved_vs_identity",
+        "roundtrip_violations")
+    },
+
     // ---- IVF-PQ: the composed index every production ANN system ships
     // (FAISS IVFPQ) — coarse routing picks ONE centroid cell per query
     // (v5's argmax, the partition-pruning tier), then ADC ranks ONLY the
@@ -3078,8 +2995,13 @@ object Vectors {
     * The oracle adds the same 8 values in the same s-order via an
     * ORDER BY s list, so the double rounding matches bit-for-bit.
     */
-  private[graft] def adcLookup: Column = expr(
-    (0 until PqM).map(i =>
+  private[graft] def adcLookup: Column = adcLookupM(PqM)
+
+  /** [[adcLookup]] at an explicit sub-quantizer count (the PQ byte-budget
+    * knob: M lookups summed flat, M bytes of code state per vector).
+    */
+  private[graft] def adcLookupM(m: Int): Column = expr(
+    (0 until m).map(i =>
       s"element_at(darr, $i * $PqK + element_at(carr, ${i + 1}) + 1)")
       .mkString(" + "))
 
@@ -3147,13 +3069,14 @@ object Vectors {
     * residual tier's query tables are per (q_id, probed cell), so the
     * sub-vector explode must carry both through.
     */
-  private def pqSubVectorsKeyed(emb: DataFrame, keys: Seq[String]): DataFrame =
+  private def pqSubVectorsKeyed(emb: DataFrame, keys: Seq[String],
+      m: Int = PqM, sub: Int = PqSub): DataFrame =
     emb.select(keys.map(col) :+
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"): _*)
       .select(keys.map(col) ++ Seq(col("v"),
-        explode(expr(s"sequence(0, ${PqM - 1})")).as("s")): _*)
+        explode(expr(s"sequence(0, ${m - 1})")).as("s")): _*)
       .select(keys.map(col) ++ Seq(col("s"),
-        expr(s"slice(v, s * $PqSub + 1, $PqSub)").as("sv")): _*)
+        expr(s"slice(v, s * $sub + 1, $sub)").as("sv")): _*)
 
   /** d2(a, b) via the same three-dot expansion the oracle uses. */
   private def pqL2(a: String, b: String) = expr(
@@ -3214,15 +3137,183 @@ object Vectors {
     * — Q×nprobe tables, still broadcast-sized, never corpus-sized.
     */
   private def pqDistTabArrKeyed(
-      qsv: DataFrame, cb: DataFrame, keys: Seq[String]): DataFrame =
+      qsv: DataFrame, cb: DataFrame, keys: Seq[String],
+      m: Int = PqM): DataFrame =
     qsv.join(broadcast(cb), "s")
       .select(keys.map(col) ++ Seq((col("s") * PqK + col("code")).as("i"),
         pqL2("qv", "cv").as("pdist")): _*)
       .groupBy(keys.map(col): _*)
       .agg(map_from_entries(collect_list(struct(col("i"), col("pdist")))).as("dm"))
       .select(keys.map(col) :+ expr(
-        s"transform(sequence(0, ${PqM * PqK - 1}), " +
+        s"transform(sequence(0, ${m * PqK - 1}), " +
           "i -> coalesce(element_at(dm, i), CAST('Infinity' AS DOUBLE)))").as("darr"): _*)
+
+  // ---- OPQ support (v21 + PqVariantsProfile) ----
+
+  /** The memoized OPQ training result per (session, dir): driver-side
+    * alternating solver over the vec-id-ordered sample (bounded by
+    * `GRAFT_OPQ_SAMPLE` / prop `graft.opq.sample`, default 4096 — R is
+    * 64×64; FAISS trains OPQ on a subset the same way).
+    */
+  private val opqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Opq.Result]
+  private[graft] def opqFor(s: SparkSession, dir: String): Opq.Result =
+    opqCache.getOrElseUpdate((s, dir),
+      Opq.train(embSample(s, dir), PqM, PqK, iters = 4, lloydIters = PqIters))
+
+  /** The vec-id-ordered driver-side training sample (bounded by
+    * `GRAFT_OPQ_SAMPLE` / prop `graft.opq.sample`, default 4096).
+    */
+  private[graft] def embSample(
+      s: SparkSession, dir: String): Array[Array[Double]] = {
+    val cap = sys.env.get("GRAFT_OPQ_SAMPLE")
+      .orElse(sys.props.get("graft.opq.sample")).map(_.toInt).getOrElse(4096)
+    Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .orderBy("vec_id").limit(cap).collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+  }
+
+  /** Rotate an embedding column by a row-major d×d matrix — one JVM map
+    * per row (64×64 flops). A codegen'd expression would carry 4096
+    * literals into the generated method; the rotation sits UPSTREAM of
+    * the unchanged fused-ADC chain, so the scalar UDF costs one map
+    * stage and perturbs no serving plan.
+    */
+  private def rotateUdf(
+      r: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      val d = r.length
+      val out = new Array[Double](d)
+      // ROW-vector × R — the Opq trainer's convention (xr = X·R). The
+      // transposed application here originally served the corpus the
+      // INVERSE rotation: orthogonality made every invariant still
+      // hold, only the frozen-codebook encode exposed it (corpus error
+      // 207 vs the sample objective's 143 on identical data).
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var t = 0
+        while (t < d) { acc += r(t)(i) * v(t); t += 1 }
+        out(i) = acc; i += 1
+      }
+      out.toSeq
+    })
+
+  /** `c` (array<float> or array<double>) rotated by `r`. */
+  private[graft] def rotated(c: Column, r: Array[Array[Double]]): Column =
+    rotateUdf(r)(c.cast("array<double>"))
+
+  private[graft] def transposed(r: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(r.length, r.length)((i, j) => r(j)(i)).map(_.toArray)
+
+  /** One (encoding, M) variant priced end-to-end for PqVariantsProfile:
+    * train the engine's distributed PQ chain at geometry (m, dim/m)
+    * over raw or OPQ-rotated embeddings, returning
+    * (corpus quantization error — decimal-exact sum, run-to-run
+    * identical; mean ADC recall@5 against the exact L2 top-5 — L2 is
+    * rotation-invariant, so one raw-space truth serves every variant).
+    */
+  /** @param premix corpus-wide pre-rotation simulating CORRELATED
+    *               features (PqVariantsProfile's mixed mode — GenScale
+    *               dims are independent by construction, the geometry
+    *               OPQ cannot improve); applied before `rot`
+    * @param rot    the learned OPQ rotation (None = plain PQ)
+    */
+  private[graft] def pqVariantEval(s: SparkSession, dir: String, m: Int,
+      rot: Option[Array[Array[Double]]],
+      premix: Option[Array[Array[Double]]] = None,
+      queryCap: Int = 400,
+      frozenCb: Option[Array[Array[Array[Double]]]] = None): (Double, Double) = {
+    registered(s)
+    val sub = (PqM * PqSub) / m
+    val raw = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val base = premix match {
+      case Some(q) => raw.select(col("vec_id"),
+        rotated(col("embedding"), q).as("embedding"))
+      case None => raw
+    }
+    val emb = rot match {
+      case Some(r) => base.select(col("vec_id"),
+        rotated(col("embedding"), r).as("embedding"))
+      case None => base
+    }
+    val sv = pqSubVectorsKeyed(emb, Seq("vec_id"), m, sub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // frozen codebooks = the OPQ alternation's co-trained centroids
+      // (FAISS add(): assignment-only, no retrain — a from-scratch
+      // 2-iteration Lloyd in rotated space forfeits the trained gain)
+      val cb = frozenCb match {
+        case Some(cbs) =>
+          import s.implicits._
+          s.createDataset(for {
+            (perS, sIdx) <- cbs.zipWithIndex.toSeq
+            (cv, code) <- perS.zipWithIndex
+          } yield (sIdx, code, cv.toSeq))
+            .toDF("s", "code", "cv").coalesce(1)
+        case None => pqTrainCb(s, sv)
+      }
+      val err = pqAssign(sv, cb)
+        .join(sv, Seq("vec_id", "s")).join(broadcast(cb), Seq("s", "code"))
+        .agg(dsum(pqL2("sv", "cv")).as("e"))
+        .head().getDouble(0)
+      val qids = raw.filter(col("vec_id") % 25 === 0)
+        .select("vec_id").orderBy("vec_id").limit(queryCap)
+      val qsv = sv.join(broadcast(qids), "vec_id")
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtab = pqDistTabArrKeyed(qsv, cb, Seq("q_id"), m)
+      val codes = pqCodesArr(sv, cb)
+      val top = topK(codes.crossJoin(broadcast(dtab))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", adcLookupM(m)), 5)
+      val truth = exactL2Top5(s, dir, qids)
+      val recall = top.select("q_id", "vec_id")
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg((count(lit(1)) / 5.0).as("r"))
+        .agg(avg("r")).head().getDouble(0)
+      (err, recall)
+    } finally { sv.unpersist(); () }
+  }
+
+  /** Exact L2 top-5 per query over the RAW embeddings (the truth set
+    * every PQ variant is recalled against).
+    */
+  private def exactL2Top5(
+      s: SparkSession, dir: String, qids: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.join(broadcast(qids), "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    topK(e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", pqL2("qv", "v")), 5)
+      .select("q_id", "vec_id")
+  }
+
+  /** The memoized variable-M PQ state (v20's byte-budget knob): the
+    * default-geometry chain at an explicit sub-quantizer count, dim/m
+    * dims per subspace. No cell column — the knob gate is full-corpus
+    * ADC (v10's scope); the IVF-composed variants price through
+    * [[graft.tools.PqVariantsProfile]].
+    */
+  private val pqMCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+  private def pqEncodeM(
+      s: SparkSession, dir: String, m: Int): (DataFrame, DataFrame) =
+    pqMCache.getOrElseUpdate((s, dir, m), {
+      val sub = (PqM * PqSub) / m // embedding dim / m
+      val sv = pqSubVectorsKeyed(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        Seq("vec_id"), m, sub)
+      val cb = pqTrainCb(s, sv)
+      val codesArr = pqCodesArr(sv, cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qsv = sv.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
+      val dtabArr = pqDistTabArrKeyed(qsv, cb, Seq("q_id"), m)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (codesArr, dtabArr)
+    })
 
   private def pqEncode(
       s: SparkSession, dir: String): (DataFrame, DataFrame, Array[(Int, Int, Seq[Double])]) =
@@ -3274,7 +3365,8 @@ object Vectors {
     *                  (FAISS add(): frozen codebook, assignment-only)
     */
   private def pqTrainCtes(
-      trainSrc: String = "sv", assignSrc: String = "sv"): String = {
+      trainSrc: String = "sv", assignSrc: String = "sv",
+      sub: Int = PqSub): String = {
     def assignCte(name: String, cb: String, src: String) =
       s"""$name AS (
          |  SELECT vec_id, s, code FROM (
@@ -3295,18 +3387,24 @@ object Vectors {
         updateCtes(s"cx${i - 1}", s"c$i", s"a${i - 1}")
     }.mkString(",\n")
     s"""usv AS (SELECT vec_id, s, unnest(sv) AS x,
-       |               unnest(generate_series(0, ${PqSub - 1})) AS d FROM $trainSrc),
+       |               unnest(generate_series(0, ${sub - 1})) AS d FROM $trainSrc),
        |c0 AS (SELECT s, CAST(vec_id AS INT) AS code, sv AS cv FROM $trainSrc WHERE vec_id < $PqK),
        |$iterCtes,
        |${assignCte("af", s"c$PqIters", assignSrc)}"""
   }
 
-  private def pqCoreCtes: String =
+  private def pqCoreCtes: String = pqCoreCtesM(PqM, PqSub)
+
+  /** [[pqCoreCtes]] at an explicit (M, sub-dim) geometry — the oracle
+    * half of the byte-budget knob; the whole training chain re-derives
+    * from the same two numbers the Spark plan uses.
+    */
+  private def pqCoreCtesM(m: Int, sub: Int): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sv AS (
-       |  SELECT vec_id, s, v[s*$PqSub+1 : s*$PqSub+$PqSub] AS sv
-       |  FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS s)),
-       |${pqTrainCtes()},
+       |  SELECT vec_id, s, v[s*$sub+1 : s*$sub+$sub] AS sv
+       |  FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS s)),
+       |${pqTrainCtes(sub = sub)},
        |qsv AS (SELECT vec_id AS q_id, s, sv AS qv FROM sv WHERE vec_id % 25 = 0),
        |dtab AS (
        |  SELECT q.q_id, q.s, c$PqIters.code,
@@ -3317,10 +3415,13 @@ object Vectors {
     * an s-ordered list added left-to-right, matching the engine's flat
     * fixed-order double addition exactly.
     */
-  private def pqOracleSql: String =
-    s"""WITH $pqCoreCtes,
+  private def pqOracleSql: String = pqOracleSqlM(PqM, PqSub)
+
+  private def pqOracleSqlM(m: Int, sub: Int): String =
+    s"""WITH ${pqCoreCtesM(m, sub)},
        |approx AS (
-       |  SELECT q_id, vec_id, lp[1] + lp[2] + lp[3] + lp[4] + lp[5] + lp[6] + lp[7] + lp[8] AS adist
+       |  SELECT q_id, vec_id,
+       |    ${(1 to m).map(i => s"lp[$i]").mkString(" + ")} AS adist
        |  FROM (
        |    SELECT d.q_id, a.vec_id, list(d.pdist ORDER BY d.s) AS lp
        |    FROM af a JOIN dtab d ON d.s = a.s AND d.code = a.code
