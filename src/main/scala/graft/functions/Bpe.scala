@@ -75,12 +75,38 @@ object Bpe {
     * IDENTICAL ([[trainNaive]] is kept for BpeSpec's equivalence
     * property).
     */
-  def train(texts: IterableOnce[String], numMerges: Int): Array[(Int, Int)] = {
-    val words: Array[(Array[Int], Long)] = pieceFreq(texts)
+  def train(texts: IterableOnce[String], numMerges: Int): Array[(Int, Int)] =
+    trainFromFreq(pieceFreq(texts), numMerges)
+
+  /** Train from a (piece, occurrence count) table instead of documents —
+    * the corpus-true feed (VERDICT r19 next #6): at 100 TB the piece
+    * frequencies come from ONE distributed `pieces-explode → groupBy →
+    * count` pass collected vocab-sized to the driver, and the trainer
+    * below sees exactly what it would have seen walking every document
+    * (the frequency table IS its internal state — Sennrich's
+    * word-frequency trick, now computed where the corpus lives).
+    * Identical merges to [[train]] by construction: the table is sorted
+    * into pieceFreq's deterministic order first (BpeCorpusFeedSpec pins
+    * the equality).
+    */
+  def trainFromCounts(
+      counts: Array[(String, Long)], numMerges: Int): Array[(Int, Int)] =
+    trainFromFreq(
+      counts.sortBy(_._1).map {
+        case (p, f) => (p.getBytes("UTF-8").map(_ & 0xff), f)
+      }, numMerges)
+
+  private def trainFromFreq(
+      words: Array[(Array[Int], Long)], numMerges: Int): Array[(Int, Int)] = {
     val ws: Array[Array[Int]] = words.map(_._1)
     val wf: Array[Long] = words.map(_._2)
     val counts = mutable.LongMap.empty[Long]
-    val where = mutable.LongMap.empty[mutable.BitSet]
+    // HashSet, NOT BitSet: a BitSet sizes to its max element, so one
+    // singleton pair seen only in a high-index piece allocates
+    // maxIndex/8 bytes — at a corpus-true 482k-piece table that was
+    // ~60 KB per sparse pair and an OOM at 32k merges; the hash set
+    // costs O(occurrences) regardless of index distribution
+    val where = mutable.LongMap.empty[mutable.HashSet[Int]]
     def pairsOf(w: Array[Int]): mutable.LongMap[Int] = {
       val m = mutable.LongMap.empty[Int]
       var j = 0
@@ -96,7 +122,7 @@ object Bpe {
       val local = pairsOf(ws(wi)); val i = wi
       local.foreach { case (k, c) =>
         counts.update(k, counts.getOrElse(k, 0L) + c * wf(i))
-        where.getOrElseUpdate(k, mutable.BitSet.empty).add(i); ()
+        where.getOrElseUpdate(k, mutable.HashSet.empty[Int]).add(i); ()
       }
       wi += 1
     }
@@ -116,7 +142,7 @@ object Bpe {
         val a = (bestK >>> 32).toInt
         val b = (bestK & 0xffffffffL).toInt
         merges += ((a, b))
-        val affected = where.getOrElse(bestK, mutable.BitSet.empty).toArray
+        val affected = where.getOrElse(bestK, mutable.HashSet.empty[Int]).toArray.sorted
         def applyDelta(k: Long, d: Long): Unit = if (d != 0L) {
           val nv = counts.getOrElse(k, 0L) + d
           if (nv <= 0L) { counts.remove(k); where.remove(k); () }
@@ -135,7 +161,7 @@ object Bpe {
           after.foreach { case (k, c) =>
             if (!before.contains(k)) {
               applyDelta(k, c.toLong * wf(i))
-              where.getOrElseUpdate(k, mutable.BitSet.empty).add(i); ()
+              where.getOrElseUpdate(k, mutable.HashSet.empty[Int]).add(i); ()
             }
           }
           ws(i) = after0

@@ -89,15 +89,48 @@ object Tokenize {
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(v)),
             "UTF-8"))
           Bpe.load(merges, vocab)
-        case None =>
+        case None if trainMode == "sample" =>
           val sample = Tables.documents(s, dir)
             .select(col("text"), col("doc_id"))
             .orderBy(xxhash64(col("doc_id"))).limit(TrainSampleDocs)
             .collect().map(_.getString(0))
           new Bpe.Encoder(Bpe.train(sample, NumMerges))
+        case None =>
+          new Bpe.Encoder(Bpe.trainFromCounts(corpusPieceCounts(s, dir),
+            NumMerges))
       }
       (enc, s.sparkContext.broadcast(enc))
     })
+
+  /** Trained-mode feed (`GRAFT_BPE_TRAIN` / prop `graft.bpe.train`):
+    * `corpus` (the default) trains from piece frequencies counted in ONE
+    * distributed pass over the WHOLE corpus (VERDICT r19 next #6 — the
+    * 2048-doc driver sample was the one data-dependent driver-side scan
+    * left in the tokenizer); `sample` keeps that r18 sample feed as the
+    * measurement baseline. At gate scale the corpus is smaller than the
+    * sample cap, so both modes train byte-identical merges and the
+    * gates' oracles are mode-independent (BpeCorpusFeedSpec pins it);
+    * the published-artifact path above remains the production default
+    * for transferable token budgets.
+    */
+  private def trainMode: String =
+    sys.env.get("GRAFT_BPE_TRAIN").orElse(sys.props.get("graft.bpe.train"))
+      .getOrElse("corpus")
+
+  /** The corpus's pre-tokenization piece frequencies: the GPT-2 PreTok
+    * pieces exploded per document (map-only), one vocab-sized groupBy —
+    * the distinct-piece table is the trainer's entire input, so this is
+    * the ONLY corpus-sized stage of a training run and it shuffles
+    * piece-count rows, not text.
+    */
+  private[graft] def corpusPieceCounts(
+      s: SparkSession, dir: String): Array[(String, Long)] = {
+    import s.implicits._
+    Tables.documents(s, dir).select("text").as[String]
+      .flatMap(t => Bpe.pieces(t))
+      .groupBy("value").count()
+      .as[(String, Long)].collect()
+  }
 
   def clearCaches(s: SparkSession): Unit =
     encCache.keys.filter(_._1 eq s).foreach { k =>

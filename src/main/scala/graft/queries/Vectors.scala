@@ -924,8 +924,16 @@ object Vectors {
     * at the historical constant 2 with a warning carrying the r16
     * measurement that made constants a trap.
     */
+  /** @param multi pick from the MULTI-cell recall columns (v14/v16/s14
+    *              serving scans every probed cell, so the recall a
+    *              target buys there is `recall_*_multi(nprobe)` — the
+    *              single-cell columns are flat in nprobe by
+    *              construction on that path and would never justify
+    *              probing deeper; VERDICT r19 next #5)
+    */
   private[graft] def nprobeForRecall(
-      s: SparkSession, idx: String): Int = loadCurve(s, idx) match {
+      s: SparkSession, idx: String,
+      multi: Boolean = false): Int = loadCurve(s, idx) match {
     case None =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"$idx has no recall_curve (pre-r17 build?) — serving at " +
@@ -955,11 +963,23 @@ object Vectors {
             log.warn(s"$idx's curve measured the raw-PQ tier only " +
               "(r18-era build) — the e2e target applies to raw ADC; " +
               "rebuild the index to price the residual encoding")
-          if (!wantRaw && haveResid)
-            pickNprobe(points.filter(_.hasResid)
-              .map(p => (p.nprobe, p.residAdc)), t)
-          else
-            pickNprobe(points.filter(_.hasE2e).map(p => (p.nprobe, p.adc)), t)
+          val haveMulti = points.exists(p =>
+            !(if (!wantRaw && haveResid) p.residAdcMulti
+              else p.adcMulti).isNaN)
+          if (multi && !haveMulti)
+            log.warn(s"$idx's curve has no multi-cell columns for the " +
+              "requested tier — the multi-probe target falls back to " +
+              "the single-cell column, which is FLAT in nprobe on this " +
+              "path; rebuild the index to measure breadth")
+          def column(p: CurvePoint): Double =
+            (multi && haveMulti, !wantRaw && haveResid) match {
+              case (true, true) => p.residAdcMulti
+              case (true, false) => p.adcMulti
+              case (false, true) => p.residAdc
+              case (false, false) => p.adc
+            }
+          pickNprobe(points.filter(p => !column(p).isNaN)
+            .map(p => (p.nprobe, column(p))), t)
         case Some(t) =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"GRAFT_IVF_RECALL_E2E=$t set but $idx's curve is " +
@@ -983,6 +1003,23 @@ object Vectors {
   private def routingTarget: Double =
     sys.env.get("GRAFT_IVF_RECALL").orElse(sys.props.get("graft.ivf.recall"))
       .map(_.toDouble).getOrElse(RecallTargetDefault)
+
+  /** The MULTI-cell serving tier's probe breadth (v16 batch, s14
+    * streaming): explicit `GRAFT_IVF_NPROBE` wins; else, when a
+    * `GRAFT_IVF_RECALL_E2E` target is set, the index's own curve picks
+    * the smallest breadth whose measured `recall_*_multi` column meets
+    * it (the columns [[nprobeForRecall]]'s single-cell policy ignores —
+    * on boundary-straddling geometry they are the ones that actually
+    * rise with nprobe); else the historical 2, the breadth the gates'
+    * oracles are generated at (Verify sets no target).
+    */
+  private[graft] def multiNprobe(s: SparkSession, idx: String): Int =
+    sys.env.get("GRAFT_IVF_NPROBE").orElse(sys.props.get("graft.ivf.nprobe"))
+      .map(_.toInt).getOrElse {
+        val targeted = sys.env.get("GRAFT_IVF_RECALL_E2E")
+          .orElse(sys.props.get("graft.ivf.recall.e2e")).isDefined
+        if (targeted) nprobeForRecall(s, idx, multi = true) else 2
+      }
 
   /** The persisted coarse quantizer as driver-side rows (cell, centroid),
     * deterministically ordered — the literal state [[rowRoute]] folds
@@ -2237,7 +2274,7 @@ object Vectors {
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
-      val route = multiRoute(q, cent, nprobe = 2)
+      val route = multiRoute(q, cent, nprobe = multiNprobe(s, ivfIndex(s, dir)))
       val approx = codesArr
         .join(broadcast(route), "cell")
         .join(broadcast(dtabArr), "q_id")
@@ -2335,7 +2372,7 @@ object Vectors {
       val (cent, _, codes, cb, _) = residualPq(s, dir)
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val route = multiRoute(q, cent, nprobe = 2)
+      val route = multiRoute(q, cent, nprobe = multiNprobe(s, ivfIndex(s, dir)))
       val dtab = residualMultiDtab(q, cent, route, cb)
       val approx = codes
         .join(broadcast(route), "cell")
@@ -2367,7 +2404,8 @@ object Vectors {
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val probe = rowRouteCellsResidualProbe(
-        q, flatRouterState(cents), cbRows, superProbe = 1, k = 2)
+        q, flatRouterState(cents), cbRows, superProbe = 1,
+        k = multiNprobe(s, ivfIndex(s, dir)))
       require(graft.sources.Bucketed.streamSideShuffles(probe) == 0,
         s"s14: per-row multi-cell route+residual dtabs must be " +
           s"stream-side map-only:\n" + probe.queryExecution.executedPlan)

@@ -120,6 +120,36 @@ object BpeTool {
         println(s"  (stopped at ${got.length} merges)")
       }
 
-    case other => sys.error(s"unknown mode '$other' (export|profile|profile-synth)")
+    case "profile-corpus" =>
+      // the corpus-true feed's two costs (VERDICT r19 next #6): the ONE
+      // distributed pieces-explode → groupBy → count pass (the only
+      // corpus-sized stage of a training run), and the driver trainer
+      // over the collected vocab-sized table at realistic merge counts
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .appName("graft-bpe-corpus")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      def time3[T](what: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val counts = time3("distributed piece-count pass")(
+        graft.queries.Tokenize.corpusPieceCounts(spark, args(1)))
+      println(s"  (${counts.length} distinct pieces, " +
+        s"${counts.map(_._2).sum} occurrences)")
+      Seq(256, 32768).foreach { m =>
+        val got = time3(s"trainFromCounts $m merges")(
+          Bpe.trainFromCounts(counts, m))
+        println(s"  (stopped at ${got.length} merges)")
+      }
+      spark.stop()
+
+    case other =>
+      sys.error(s"unknown mode '$other' (export|profile|profile-synth|profile-corpus)")
   }
 }
