@@ -2214,9 +2214,19 @@ object Text {
          |    AND (doc_id * 2654435761) % 1000000 <
          |        (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 200000
          |    AND NOT EXISTS (SELECT 1 FROM live c
-         |      WHERE md5(lower(c.text)) = md5(lower(q.text))))
+         |      WHERE md5(lower(c.text)) = md5(lower(q.text)))),
+         |-- probe-side bands must cover the delta's REPLAY rows too: a
+         |-- revived replay (its original deleted) reaches the near-dup
+         |-- probe under its SHIFTED id, and its text — hence its bands —
+         |-- is byte-identical to the original's (s11 never needs this
+         |-- arm: with no deletions no replay survives the exact veto)
+         |pbands AS (
+         |  SELECT doc_id, band, bkey FROM bands
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, band, bkey FROM bands
+         |  WHERE doc_id % 10 <> 7 AND doc_id % 20 = 4)
          |SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-         |FROM bands b1 JOIN bands b2
+         |FROM bands b1 JOIN pbands b2
          |  ON b1.band = b2.band AND b1.bkey = b2.bkey
          |WHERE b1.doc_id % 10 <> 7 AND b1.doc_id % 14 NOT IN (2, 9)
          |  AND b2.doc_id IN (SELECT doc_id FROM surv)""".stripMargin) { (s, dir) =>
