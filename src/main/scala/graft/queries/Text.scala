@@ -1573,7 +1573,12 @@ object Text {
       val (depth, bands) = autoRowsFor(s, dir)
       // persisted: the drop aggregate AND the candidate expansion both
       // consume the bucket frame — without it the signature aggregation
-      // over the shingles runs twice per invocation
+      // over the shingles runs twice per invocation. (The per-row
+      // closed-form banding was TRIED here in r20 and measured SLOWER —
+      // 3.1 s → 5.6 s isolated: at the auto depth the per-row form pays
+      // bands·depth md5s per NON-distinct position over a re-tokenized
+      // documents scan, while this form hashes the persisted DISTINCT
+      // shingle rows; the distinct ratio beats the saved exchange+sort.)
       val buckets = lshBuckets(sh, bands = bands, rowsPerBand = depth)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2495,14 +2500,6 @@ object Text {
         s"t28b indexed candidates: expected the pair distinct as the " +
           s"only exchange, found $n:\n${cand.queryExecution.executedPlan}")
     }
-    val candDocs = cand.select(col("doc1").as("doc_id"))
-      .union(cand.select(col("doc2"))).distinct()
-    // semi-join BELOW the signature computation: the w×shingles hashes
-    // per doc are the estimate's dominant cost, and only candidate docs
-    // ever need them (explicit, rather than trusting the optimizer to
-    // push a semi-join through the array projection)
-    val sigs = wideMinhash(
-      docs.join(candDocs, Seq("doc_id"), "left_semi"), w)
     // per-CALL scratch path (monotone nonce), reaped at JVM exit: a
     // nonce per call is what makes interleaved or concurrent
     // same-banding calls safe — the r16 form keyed the path on
@@ -2518,14 +2515,48 @@ object Text {
     val estPath = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft-t28b-est-${jvmToken}_${dirTag}_${bands}x${depth}w$w" +
       s"_n${estNonce.incrementAndGet()}"
+    // MATERIALIZE the candidate pairs once before fanning out: the est
+    // plan below references `cand` once directly and twice more through
+    // candDocs (doc1 ∪ doc2), and Catalyst does not dedupe aliased
+    // subplans — unmaterialized, ONE est action re-ran the whole
+    // banding + occupancy-window + pair-expansion chain up to 5× (and
+    // the w-slot signature derivation twice, through the two sig-side
+    // joins). Candidate- and candidate-doc-sized parquet round-trips
+    // buy back all of it; both scratch dirs are deleted as soon as the
+    // est frame (the only state downstream reads) is on disk.
+    val candPath = s"$estPath-cand"
+    val sigsPath = s"$estPath-sigs"
     trackEstScratch(estPath)
-    cand
+    def diag[T](tag: String)(body: => T): T =
+      if (sys.env.contains("GRAFT_T28B_DIAG")) {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[t28b] $tag: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      } else body
+    diag("cand write")(cand.write.mode("overwrite").parquet(candPath))
+    val candM = s.read.parquet(candPath)
+    val candDocs = candM.select(col("doc1").as("doc_id"))
+      .union(candM.select(col("doc2"))).distinct()
+    // semi-join BELOW the signature computation: the w×shingles hashes
+    // per doc are the estimate's dominant cost, and only candidate docs
+    // ever need them (explicit, rather than trusting the optimizer to
+    // push a semi-join through the array projection)
+    diag("sigs write")(
+      wideMinhash(docs.join(candDocs, Seq("doc_id"), "left_semi"), w)
+        .write.mode("overwrite").parquet(sigsPath))
+    val sigs = s.read.parquet(sigsPath)
+    diag("est write")(candM
       .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
       .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), "doc2")
       .select(col("doc1"), col("doc2"),
         (expr("aggregate(zip_with(sig1, sig2, (a, b) -> IF(a = b, 1, 0)), " +
           "0, (acc, x) -> acc + x)").cast("double") / w).as("jhat"))
-      .write.mode("overwrite").parquet(estPath)
+      .write.mode("overwrite").parquet(estPath))
+    // the cand/sigs scratch feeds nothing past the est write — reap now
+    Seq(candPath, sigsPath).foreach { p =>
+      graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(p))
+    }
     graft.Metrics.logObserved(s)
     val estRaw = s.read.parquet(estPath)
     // ONE-SIDED slice: every pair whose estimate even APPROACHES the
@@ -2627,6 +2658,15 @@ object Text {
     * plan-shape reasoning (single corpus scan, shared persisted frames,
     * one source exchange for cap+pack).
     */
+  /** Diag access: the composed release over an explicit loser set. */
+  private[graft] def pipelineReleaseForDiag(
+      s: SparkSession, dir: String, losers: DataFrame): DataFrame =
+    pipelineRelease(s, dir, losers)
+
+  /** Diag access: the memoized persisted shingle frame. */
+  private[graft] def persistedShinglesForDiag(
+      s: SparkSession, dir: String): DataFrame = persistedShingles(s, dir)
+
   private def pipelineRelease(
       s: SparkSession, dir: String, losers: DataFrame): DataFrame = {
 
