@@ -93,11 +93,26 @@ object Multimodal {
     (32 + 8 * d(0), 32 + 8 * d(1), 1 + d(2) % 3, 2 + d(3) % 4)
   }
 
+  /** Spread a codec-bound frame across the cluster's cores when the
+    * scan gave it fewer partitions (r20): sf-scale documents.parquet is
+    * one input split, so every decode/encode mapPartitions ran as ONE
+    * task — m3/m4 measured taskSec ≈ wall (fully serial PNG codec work
+    * on a 32-core box). Per-row codec cost is what these operators are
+    * bound by, so parallelism = cores is the right shape at any scale;
+    * a corpus whose scan already has enough partitions keeps them (no
+    * extra exchange), exactly the guide's repartition-after-unsplittable-
+    * read rule.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Attach a binary payload + metadata struct to a text table (stand-in
     * for reading real image/audio bytes alongside metadata).
     */
   def asBinaryTable(docs: DataFrame): DataFrame =
-    docs.select(
+    spread(docs).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(
@@ -117,7 +132,7 @@ object Multimodal {
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(binSchema))
     val idIdx = docs.schema.fieldIndex("doc_id")
     val ncIdx = docs.schema.fieldIndex("n_chars")
-    docs.mapPartitions { it =>
+    spread(docs).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val id = r.getLong(idIdx)

@@ -61,7 +61,8 @@ object Lsh {
     */
   private[queries] def cappedPairs(
       buckets: DataFrame, idCol: String, out1: String, out2: String,
-      metricName: String, cap: Int = DefaultBucketCap): DataFrame = {
+      metricName: String, cap: Int = DefaultBucketCap,
+      spreadHot: Boolean = false): DataFrame = {
     graft.Metrics.logObserved(buckets.sparkSession)
     val byBucket = Window.partitionBy("band", "bkey")
     val kept = buckets
@@ -83,10 +84,24 @@ object Lsh {
     // ints and both generates + the element_at projection fuse into one
     // codegen stage with no per-pair array state. Pair SET is identical:
     // (ids[i], ids[j]) over the same sorted array, i < j.
-    kept
+    val iRows = kept
       .groupBy("band", "bkey").agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("ids"), explode(expr("sequence(1, size(ids)-1)")).as("i"))
+    // spreadHot: a bucket's quadratic j-explode otherwise runs entirely
+    // inside the bucket's own task — at a large cap (t20's 1024) one hot
+    // block key is a single-task O(cap²/2) straggler (measured 3 s serial
+    // at sf0.1, the whole gate's tail). Redistributing the (ids, i) rows
+    // first costs one bucket-count-bounded exchange and parallelizes the
+    // pair generation row-by-row; skew-immune by construction (every
+    // i-row of a hot bucket is the same size-1 unit of work). Off by
+    // default: at the standard cap the explode is bounded small and the
+    // extra exchange is pure overhead.
+    val jSource =
+      if (spreadHot)
+        iRows.repartition(buckets.sparkSession.sparkContext.defaultParallelism)
+      else iRows
+    jSource
       .select(col("ids"), col("i"),
         explode(expr("sequence(i+1, size(ids))")).as("j"))
       .selectExpr(s"element_at(ids, i) AS $out1", s"element_at(ids, j) AS $out2")

@@ -1418,7 +1418,8 @@ object Text {
           "'band', b, 'bkey', substring(simhash, b*16+1, 16)))")).as("t"))
         .select(col("doc_id"), col("t.band").as("band"), col("t.bkey").as("bkey"))
       val cand = Lsh.cappedPairs(
-        blocks, "doc_id", "doc1", "doc2", "graft_simhash_blocks", cap = 1024)
+        blocks, "doc_id", "doc1", "doc2", "graft_simhash_blocks", cap = 1024,
+        spreadHot = true)
       cand
         .join(sig.select(col("doc_id").as("doc1"), col("simhash").as("s1")), "doc1")
         .join(sig.select(col("doc_id").as("doc2"), col("simhash").as("s2")), "doc2")
@@ -1593,17 +1594,30 @@ object Text {
       """SELECT CAST(0 AS BIGINT) AS dropped_pct,
         |  CAST(0 AS BIGINT) AS missed_true_pairs""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = persistedShingles(s, dir)
-      val (depth, bands) = autoRowsFor(s, dir)
+      // The XXHASH64 key family (r20): this gate validates the measured
+      // depth-choosing MACHINERY, and the family the auto banding is
+      // actually DEPLOYED through is xx — t28b's scale path bands with
+      // rowLshKeysXxAt at autoRowsForXx's choice, while the md5 family
+      // exists only for the oracle-locked 4×2 banding that t26/t27
+      // hash-validate directly (md5-at-auto-depth was a combination no
+      // production path used). Both invariants are family-independent
+      // statements (occupancy-cap drops ≈ 0 at the measured depth;
+      // candidate SUPERSET over the md5-4×2-confirmed jaccard ≥ 0.8
+      // pairs — one minhash slot matches such a pair with probability
+      // equal to its jaccard in ANY unbiased family, and bandsForRecall
+      // sizes the band count for per-pair miss ≤ 1e-6), so the gate's
+      // constant oracle row is unchanged. Cost: the md5 form's
+      // bands·depth string hashes per shingle dominated the gate
+      // (~12-40 CPU-s/invocation at the measured banding); the xx form
+      // is ~10× cheaper per hash and map-only (no SortAggregate, no
+      // exchange — the same reason the composed release switched, r16).
+      val (depth, bands) = autoRowsForXx(s, dir)
       // persisted: the drop aggregate AND the candidate expansion both
-      // consume the bucket frame — without it the signature aggregation
-      // over the shingles runs twice per invocation. (The per-row
-      // closed-form banding was TRIED here in r20 and measured SLOWER —
-      // 3.1 s → 5.6 s isolated: at the auto depth the per-row form pays
-      // bands·depth md5s per NON-distinct position over a re-tokenized
-      // documents scan, while this form hashes the persisted DISTINCT
-      // shingle rows; the distinct ratio beats the saved exchange+sort.)
-      val buckets = lshBuckets(sh, bands = bands, rowsPerBand = depth)
+      // consume the bucket frame; flattened-key shape (band=0, bkey=bk)
+      // exactly as the t28b candidate stage buckets — the band tag rides
+      // inside the xx hash, so bucket equivalence classes are intact
+      val buckets = rowLshKeysXxAt(Tables.documents(s, dir), bands, depth)
+        .select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val cap = Lsh.DefaultBucketCap

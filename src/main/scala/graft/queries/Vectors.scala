@@ -2304,21 +2304,15 @@ object Vectors {
     GQuery("v15_ivfpq_residual", ivfpqResidualOracleSql) { (s, dir) =>
       registered(s)
       val e = Tables.embeddings(s, dir)
-      val (cent, nCells, codes, cb, _) = residualPq(s, dir)
+      val (cent, nCells, codes, _, cbRows) = residualPq(s, dir)
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val route = routeQueries(q, cent, nCells)
-      // the query's residual AGAINST ITS ROUTED CELL → its ADC table
-      val qres = route.join(q, "q_id").join(broadcast(cent), "cell")
-        .select(col("q_id").as("vec_id"), expr(
-          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
-            " (a, b) -> a - b)").as("embedding"))
-      val qsv = pqSubVectors(qres)
-        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-      val dtab = pqDistTabArr(qsv, cb)
+      // route + the query's residual ADC table against ITS routed cell,
+      // derived per row by the broadcast-state probe (bit-identical rows
+      // to the former route/dtab join chain — see [[residualCellProbe]])
+      val probe = residualCellProbe(cent, nCells, cbRows, q)
       val approx = codes
-        .join(broadcast(route), "cell")
-        .join(broadcast(dtab), "q_id")
+        .join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
       topK(approx, 3)
@@ -2368,15 +2362,22 @@ object Vectors {
     // 8 B/vector. ----
     GQuery("v16_ivfpq_multires", ivfpqMultiResidualOracleSql) { (s, dir) =>
       registered(s)
-      val e = Tables.embeddings(s, dir)
-      val (cent, _, codes, cb, _) = residualPq(s, dir)
-      val q = e.filter(col("vec_id") % 25 === 0)
+      val (cent, _, codes, _, cbRows) = residualPq(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val route = multiRoute(q, cent, nprobe = multiNprobe(s, ivfIndex(s, dir)))
-      val dtab = residualMultiDtab(q, cent, route, cb)
+      // per-(query, probed cell) residual tables from the SAME
+      // broadcast-state expression s14 serves with (flat-state top-k is
+      // bit-identical to multiRoute — RouteCellsSpec — and multiRoute is
+      // full-scan at any cell count, so flat state is exact here at any
+      // scale); the former route + keyed-dtab chain cost two broadcast
+      // builds and a crossJoin + two aggregations per invocation
+      val cents = cent.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val probe = rowRouteCellsResidualProbe(
+        q, flatRouterState(cents), cbRows, superProbe = 1,
+        k = multiNprobe(s, ivfIndex(s, dir)))
       val approx = codes
-        .join(broadcast(route), "cell")
-        .join(broadcast(dtab), Seq("q_id", "cell"))
+        .join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
       topK(approx, 3)
@@ -2433,21 +2434,13 @@ object Vectors {
     GQuery("v17_residual_living", residualLivingOracleSql) { (s, dir) =>
       registered(s)
       val root = residualLivingIndex(s, dir)
-      val (cent, nCells, _, cb, _) = residualPqOpen(s, root)
+      val (cent, nCells, _, _, cbRows) = residualPqOpen(s, root)
       val codes = residualServingCodes(s, root)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val route = routeQueries(q, cent, nCells)
-      val qres = route.join(q, "q_id").join(broadcast(cent), "cell")
-        .select(col("q_id").as("vec_id"), expr(
-          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
-            " (a, b) -> a - b)").as("embedding"))
-      val qsv = pqSubVectors(qres)
-        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-      val dtab = pqDistTabArr(qsv, cb)
+      val probe = residualCellProbe(cent, nCells, cbRows, q)
       val approx = codes
-        .join(broadcast(route), "cell")
-        .join(broadcast(dtab), "q_id")
+        .join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
       topK(approx, 3)
@@ -2732,21 +2725,13 @@ object Vectors {
     GQuery("v19_residual_tombstone", residualTombOracleSql) { (s, dir) =>
       registered(s)
       val root = residualTombstoneIndex(s, dir)
-      val (cent, nCells, _, cb, _) = residualPqOpen(s, root)
+      val (cent, nCells, _, _, cbRows) = residualPqOpen(s, root)
       val codes = minusTombstones(s, root, residualServingCodes(s, root))
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val route = routeQueries(q, cent, nCells)
-      val qres = route.join(q, "q_id").join(broadcast(cent), "cell")
-        .select(col("q_id").as("vec_id"), expr(
-          "zip_with(transform(q_emb, x -> CAST(x AS DOUBLE)), centroid," +
-            " (a, b) -> a - b)").as("embedding"))
-      val qsv = pqSubVectors(qres)
-        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("qv"))
-      val dtab = pqDistTabArr(qsv, cb)
+      val probe = residualCellProbe(cent, nCells, cbRows, q)
       val approx = codes
-        .join(broadcast(route), "cell")
-        .join(broadcast(dtab), "q_id")
+        .join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adist", adcLookup)
       topK(approx, 3)
@@ -3177,7 +3162,18 @@ object Vectors {
   private def pqDistTabArrKeyed(
       qsv: DataFrame, cb: DataFrame, keys: Seq[String],
       m: Int = PqM): DataFrame =
-    qsv.join(broadcast(cb), "s")
+    // EXPLICIT-count repartition before the ×K codebook fanout (r20):
+    // the query sub-vector frame is bytes-tiny (Q×nprobe×M rows), so
+    // AQE's byte-based coalescing collapsed the upstream exchange to ONE
+    // partition — and the K-way join + d² arithmetic it feeds ran as a
+    // single serial task (v16's dtab measured 2.2 s on one core of 32).
+    // Byte-based coalescing is blind to downstream compute
+    // amplification; an explicit partition count is never coalesced, and
+    // the groupBy below reuses the same hash partitioning, so this adds
+    // no exchange — it re-sizes the one already there.
+    qsv.repartition(
+        qsv.sparkSession.sparkContext.defaultParallelism, keys.map(col): _*)
+      .join(broadcast(cb), "s")
       .select(keys.map(col) ++ Seq((col("s") * PqK + col("code")).as("i"),
         pqL2("qv", "cv").as("pdist")): _*)
       .groupBy(keys.map(col): _*)
@@ -3514,6 +3510,48 @@ object Vectors {
     * single exchange. Cells are disjoint vector sets (cell = label), so
     * the downstream candidate union needs no dedupe.
     */
+  /** v16's subplans (queries, centroids, route, dtab, codes), factored
+    * for the gate body and stage-level diagnosis.
+    */
+  private[graft] def v16Pieces(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    registered(s)
+    val e = Tables.embeddings(s, dir)
+    val (cent, _, codes, cb, _) = residualPq(s, dir)
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val route = multiRoute(q, cent, nprobe = multiNprobe(s, ivfIndex(s, dir)))
+    val dtab = residualMultiDtab(q, cent, route, cb)
+    (q, cent, route, dtab, codes)
+  }
+
+  /** The single-cell residual probe (q_id, cell, darr) via ONE map-side
+    * broadcast-state expression — the serving derivation the batch
+    * residual gates (v15/v17/v19) share with their streaming twins
+    * (r20): the agg-based route + per-query dtab chain cost each batch
+    * gate two broadcast-build jobs and a crossJoin + two aggregations
+    * per invocation, while the per-row form derives the identical rows
+    * map-side (RouteCellsSpec pins the flat-state route bit-identical to
+    * multiRoute — max_by(dp, -cell) == its k=1 — and rowAdcProbe's
+    * three-dot tables are bit-identical to the join-derived dtab, which
+    * is what keeps the s13/s15/s17 oracles hash-exact). State follows
+    * [[routeQueries]]' scale policy: flat ≤ the routing threshold,
+    * two-level with superProbe=2 (its nprobe default) past it — the
+    * broadcast-state expression has no plan-literal cell ceiling.
+    */
+  private def residualCellProbe(
+      cent: DataFrame, nCells: Long,
+      cbRows: Array[(Int, Int, Seq[Double])], q: DataFrame): DataFrame = {
+    val state =
+      if (nCells <= HierarchicalRoutingThreshold) {
+        val cents = cent.orderBy("cell").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        flatRouterState(cents)
+      } else hierRouterState(cent, nCells)
+    rowRouteCellsResidualProbe(q, state, cbRows, superProbe = 2, k = 1)
+      .drop("q_emb")
+  }
+
   private[graft] def multiRoute(
       queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     registered(queries.sparkSession)
