@@ -367,6 +367,27 @@ object Text {
     * max-bucket measurements differ in detail (not in statistics), and
     * t18's gate validates the md5 choice against an md5-banded oracle.
     */
+  /** t18's bucket frame at the measured xx auto banding, memoized +
+    * persisted per (session, dir) — the drop aggregate, the doc count
+    * and the candidate expansion all consume it within one invocation,
+    * and repeated invocations share one copy. Flattened-key shape
+    * (band=0, bkey=bk) exactly as the t28b candidate stage buckets —
+    * the band tag rides inside the xx hash, so bucket equivalence
+    * classes are intact. Returns the frame with its band count (the
+    * drop gate's denominator). Cleared by [[clearCaches]].
+    */
+  private val autoBucketCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Int)]
+  private def persistedAutoBuckets(
+      s: SparkSession, dir: String): (DataFrame, Int) =
+    autoBucketCache.getOrElseUpdate((s, dir), {
+      val (depth, bands) = autoRowsForXx(s, dir)
+      (rowLshKeysXxAt(Tables.documents(s, dir), bands, depth)
+        .select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        bands)
+    })
+
   private val depthCacheXx =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Int, Int)]
   private def autoRowsForXx(s: SparkSession, dir: String): (Int, Int) =
@@ -387,6 +408,9 @@ object Text {
   def clearCaches(s: SparkSession): Unit = {
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
     depthCacheXx.keys.filter(_._1 eq s).foreach(depthCacheXx.remove(_): Unit)
+    autoBucketCache.keys.filter(_._1 eq s).foreach { k =>
+      autoBucketCache.remove(k).foreach(_._1.unpersist())
+    }
     Seq(shingleCache, shingle8Cache, candCache, pairCache, simhashCache,
         deconCache)
       .foreach { m =>
@@ -1611,31 +1635,22 @@ object Text {
       // (~12-40 CPU-s/invocation at the measured banding); the xx form
       // is ~10× cheaper per hash and map-only (no SortAggregate, no
       // exchange — the same reason the composed release switched, r16).
-      val (depth, bands) = autoRowsForXx(s, dir)
-      // persisted: the drop aggregate AND the candidate expansion both
-      // consume the bucket frame; flattened-key shape (band=0, bkey=bk)
-      // exactly as the t28b candidate stage buckets — the band tag rides
-      // inside the xx hash, so bucket equivalence classes are intact
-      val buckets = rowLshKeysXxAt(Tables.documents(s, dir), bands, depth)
-        .select(lit(0).as("band"), col("bk").as("bkey"), col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val cap = Lsh.DefaultBucketCap
-        // drop gate as a corpus fraction (floor %), like v9: a
-        // same-signature dup cluster denser than the cap never splits —
-        // overflow must stay marginal AND cost no recall (missed below)
-        val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-          .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
-          .head().getLong(0)
-        val nDocs = buckets.select("doc_id").distinct().count()
-        val droppedPct = (100L * dropped) / math.max(nDocs * bands, 1L)
-        val autoCands = Lsh.cappedPairs(
-          buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
-        val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
-          .select("doc1", "doc2")
-          .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
-        Seq((droppedPct, missed)).toDF("dropped_pct", "missed_true_pairs")
-      } finally { buckets.unpersist(); () }
+      val (buckets, bands) = persistedAutoBuckets(s, dir)
+      val cap = Lsh.DefaultBucketCap
+      // drop gate as a corpus fraction (floor %), like v9: a
+      // same-signature dup cluster denser than the cap never splits —
+      // overflow must stay marginal AND cost no recall (missed below)
+      val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
+        .head().getLong(0)
+      val nDocs = buckets.select("doc_id").distinct().count()
+      val droppedPct = (100L * dropped) / math.max(nDocs * bands, 1L)
+      val autoCands = Lsh.cappedPairs(
+        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
+      val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
+        .select("doc1", "doc2")
+        .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()
+      Seq((droppedPct, missed)).toDF("dropped_pct", "missed_true_pairs")
     },
 
     // ---- Bloom-prefiltered decontamination: t13's exact shingle-overlap

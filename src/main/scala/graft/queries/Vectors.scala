@@ -323,6 +323,25 @@ object Vectors {
     * choice made once per (session, corpus) — the probes are one-time
     * work like an index build, not steady-state query cost.
     */
+  /** v9's signature frame at the measured auto banding, memoized +
+    * persisted per (session, dir) — the drop aggregate and the candidate
+    * expansion share it within one invocation, and repeated invocations
+    * share one copy (its plan alone carries bands·depth 64-double
+    * literal plane arrays, a real per-call Catalyst cost). Returns the
+    * frame with its band count (the drop gate's denominator).
+    */
+  private val autoSigCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Int)]
+  private def persistedAutoSig(
+      s: SparkSession, dir: String): (DataFrame, Int) =
+    autoSigCache.getOrElseUpdate((s, dir), {
+      val (depth, bands) = autoPlanesFor(s, dir)
+      (lshSignatures(Tables.embeddings(s, dir), bands = bands,
+          planesPerBand = depth)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        bands)
+    })
+
   private val depthCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Int, Int)]
   private def autoPlanesFor(s: SparkSession, dir: String): (Int, Int) =
@@ -380,6 +399,9 @@ object Vectors {
     }
     vecPairCache.keys.filter(_._1 eq s).foreach { k =>
       vecPairCache.remove(k).foreach(_.unpersist())
+    }
+    autoSigCache.keys.filter(_._1 eq s).foreach { k =>
+      autoSigCache.remove(k).foreach(_._1.unpersist())
     }
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
     curveCache.keys.filter(_._1 eq s).foreach(curveCache.remove(_): Unit)
@@ -2054,31 +2076,29 @@ object Vectors {
         |  CAST(0 AS BIGINT) AS missed_neardups""".stripMargin) { (s, dir) =>
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val (depth, bands) = autoPlanesFor(s, dir)
-      // persisted: the drop aggregate and the candidate expansion both
-      // consume the signature frame (bands·depth fused array_dots per
-      // vector — the expensive map stage)
-      val sig = lshSignatures(emb, bands = bands, planesPerBand = depth)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val cap = Lsh.DefaultBucketCap
-        // drops gate as a CORPUS FRACTION (floor %): a co-located cluster
-        // denser than the cap never splits at any depth (x10 measured a
-        // 134-vector cluster surviving depth 24) — those overflow drops
-        // are the cap's designed, observable behavior; what must hold is
-        // that they stay marginal (<1%) AND cost no recall (missed == 0
-        // below proves every confirmed pair is still caught)
-        val dropped = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-          .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
-          .head().getLong(0)
-        val droppedPct = (100L * dropped) / math.max(emb.count() * bands, 1L)
-        val autoCands = Lsh.cappedPairs(
-          sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto")
-        val missed = scoredVecPairs(s, dir).filter(col("cos") >= NearDupCos)
-          .select("v1", "v2")
-          .join(autoCands, Seq("v1", "v2"), "left_anti").count()
-        Seq((droppedPct, missed)).toDF("dropped_pct", "missed_neardups")
-      } finally { sig.unpersist(); () }
+      // memoized + persisted like every shared vector frame (r20): the
+      // per-invocation persist/unpersist re-paid BOTH the bands·depth
+      // fused array_dot map stage AND — the measured dominant at warm —
+      // Catalyst planning of its bands·depth 64-double literal plane
+      // arrays, every call; clearIndexCache drops it with the rest
+      val (sig, bands) = persistedAutoSig(s, dir)
+      val cap = Lsh.DefaultBucketCap
+      // drops gate as a CORPUS FRACTION (floor %): a co-located cluster
+      // denser than the cap never splits at any depth (x10 measured a
+      // 134-vector cluster surviving depth 24) — those overflow drops
+      // are the cap's designed, observable behavior; what must hold is
+      // that they stay marginal (<1%) AND cost no recall (missed == 0
+      // below proves every confirmed pair is still caught)
+      val dropped = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
+        .head().getLong(0)
+      val droppedPct = (100L * dropped) / math.max(emb.count() * bands, 1L)
+      val autoCands = Lsh.cappedPairs(
+        sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto")
+      val missed = scoredVecPairs(s, dir).filter(col("cos") >= NearDupCos)
+        .select("v1", "v2")
+        .join(autoCands, Seq("v1", "v2"), "left_anti").count()
+      Seq((droppedPct, missed)).toDF("dropped_pct", "missed_neardups")
     },
 
     // ---- Product quantization + ADC search: the memory-bound tier of
