@@ -20,11 +20,18 @@ import org.apache.spark.sql.SparkSession
   *     in pass 0 lives for the whole run).
   *
   * Output contract:
-  *   - stdout: ONE compact JSON line, printed LAST —
-  *     {"metric","value","unit","queries","sf"} (warm numbers only, so the
-  *     line survives log-tail capture);
+  *   - stdout, line 1: the full per-query contract line —
+  *     {"metric","value","unit","n_failed","failed_queries","queries",
+  *     "total_with_build","sf"} (warm numbers only). With 135 queries this
+  *     line is ~4,000 chars and does NOT survive a bounded tail capture —
+  *     which is why it is printed FIRST, not last.
+  *   - stdout, LAST line: a compact (<300 byte) summary —
+  *     {"metric","value","unit","n_failed","total_with_build","gc_sec",
+  *     "load","sf"} — so any bounded stdout-tail capture (the driver keeps
+  *     ~2,000 chars) always ends with one complete, parseable JSON record
+  *     that also self-identifies a contaminated window (gc/load).
   *   - target/bench.json: the FULL record (warm + cold + gc_sec + load +
-  *     pipeline_build), written atomically before the stdout line. Stdout
+  *     pipeline_build), written atomically before the stdout lines. Stdout
   *     tails get truncated; the file is the canonical artifact.
   *   - `gc_sec` (per-pass JVM collection-time delta) and `load` (per-pass
   *     1-min system load average at pass start, from the OS MXBean) make a
@@ -96,26 +103,31 @@ object Bench {
     val failed = names.filter(n => warm(n) < 0 || cold(n) < 0)
     val failedJson =
       s""""n_failed":${failed.size},"failed_queries":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    // total_with_build folds the memoized pipelines' pass-1 rebuild cost
+    // back into a comparable headline: memoization can improve `value`
+    // only by moving work into pipeline_build, and this number catches it
+    val totalWithBuild = total + build.map(_._2).sum
     val head =
-      s""""metric":"total","value":${num(total)},"unit":"sec",$failedJson,"queries":${fmt(warm)}"""
+      s""""metric":"total","value":${num(total)},"unit":"sec",$failedJson,"queries":${fmt(warm)}""" +
+      s""","total_with_build":${num(totalWithBuild)}"""
+    val gcJson = s""""gc_sec":[${num(gcCold)},${num(gc1)},${num(gc2)}]"""
+    val loadJson = s""""load":[${num(loadCold)},${num(load1)},${num(load2)}]"""
     val full = "{" + head +
       s""","cold":${fmt(cold)},"cold_total":${num(cold.values.sum)}""" +
       s""","pipeline_build":${obj(build)}""" +
-      s""","gc_sec":[${num(gcCold)},${num(gc1)},${num(gc2)}]""" +
-      s""","load":[${num(loadCold)},${num(load1)},${num(load2)}]""" +
+      s""",$gcJson,$loadJson""" +
       s""","sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     spark.stop()
-    // a MINIMAL record first (<200 bytes: any tail window catches a
-    // parseable line even when the full per-query line gets truncated),
-    // then the full contract line last
-    // minimal record stays bounded: count only (names live in the full
-    // record) so the <200-byte truncation-survival guarantee holds even
-    // on a majority-failed run
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_failed":${failed.size},"sf":"$sfDir"}""")
+    // full per-query contract line FIRST (a bounded tail evicts its head),
+    // compact summary LAST: a ~2,000-char tail capture always ends with a
+    // complete parseable record carrying the total + window fingerprint.
+    // The compact line stays bounded (<300 bytes) even on a majority-failed
+    // run: failure count only, names live in the full record.
     println("{" + head + s""","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_failed":${failed.size},"total_with_build":${num(totalWithBuild)},$gcJson,$loadJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -62,7 +62,7 @@ object Lsh {
   private[queries] def cappedPairs(
       buckets: DataFrame, idCol: String, out1: String, out2: String,
       metricName: String, cap: Int = DefaultBucketCap,
-      spreadHot: Boolean = false): DataFrame = {
+      spreadHot: Boolean = false, distinctPairs: Boolean = true): DataFrame = {
     graft.Metrics.logObserved(buckets.sparkSession)
     val byBucket = Window.partitionBy("band", "bkey")
     val kept = buckets
@@ -101,11 +101,16 @@ object Lsh {
       if (spreadHot)
         iRows.repartition(buckets.sparkSession.sparkContext.defaultParallelism)
       else iRows
-    jSource
+    val pairs = jSource
       .select(col("ids"), col("i"),
         explode(expr("sequence(i+1, size(ids))")).as("j"))
       .selectExpr(s"element_at(ids, i) AS $out1", s"element_at(ids, j) AS $out2")
-      .distinct()
+    // distinctPairs=false skips the cross-band dedup exchange for
+    // consumers where multiplicity is immaterial — the t18/v9 superset
+    // gates only ever put the pairs on the RIGHT of a left_anti join
+    // (r21; one exchange + AQE round less per invocation). Every consumer
+    // that emits or joins the pair set keeps the distinct.
+    if (distinctPairs) pairs.distinct() else pairs
   }
 
   /** Smallest band count that keeps recall for a pair whose per-row match

@@ -1640,13 +1640,21 @@ object Text {
       // drop gate as a corpus fraction (floor %), like v9: a
       // same-signature dup cluster denser than the cap never splits —
       // overflow must stay marginal AND cost no recall (missed below)
-      val dropped = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
-        .head().getLong(0)
-      val nDocs = buckets.select("doc_id").distinct().count()
-      val droppedPct = (100L * dropped) / math.max(nDocs * bands, 1L)
+      // ONE action for both aggregate inputs (r21): Σ bn over buckets IS
+      // the bucket-row count = nDocs · bands exactly (rowLshKeysXxAt
+      // emits one key per (doc, band) — a doc with ≥1 shingle always
+      // carries all `bands` keys), so the denominator rides the same
+      // aggregate instead of a separate distinct-count job — the gate is
+      // driver-bound at ~50-90 ms per action
+      val row = buckets.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)),
+          coalesce(sum(col("bn")), lit(0L)))
+        .head()
+      val (dropped, bucketRows) = (row.getLong(0), row.getLong(1))
+      val droppedPct = (100L * dropped) / math.max(bucketRows, 1L)
       val autoCands = Lsh.cappedPairs(
-        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto")
+        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto",
+        distinctPairs = false) // right side of left_anti: multiplicity moot
       val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
         .select("doc1", "doc2")
         .join(autoCands, Seq("doc1", "doc2"), "left_anti").count()

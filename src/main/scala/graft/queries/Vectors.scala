@@ -111,29 +111,42 @@ object Vectors {
       emb: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
     registered(emb.sparkSession)
     require(bands > 0 && planesPerBand > 0)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def coef(p: Int, d: Int): Double = {
-      val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      if (hex.charAt(0) < '8') 1.0 else -1.0
-    }
+    // plane matrix as ONE broadcast instead of bands·depth·dims plan
+    // literals (r21): the literal form's tree was what every consuming
+    // action's Catalyst passes re-walked — v9's warm cost was driver
+    // PLANNING, ~0.5 s per action at the measured auto banding — and it
+    // stops scaling past a few thousand planes. HyperplaneBands carries
+    // the md5-derived ±1 coefficients as executor state and reproduces
+    // the literal form bit-for-bit (left-to-right array_dot accumulation,
+    // SQLOrderingUtil sign — HyperplaneSigParitySpec pins it).
     // embedding width from the data itself (one single-row job): a
-    // hard-coded width would silently truncate array_dot and corrupt
+    // hard-coded width would silently truncate the dots and corrupt
     // every signature if the corpus changed
     val dims = emb.select(size(col("embedding"))).head.getInt(0)
     require(dims > 0, "embeddings table has empty embedding arrays")
-    val nPlanes = bands * planesPerBand
-    val projCols = (0 until nPlanes).map { p =>
-      val arr = (0 until dims).map(coef(p, _)).mkString("array(", "D, ", "D)")
-      expr(s"array_dot(embedding, $arr)").as(s"s$p")
-    }
-    def bit(p: Int) = s"CASE WHEN s$p >= 0 THEN '1' ELSE '0' END"
-    val bandCols = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map(i => bit(planesPerBand * b + i))
-      s"struct($b as band, concat(${bits.mkString(", ")}) as bkey)"
-    }
-    emb.select(col("vec_id") +: projCols: _*)
-      .select(col("vec_id"), explode(expr(s"array(${bandCols.mkString(", ")})")).as("b"))
+    val planes = hyperplaneMatrix(bands * planesPerBand, dims)
+    val bc = emb.sparkSession.sparkContext.broadcast(planes)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    emb
+      .select(col("vec_id"),
+        explode(ColumnShim.column(graft.functions.HyperplaneBands(
+          ColumnShim.expression(col("embedding")), bc, bands, planesPerBand)))
+          .as("b"))
       .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /** The md5-derived ±1 plane matrix (nPlanes × dims) both engines
+    * regenerate statelessly — coefficient (p, d) is +1 iff the first hex
+    * char of md5("p:d") is below '8' (the [[coefSql]] rule).
+    */
+  private[graft] def hyperplaneMatrix(
+      nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dims) { (p, d) =>
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1.0 else -1.0
+    }
   }
 
   /** ANN similar-pair search: bucketed candidates from [[lshSignatures]]
@@ -2075,12 +2088,13 @@ object Vectors {
       """SELECT CAST(0 AS BIGINT) AS dropped_pct,
         |  CAST(0 AS BIGINT) AS missed_neardups""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val emb = Tables.embeddings(s, dir)
       // memoized + persisted like every shared vector frame (r20): the
       // per-invocation persist/unpersist re-paid BOTH the bands·depth
       // fused array_dot map stage AND — the measured dominant at warm —
       // Catalyst planning of its bands·depth 64-double literal plane
-      // arrays, every call; clearIndexCache drops it with the rest
+      // arrays, every call; clearIndexCache drops it with the rest.
+      // (r21: the literals themselves are gone — lshSignatures now rides
+      // the broadcast-state hyperplane_bands expression.)
       val (sig, bands) = persistedAutoSig(s, dir)
       val cap = Lsh.DefaultBucketCap
       // drops gate as a CORPUS FRACTION (floor %): a co-located cluster
@@ -2089,12 +2103,20 @@ object Vectors {
       // are the cap's designed, observable behavior; what must hold is
       // that they stay marginal (<1%) AND cost no recall (missed == 0
       // below proves every confirmed pair is still caught)
-      val dropped = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
-        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)))
-        .head().getLong(0)
-      val droppedPct = (100L * dropped) / math.max(emb.count() * bands, 1L)
+      // ONE action for both aggregate inputs (r21): Σ bn over buckets IS
+      // the signature row count = |embeddings| · bands (lshSignatures
+      // emits exactly `bands` band rows per vector), so the denominator
+      // rides the same aggregate instead of a separate emb.count() job —
+      // the gate is driver-bound at ~50-90 ms per action
+      val row = sig.groupBy("band", "bkey").agg(count(lit(1)).as("bn"))
+        .agg(coalesce(sum(greatest(col("bn") - cap, lit(0L))), lit(0L)),
+          coalesce(sum(col("bn")), lit(0L)))
+        .head()
+      val (dropped, sigRows) = (row.getLong(0), row.getLong(1))
+      val droppedPct = (100L * dropped) / math.max(sigRows, 1L)
       val autoCands = Lsh.cappedPairs(
-        sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto")
+        sig, "vec_id", "v1", "v2", "graft_lsh_vec_auto",
+        distinctPairs = false) // right side of left_anti: multiplicity moot
       val missed = scoredVecPairs(s, dir).filter(col("cos") >= NearDupCos)
         .select("v1", "v2")
         .join(autoCands, Seq("v1", "v2"), "left_anti").count()
