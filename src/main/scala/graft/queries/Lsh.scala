@@ -62,7 +62,8 @@ object Lsh {
   private[queries] def cappedPairs(
       buckets: DataFrame, idCol: String, out1: String, out2: String,
       metricName: String, cap: Int = DefaultBucketCap,
-      spreadHot: Boolean = false, distinctPairs: Boolean = true): DataFrame = {
+      spreadHot: Boolean = false, distinctPairs: Boolean = true,
+      payload: Option[(String, String, String)] = None): DataFrame = {
     graft.Metrics.logObserved(buckets.sparkSession)
     val byBucket = Window.partitionBy("band", "bkey")
     val kept = buckets
@@ -84,8 +85,20 @@ object Lsh {
     // ints and both generates + the element_at projection fuse into one
     // codegen stage with no per-pair array state. Pair SET is identical:
     // (ids[i], ids[j]) over the same sorted array, i < j.
+    // payload = Some((col, p1, p2)): each id's per-row payload rides the
+    // collected list and is emitted on both pair sides (r21, t20) — the
+    // consumer then re-ranks map-side instead of re-joining the source
+    // frame once per pair side (two exchanges + two join stages saved;
+    // the payload is id-determined, so the pair SET and any distinct are
+    // unchanged). sort_array over (id, payload) structs orders by id —
+    // ids are distinct within a bucket — so pair order is identical.
+    val collected = payload match {
+      case Some((pcol, _, _)) =>
+        sort_array(collect_list(struct(col(idCol).as("k"), col(pcol).as("p"))))
+      case None => sort_array(collect_list(col(idCol)))
+    }
     val iRows = kept
-      .groupBy("band", "bkey").agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .groupBy("band", "bkey").agg(collected.as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("ids"), explode(expr("sequence(1, size(ids)-1)")).as("i"))
     // spreadHot: a bucket's quadratic j-explode otherwise runs entirely
@@ -101,10 +114,16 @@ object Lsh {
       if (spreadHot)
         iRows.repartition(buckets.sparkSession.sparkContext.defaultParallelism)
       else iRows
-    val pairs = jSource
+    val jRows = jSource
       .select(col("ids"), col("i"),
         explode(expr("sequence(i+1, size(ids))")).as("j"))
-      .selectExpr(s"element_at(ids, i) AS $out1", s"element_at(ids, j) AS $out2")
+    val pairs = payload match {
+      case Some((_, p1, p2)) => jRows.selectExpr(
+        s"element_at(ids, i).k AS $out1", s"element_at(ids, j).k AS $out2",
+        s"element_at(ids, i).p AS $p1", s"element_at(ids, j).p AS $p2")
+      case None => jRows.selectExpr(
+        s"element_at(ids, i) AS $out1", s"element_at(ids, j) AS $out2")
+    }
     // distinctPairs=false skips the cross-band dedup exchange for
     // consumers where multiplicity is immaterial — the t18/v9 superset
     // gates only ever put the pairs on the RIGHT of a left_anti join

@@ -254,22 +254,50 @@ object Text {
       timedBuild(s, "shingles")(
         shingles(s, dir, 3).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
-  /** The 8-gram shingle frame for the exact-substring tier, memoized +
-    * persisted like the 3-gram frame (r20): ONE t19 invocation scans it
-    * four times — document frequencies, both sides of the posting-list
-    * self-join, and the per-doc gram counts — and Catalyst does not
-    * dedupe the aliased subtrees, so the unmemoized form re-ran the
-    * tokenize + position-explode + distinct chain 4× per call
-    * (measured: t19 warm 2.25 s → the frame builds once here and the
-    * four consumers scan the IMR). Same clearCaches lifecycle as the
-    * other persisted pipeline frames.
+  /** The 8-gram POSTING-LIST state for the exact-substring tier (r21):
+    * (shingle → dfreq + the ≤50 smallest doc ids) plus the per-doc gram
+    * counts, memoized + persisted. r20 persisted the raw 8-gram frame
+    * and t19 still re-ran the df-join + posting self-join machinery over
+    * it every call — 17-18 task-seconds warm (QDiag), the single most
+    * compute-expensive warm query in the suite. Grouping by shingle ONCE
+    * here turns the pair stage into a map-side explode over sorted
+    * id lists (the Lsh.cappedPairs shape): the self-join, the df join
+    * and two of the four gram-frame scans disappear. `ids` is a BOUNDED
+    * aggregate (topk_by, O(cap) state) — a stop-gram posting list at
+    * corpus scale must never materialize in one aggregation buffer; rows
+    * past the df cap only ever contribute their count. The per-doc
+    * counts (`ng`) are doc-sized and banding-independent, so they
+    * persist alongside rather than re-aggregating the gram frame per
+    * call. Same clearCaches lifecycle as the other pipeline frames.
     */
-  private val shingle8Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def persistedShingles8(s: SparkSession, dir: String): DataFrame =
-    shingle8Cache.getOrElseUpdate((s, dir),
-      timedBuild(s, "shingles8")(
-        shingles(s, dir, 8).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  private val posts8Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def persistedPosts8(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    posts8Cache.getOrElseUpdate((s, dir), {
+      graft.functions.GraftFunctions.register(s)
+      val t0 = System.nanoTime()
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // one tokenize+distinct pass feeds both aggregates, then the raw
+      // gram frame is dropped — only the two derived frames stay pinned
+      val g = shingles(s, dir, 8).persist(lvl)
+      val posts = g.groupBy("shingle")
+        .agg(count(lit(1)).as("dfreq"),
+          expr(s"transform(topk_by(CAST(doc_id AS DOUBLE), doc_id, " +
+            s"$T19DfCap), t -> t.id)").as("ids"))
+        .persist(lvl)
+      posts.count()
+      val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng")).persist(lvl)
+      n.count()
+      g.unpersist()
+      buildSecs.put((s, "posts8"), (System.nanoTime() - t0) / 1e9)
+      (posts, n)
+    })
+
+  /** t19's rare-gram document-frequency cap (posting lists above it are
+    * dropped, observed on `graft_t19_df_cap` — mirrored by the oracle).
+    */
+  private val T19DfCap = 50
 
   /** Per-stage build seconds for the dedup pipeline's persisted frames.
     * The first consumer still pays the build inside its own wall time, but
@@ -411,13 +439,15 @@ object Text {
     autoBucketCache.keys.filter(_._1 eq s).foreach { k =>
       autoBucketCache.remove(k).foreach(_._1.unpersist())
     }
-    Seq(shingleCache, shingle8Cache, candCache, pairCache, simhashCache,
-        deconCache)
+    Seq(shingleCache, candCache, pairCache, simhashCache, deconCache)
       .foreach { m =>
         m.keys.filter(_._1 eq s).foreach { k =>
           m.remove(k).foreach(_.unpersist())
         }
       }
+    posts8Cache.keys.filter(_._1 eq s).foreach { k =>
+      posts8Cache.remove(k).foreach { case (p, n) => p.unpersist(); n.unpersist(); () }
+    }
     rerankCache.keys.filter(_._1 eq s).foreach { k =>
       rerankCache.remove(k).foreach { case (_, path) =>
         graft.engine.TempReaper.unregister(path)
@@ -1431,22 +1461,26 @@ object Text {
          |    len(list_filter(generate_series(1, 64), i -> s1[i] <> s2[i])) AS hamming
          |  FROM cs)
          |WHERE hamming <= 3""".stripMargin) { (s, dir) =>
-      // the persisted signature frame feeds the block index AND both
-      // sides of the signature re-join; candidates come from the same
-      // occupancy-capped within-bucket pairing the LSH families use (one
-      // shuffle by block key, cap = 1024, drops observable — the oracle
-      // mirrors the cap, so a hot block degrades identically both sides)
+      // the persisted signature frame feeds the block index; candidates
+      // come from the same occupancy-capped within-bucket pairing the
+      // LSH families use (one shuffle by block key, cap = 1024, drops
+      // observable — the oracle mirrors the cap, so a hot block degrades
+      // identically both sides). The signature itself RIDES the pair
+      // generation as a payload (r21): the r20 form re-joined the
+      // signature frame once per pair side — two more exchanges and two
+      // join stages per run — to fetch strings the bucket rows already
+      // carried; the pair set and the distinct are unchanged (payload is
+      // doc_id-determined) and the re-rank is now map-side
       val sig = simhashFrame(s, dir)
-      val blocks = sig.select(col("doc_id"), explode(expr(
+      val blocks = sig.select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0, 3), b -> named_struct(" +
           "'band', b, 'bkey', substring(simhash, b*16+1, 16)))")).as("t"))
-        .select(col("doc_id"), col("t.band").as("band"), col("t.bkey").as("bkey"))
+        .select(col("doc_id"), col("simhash"),
+          col("t.band").as("band"), col("t.bkey").as("bkey"))
       val cand = Lsh.cappedPairs(
         blocks, "doc_id", "doc1", "doc2", "graft_simhash_blocks", cap = 1024,
-        spreadHot = true)
+        spreadHot = true, payload = Some(("simhash", "s1", "s2")))
       cand
-        .join(sig.select(col("doc_id").as("doc1"), col("simhash").as("s1")), "doc1")
-        .join(sig.select(col("doc_id").as("doc2"), col("simhash").as("s2")), "doc2")
         // integer form of the 64-char hamming compare: 4 blocks parsed to
         // 16-bit ints, xor + bit_count — pure codegen vs a 64-iteration
         // higher-order lambda per pair (same value; the oracle keeps the
@@ -1580,24 +1614,35 @@ object Text {
          |JOIN n n1 ON n1.doc_id = p.doc1 JOIN n n2 ON n2.doc_id = p.doc2
          |WHERE CAST(p.shared AS DOUBLE) / least(n1.ng, n2.ng) >= 0.5""".stripMargin) {
       (s, dir) =>
-        // raw gram strings keep the oracle bit-exact; the 100 TB form
-        // hashes each gram (xxhash64) before the shuffle — identical
-        // semantics up to collisions, 8× narrower exchange keys
-        val g = persistedShingles8(s, dir)
+        // posting-list form (r21): pairs sharing a rare gram come from a
+        // map-side (i, j) explode over each rare gram's SORTED id list —
+        // the Lsh.cappedPairs shape — instead of the r20 df-join +
+        // posting self-join (17-18 warm task-seconds; the join form
+        // shuffled the gram frame three times and re-ranked every
+        // posting row through the join machinery). ids are sorted
+        // ascending, so element_at(i) < element_at(j) for i < j — the
+        // exact `a.doc_id < b.doc_id` pair set, and one row per
+        // (pair, shared gram) keeps `shared` = count identical. Raw
+        // gram strings keep the oracle bit-exact; the 100 TB form
+        // hashes each gram (xxhash64) before the posting shuffle —
+        // identical semantics up to collisions, 8× narrower keys.
+        val (posts, n) = persistedPosts8(s, dir)
         graft.Metrics.logObserved(s)
         // the cap's loss is monitored like every other cap's
         // (Lsh.cappedPairs dropped_ids): grams the df ≤ 50 posting-list
         // cap removes are counted on a named observe row, never silent
-        val dfreq = g.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+        // (the observe sits ABOVE the df filter, so it sees every gram)
+        val shared = posts
           .observe("graft_t19_df_cap",
-            sum(when(col("dfreq") > 50, 1L).otherwise(0L)).as("dropped_grams"),
+            sum(when(col("dfreq") > T19DfCap, 1L).otherwise(0L))
+              .as("dropped_grams"),
             max(col("dfreq")).as("max_df"))
-        val rare = g.join(dfreq.filter(col("dfreq") <= 50), "shingle")
-        val shared = rare.select(col("doc_id").as("doc1"), col("shingle"))
-          .join(rare.select(col("doc_id").as("doc2"), col("shingle")), "shingle")
-          .filter(col("doc1") < col("doc2"))
+          .filter(col("dfreq") <= T19DfCap && size(col("ids")) >= 2)
+          .select(col("ids"), explode(expr("sequence(1, size(ids)-1)")).as("i"))
+          .select(col("ids"), col("i"),
+            explode(expr("sequence(i+1, size(ids))")).as("j"))
+          .selectExpr("element_at(ids, i) AS doc1", "element_at(ids, j) AS doc2")
           .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared"))
-        val n = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
         shared
           .join(n.select(col("doc_id").as("doc1"), col("ng").as("n1")), "doc1")
           .join(n.select(col("doc_id").as("doc2"), col("ng").as("n2")), "doc2")
@@ -1652,8 +1697,11 @@ object Text {
         .head()
       val (dropped, bucketRows) = (row.getLong(0), row.getLong(1))
       val droppedPct = (100L * dropped) / math.max(bucketRows, 1L)
+      // metric carries the validated family's name (ADVICE r20): the
+      // gate's oracle row is a constant, so the xx-vs-md5 switch is
+      // otherwise invisible to metric consumers
       val autoCands = Lsh.cappedPairs(
-        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto",
+        buckets, "doc_id", "doc1", "doc2", "graft_lsh_text_auto_xx",
         distinctPairs = false) // right side of left_anti: multiplicity moot
       val missed = scoredPairs(s, dir).filter(col("jaccard") >= 0.8)
         .select("doc1", "doc2")
@@ -2543,7 +2591,11 @@ object Text {
       val path = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft-t28b-scored-${jvmToken}_n${estNonce.incrementAndGet()}"
       graft.engine.TempReaper.register(path)
-      scored.coalesce(1).write.mode("overwrite").parquet(path)
+      // REBALANCE, not coalesce(1) (r21, guide §6): AQE sizes the write
+      // to one file at gate SF but splits by advisory size at scale —
+      // and the upstream re-rank compute is no longer collapsed into the
+      // single writer task the way coalesce(1) propagates up
+      scored.hint("rebalance").write.mode("overwrite").parquet(path)
       buildSecs.put((s, "t28b_rerank"), (System.nanoTime() - t0) / 1e9)
       (s.read.parquet(path), path)
     })._1
@@ -2615,6 +2667,13 @@ object Text {
     val candPath = s"$estPath-cand"
     val sigsPath = s"$estPath-sigs"
     trackEstScratch(estPath)
+    // cand/sigs are reaped synchronously right after the est write, but
+    // an exception between their writes and that delete must not leak
+    // candidate-sized parquet for the JVM lifetime (ADVICE r20): they
+    // are siblings of estPath, not children, so the est ring never sees
+    // them — register with the exit-hook reaper and unregister once the
+    // synchronous delete has run
+    Seq(candPath, sigsPath).foreach(graft.engine.TempReaper.register)
     def diag[T](tag: String)(body: => T): T =
       if (sys.env.contains("GRAFT_T28B_DIAG")) {
         val t0 = System.nanoTime()
@@ -2623,7 +2682,7 @@ object Text {
         r
       } else body
     diag("cand write")(
-      cand.coalesce(1).write.mode("overwrite").parquet(candPath))
+      cand.hint("rebalance").write.mode("overwrite").parquet(candPath))
     val candM = s.read.parquet(candPath)
     val candDocs = candM.select(col("doc1").as("doc_id"))
       .union(candM.select(col("doc2"))).distinct()
@@ -2633,7 +2692,7 @@ object Text {
     // push a semi-join through the array projection)
     diag("sigs write")(
       wideMinhash(docs.join(candDocs, Seq("doc_id"), "left_semi"), w)
-        .coalesce(1).write.mode("overwrite").parquet(sigsPath))
+        .hint("rebalance").write.mode("overwrite").parquet(sigsPath))
     val sigs = s.read.parquet(sigsPath)
     diag("est write")(candM
       .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), "doc1")
@@ -2641,10 +2700,11 @@ object Text {
       .select(col("doc1"), col("doc2"),
         (expr("aggregate(zip_with(sig1, sig2, (a, b) -> IF(a = b, 1, 0)), " +
           "0, (acc, x) -> acc + x)").cast("double") / w).as("jhat"))
-      .coalesce(1).write.mode("overwrite").parquet(estPath))
+      .hint("rebalance").write.mode("overwrite").parquet(estPath))
     // the cand/sigs scratch feeds nothing past the est write — reap now
     Seq(candPath, sigsPath).foreach { p =>
       graft.engine.MultiAnalyzer.deleteRecursively(new java.io.File(p))
+      graft.engine.TempReaper.unregister(p)
     }
     graft.Metrics.logObserved(s)
     val estRaw = s.read.parquet(estPath)
@@ -2755,6 +2815,13 @@ object Text {
   /** Diag access: the memoized persisted shingle frame. */
   private[graft] def persistedShinglesForDiag(
       s: SparkSession, dir: String): DataFrame = persistedShingles(s, dir)
+
+  /** Spec access: the shared jaccard-scored candidate pairs — the
+    * confirmed-pair source the t18 superset invariant checks against
+    * (Md5AutoDepthInvariantsSpec ratifies the md5 family the same way).
+    */
+  private[graft] def scoredPairsForTesting(
+      s: SparkSession, dir: String): DataFrame = scoredPairs(s, dir)
 
   private def pipelineRelease(
       s: SparkSession, dir: String, losers: DataFrame): DataFrame = {

@@ -355,6 +355,35 @@ object Vectors {
         bands)
     })
 
+  /** v5's per-cell centroid ARRAY frame + cell count, memoized +
+    * persisted per (session, dir) (r21): the centroid aggregation (two
+    * corpus exchanges) and a separate distinct-count action re-ran on
+    * every invocation — 16 jobs at 0.11 warm task-seconds, pure
+    * per-action driver overhead. Centroids as per-cell arrays: routing
+    * is queries × cells rows of one fused array_dot each (the
+    * per-dimension join shape went super-linear in the x1000 study).
+    * Cleared by clearIndexCache with the other vector frames.
+    */
+  private val centArrCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Long)]
+  private def persistedCentArr(
+      s: SparkSession, dir: String): (DataFrame, Long) =
+    centArrCache.getOrElseUpdate((s, dir), {
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val centArr = x.groupBy(col("label").as("cell"), col("d"))
+        .agg(avg("x").as("c"))
+        .groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+          .as("centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the cell count rides the persisted frame — centroids are already
+      // one row per cell, so no separate corpus-wide distinct is needed
+      (centArr, centArr.count())
+    })
+
   private val depthCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Int, Int)]
   private def autoPlanesFor(s: SparkSession, dir: String): (Int, Int) =
@@ -416,6 +445,10 @@ object Vectors {
     autoSigCache.keys.filter(_._1 eq s).foreach { k =>
       autoSigCache.remove(k).foreach(_._1.unpersist())
     }
+    centArrCache.keys.filter(_._1 eq s).foreach { k =>
+      centArrCache.remove(k).foreach(_._1.unpersist())
+    }
+    idxCentCache.keys.filter(_._1 eq s).foreach(idxCentCache.remove(_): Unit)
     depthCache.keys.filter(_._1 eq s).foreach(depthCache.remove(_): Unit)
     curveCache.keys.filter(_._1 eq s).foreach(curveCache.remove(_): Unit)
     residPqCache.keys.filter(_._1 eq s).foreach { k =>
@@ -454,6 +487,22 @@ object Vectors {
       val out = freshStoreDir("graft-ivf-index")
       buildIvfIndex(Tables.embeddings(s, dir), out)
       out
+    })
+
+  /** (centroid frame, cell count) for a persisted index root, memoized
+    * per (session, root) (r21): six gates re-ran `cent.count()` — a
+    * footer-read job — on every invocation to size the router. Index
+    * roots are fresh random temp dirs per build and their centroid
+    * table is written exactly once at build time, so a path-keyed count
+    * can never go stale; cleared with the index caches.
+    */
+  private val idxCentCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Long)]
+  private def indexCentroids(
+      s: SparkSession, root: String): (DataFrame, Long) =
+    idxCentCache.getOrElseUpdate((s, root), {
+      val cent = s.read.parquet(s"$root/centroids")
+      (cent, cent.count())
     })
 
   /** THE index-build recipe — label-cell centroid training + clustered
@@ -1947,14 +1996,14 @@ object Vectors {
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      val cent = s.read.parquet(s"$idx/centroids")
+      val (cent, nc) = indexCentroids(s, idx)
       // map-side argmax routing (max_by partial-aggregates before any
       // exchange — a row_number window here dominated the x1000 probe);
       // past the threshold routeQueries switches to the hierarchical
-      // √cells path. Counting the persisted centroid table is a footer
-      // read, not a corpus scan.
+      // √cells path. The cell count is memoized with the centroid frame
+      // (indexCentroids) — the footer-read count job ran per invocation.
       val route = routeQueries(
-        q.select(col("q_id"), col("q_emb")), cent, cent.count())
+        q.select(col("q_id"), col("q_emb")), cent, nc)
       val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
       // stage 2: exact re-rank against ONLY the probed cells — the filter
       // on the partition column prunes every other cell's files
@@ -2043,23 +2092,15 @@ object Vectors {
         |  JOIN e c ON c.label = qc.label AND c.vec_id <> qc.q_id)
         |WHERE rk <= 3""".stripMargin) { (s, dir) =>
       registered(s)
-      val x = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .withColumn("x", col("x").cast("double"))
-      // centroids as per-cell ARRAYS: routing is then queries × cells rows
-      // of one fused array_dot each — the per-dimension join would be
-      // queries × cells × dims rows (the x1000 scaling study caught that
-      // shape going super-linear), and max_by aggregates map-side where a
-      // row_number window would sort every map partition of scored pairs
-      val centArr = x.groupBy(col("label").as("cell"), col("d"))
-        .agg(avg("x").as("c"))
-        .groupBy("cell")
-        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
-          .as("centroid"))
+      // centroid frame + cell count memoized per (session, dir) like the
+      // other shared vector frames (r21): v5 re-derived the two-level
+      // centroid aggregation AND ran a separate distinct-count action
+      // every invocation — QDiag measured 16 jobs at 0.11 warm
+      // task-seconds, i.e. pure per-action driver overhead
+      val (centArr, nCells) = persistedCentArr(s, dir)
       // routeQueries: flat broadcast argmax with the oracle's exact
       // tiebreak (dp DESC, cell ASC) at this cell count; hierarchical
       // √cells routing past the threshold
-      val nCells = Tables.embeddings(s, dir).select("label").distinct().count()
       val qcell = routeQueries(
         Tables.embeddings(s, dir)
           .filter(col("vec_id") % 25 === 0)
@@ -2202,7 +2243,6 @@ object Vectors {
         |  CAST(1 AS BIGINT) AS improved_vs_identity,
         |  CAST(0 AS BIGINT) AS roundtrip_violations""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val res = opqFor(s, dir)
       val orthViol = if (Opq.orthDefect(res.r) <= 1e-8) 0L else 1L
       val monoViol = res.objectives.sliding(2).count {
@@ -2212,15 +2252,7 @@ object Vectors {
       val improved =
         if (res.objectives.last <= res.objectives.head * (1 + 1e-12)) 1L
         else 0L
-      val rt = emb
-        .withColumn("rv", rotated(col("embedding"), res.r))
-        .withColumn("back", rotated(col("rv"), transposed(res.r)))
-        .filter(expr(
-          """aggregate(zip_with(embedding, back,
-            |  (a, b) -> abs(CAST(a AS DOUBLE) - b)),
-            |  CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"""
-            .stripMargin) > 1e-6)
-        .count()
+      val rt = opqRoundtripViolationsForDiag(s, dir, res)
       Seq((orthViol, monoViol, improved, rt)).toDF(
         "orth_violations", "monotone_violations", "improved_vs_identity",
         "roundtrip_violations")
@@ -2240,8 +2272,8 @@ object Vectors {
       val e = withNorm(Tables.embeddings(s, dir))
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
-      val route = routeQueries(q, cent, cent.count())
+      val (cent, nc) = indexCentroids(s, ivfIndex(s, dir))
+      val route = routeQueries(q, cent, nc)
       // candidates = each query's routed cell only (cell rides the
       // memoized codes); then the same fused ADC lookup loop as v10 over
       // the pruned (query, vector) rows
@@ -2273,8 +2305,8 @@ object Vectors {
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
-      val cent = s.read.parquet(s"${ivfIndex(s, dir)}/centroids")
-      val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
+      val (cent, nc) = indexCentroids(s, ivfIndex(s, dir))
+      val route = routeQueries(q.select("q_id", "q_emb"), cent, nc)
       val approx = codesArr
         .join(broadcast(route), "cell")
         .join(broadcast(dtabArr), "q_id")
@@ -2404,19 +2436,20 @@ object Vectors {
     // 8 B/vector. ----
     GQuery("v16_ivfpq_multires", ivfpqMultiResidualOracleSql) { (s, dir) =>
       registered(s)
-      val (cent, _, codes, _, cbRows) = residualPq(s, dir)
+      val (cent, nCells, codes, _, cbRows) = residualPq(s, dir)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       // per-(query, probed cell) residual tables from the SAME
-      // broadcast-state expression s14 serves with (flat-state top-k is
-      // bit-identical to multiRoute — RouteCellsSpec — and multiRoute is
-      // full-scan at any cell count, so flat state is exact here at any
-      // scale); the former route + keyed-dtab chain cost two broadcast
-      // builds and a crossJoin + two aggregations per invocation
-      val cents = cent.orderBy("cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // broadcast-state expression s14 serves with, and the SAME
+      // thresholded flat/hier state as residualCellProbe (r21 — the r20
+      // form collected flat state at ANY cell count, a driver/broadcast
+      // risk past gate scale): below HierarchicalRoutingThreshold the
+      // flat-state top-k is bit-identical to multiRoute (RouteCellsSpec),
+      // which keeps the DuckDB oracle exact at gate SF; the former
+      // route + keyed-dtab chain cost two broadcast builds and a
+      // crossJoin + two aggregations per invocation
       val probe = rowRouteCellsResidualProbe(
-        q, flatRouterState(cents), cbRows, superProbe = 1,
+        q, routerStateFor(cent, nCells), cbRows, superProbe = 2,
         k = multiNprobe(s, ivfIndex(s, dir)))
       val approx = codes
         .join(broadcast(probe), Seq("cell"))
@@ -2441,13 +2474,14 @@ object Vectors {
     // reduce, as in s9/s13. ----
     GQuery("s14_stream_multires", s14OracleSql) { (s, dir) =>
       registered(s)
-      val (cent, _, codes, _, cbRows) = residualPq(s, dir)
-      val cents = cent.orderBy("cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val (cent, nCells, codes, _, cbRows) = residualPq(s, dir)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // thresholded flat/hier state (r21): the comment above always
+      // promised the buildHierarchy state past the threshold — the code
+      // now actually selects it, like every other broadcast-state probe
       val probe = rowRouteCellsResidualProbe(
-        q, flatRouterState(cents), cbRows, superProbe = 1,
+        q, routerStateFor(cent, nCells), cbRows, superProbe = 2,
         k = multiNprobe(s, ivfIndex(s, dir)))
       require(graft.sources.Bucketed.streamSideShuffles(probe) == 0,
         s"s14: per-row multi-cell route+residual dtabs must be " +
@@ -2539,8 +2573,8 @@ object Vectors {
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
-      val cent = s.read.parquet(s"$idx/centroids")
-      val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
+      val (cent, nc) = indexCentroids(s, idx)
+      val route = routeQueries(q.select("q_id", "q_emb"), cent, nc)
       val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
       def score(side: DataFrame): DataFrame = side
         .join(broadcast(qcell), Seq("cell"))
@@ -2705,8 +2739,8 @@ object Vectors {
       val q = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
-      val cent = s.read.parquet(s"$idx/centroids")
-      val route = routeQueries(q.select("q_id", "q_emb"), cent, cent.count())
+      val (cent, nc) = indexCentroids(s, idx)
+      val route = routeQueries(q.select("q_id", "q_emb"), cent, nc)
       val qcell = route.join(q, "q_id").select("q_id", "q_emb", "q_nrm", "cell")
       def score(side: DataFrame): DataFrame = side
         .join(broadcast(qcell), Seq("cell"))
@@ -3278,6 +3312,49 @@ object Vectors {
   private[graft] def rotated(c: Column, r: Array[Array[Double]]): Column =
     rotateUdf(r)(c.cast("array<double>"))
 
+  /** v21's distributed roundtrip check (rotate by R, back by Rᵀ, count
+    * rows whose max |diff| exceeds 1e-6) — extracted so OpqDiag can time
+    * it apart from the gate's driver-side invariant arithmetic. Spread
+    * before the rotation kernels (r21): the sf-scale embeddings parquet
+    * is ONE input split, so the two chained 64×64 matmul UDFs ran as a
+    * single serial task — same single-split pathology as the multimodal
+    * codec maps; a scan that already has enough partitions keeps them.
+    * The rotation UDF here is marked non-deterministic for exactly the
+    * guide's §4.4 reason inverted: deterministic projections (and the
+    * filter referencing them) get pushed BELOW the round-robin
+    * repartition, landing the whole kernel back in the single scan task
+    * (OpqDiag measured the 1-task map stage carrying 1.0 of the job's
+    * 1.3 task-seconds after the spread alone). Non-determinism pins the
+    * kernels above the exchange; the function is genuinely deterministic,
+    * so results are unchanged.
+    */
+  private[graft] def opqRoundtripViolationsForDiag(
+      s: SparkSession, dir: String, res: Opq.Result): Long = {
+    def rotNd(c: Column, r: Array[Array[Double]]): Column =
+      rotateUdf(r).asNondeterministic()(c.cast("array<double>"))
+    spreadToCores(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .withColumn("rv", rotNd(col("embedding"), res.r))
+      .withColumn("back", rotNd(col("rv"), transposed(res.r)))
+      .filter(expr(
+        """aggregate(zip_with(embedding, back,
+          |  (a, b) -> abs(CAST(a AS DOUBLE) - b)),
+          |  CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"""
+          .stripMargin) > 1e-6)
+      .count()
+  }
+
+  /** Repartition a compute-bound frame to the cluster's cores when its
+    * scan produced fewer partitions (the multimodal codec-map rule): a
+    * single-split parquet read otherwise runs every per-row kernel above
+    * it serially. A scan that already has enough partitions is returned
+    * unchanged — no exchange added at scale.
+    */
+  private def spreadToCores(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private[graft] def transposed(r: Array[Array[Double]]): Array[Array[Double]] =
     Array.tabulate(r.length, r.length)((i, j) => r(j)(i)).map(_.toArray)
 
@@ -3581,18 +3658,27 @@ object Vectors {
     * two-level with superProbe=2 (its nprobe default) past it — the
     * broadcast-state expression has no plan-literal cell ceiling.
     */
+  /** The scale-thresholded router state every broadcast-state probe
+    * shares (r21 — v16/s14 formerly collected flat state at ANY cell
+    * count, a driver/broadcast-memory risk at 100 TB cell counts): flat
+    * exact state up to [[HierarchicalRoutingThreshold]], two-level
+    * [[buildHierarchy]] state past it. At gate SF every index sits below
+    * the threshold, so the flat (oracle-exact) path runs unchanged.
+    */
+  private def routerStateFor(
+      cent: DataFrame, nCells: Long): graft.functions.IvfRouterState =
+    if (nCells <= HierarchicalRoutingThreshold) {
+      val cents = cent.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      flatRouterState(cents)
+    } else hierRouterState(cent, nCells)
+
   private def residualCellProbe(
       cent: DataFrame, nCells: Long,
-      cbRows: Array[(Int, Int, Seq[Double])], q: DataFrame): DataFrame = {
-    val state =
-      if (nCells <= HierarchicalRoutingThreshold) {
-        val cents = cent.orderBy("cell").collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        flatRouterState(cents)
-      } else hierRouterState(cent, nCells)
-    rowRouteCellsResidualProbe(q, state, cbRows, superProbe = 2, k = 1)
+      cbRows: Array[(Int, Int, Seq[Double])], q: DataFrame): DataFrame =
+    rowRouteCellsResidualProbe(
+        q, routerStateFor(cent, nCells), cbRows, superProbe = 2, k = 1)
       .drop("q_emb")
-  }
 
   private[graft] def multiRoute(
       queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {

@@ -96,6 +96,11 @@ object T28bDiag {
         import org.apache.spark.sql.functions.{count, lit}
         val n = shb.groupBy("doc_id").agg(count(lit(1)).as("ns"))
         t("noop n") { noop(n) }
+        // create the dump dir first: Files.writeString does not make
+        // parent directories (ADVICE r20 — NoSuchFileException on a
+        // machine without /tmp/opt)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("/tmp/opt"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("/tmp/opt/n_plan.txt"),
           n.queryExecution.executedPlan.toString)
@@ -112,9 +117,14 @@ object T28bDiag {
       val losers = scored.filter(col("jaccard") >= 0.8)
         .select(col("doc2").as("doc_id")).distinct()
       t(s"losers count r$round") { println("  losers=" + losers.count()) }
-      if (round == 1) java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/tmp/opt/losers_plan.txt"),
-        losers.queryExecution.executedPlan.toString)
+      if (round == 1) {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("/tmp/opt"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("/tmp/opt/losers_plan.txt"),
+          losers.queryExecution.executedPlan.toString)
+        ()
+      }
       t(s"release(losers from scored) r$round") {
         graft.queries.Text.pipelineReleaseForDiag(spark, sfDir, losers).count()
       }

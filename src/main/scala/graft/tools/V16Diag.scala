@@ -4,6 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Stage attribution for v16: time the route, the per-(q, cell) residual
   * dtab, and the full gate separately, warm.
+  *
+  * NOTE (ADVICE r20): the route/dtab pieces timed here are v16Pieces'
+  * PRE-r20 derivation (multiRoute + residualMultiDtab) — kept
+  * deliberately as the comparison baseline for the broadcast-state
+  * probe the production gate now runs; "v16 full" is the only line that
+  * measures the shipped path.
   * Usage: runMain graft.tools.V16Diag <sfDir>
   */
 object V16Diag {

@@ -175,23 +175,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("t19 substring overlap: df cap filters the index before the pair self-join") {
+  test("t19 substring overlap: df cap filters the posting lists before the pair explode") {
     val q = SparkEntry.queries("t19_substring_overlap")(spark, sf0001)
     val opt = q.queryExecution.optimizedPlan.toString
-    // the dfreq <= 50 posting-list cap must sit BELOW the doc1 < doc2
-    // pair SELF-join in the optimized plan (top-down print: deeper =
-    // later). Anchored to the join carrying the doc1 < doc2 condition —
-    // the plan holds several other inner joins (df-cap, n1/n2) whose
-    // positions must not satisfy the check by accident.
-    val lines = opt.linesIterator.toSeq
-    val pairJoinLine = lines.indexWhere(l =>
-      l.contains("Join Inner") && l.contains("doc1") && l.contains("doc2"))
-    val capLine = lines.indexWhere(_.contains("dfreq"))
-    assert(pairJoinLine >= 0, s"pair self-join (doc1 < doc2) not found:\n$opt")
-    assert(capLine >= 0, s"dfreq cap not found:\n$opt")
-    // first dfreq mention below the pair join ⇒ EVERY mention is below it
-    assert(pairJoinLine < capLine,
-      s"df cap must be under the pair self-join, not above it:\n$opt")
+    // r21 posting-list form: pairs come from a map-side (i, j) explode
+    // over each rare gram's sorted id list — NOT a posting self-join.
+    // Pin (a) the df cap filter exists, (b) the pair generation is the
+    // two-generate explode shape, (c) no join on `shingle` remains (the
+    // old self-join key), (d) no cartesian anywhere.
+    assert(opt.contains("dfreq"), s"dfreq cap not found:\n$opt")
+    assert("Generate explode".r.findAllIn(opt).length >= 2,
+      s"pair (i, j) explode shape missing:\n$opt")
+    val shingleJoin = opt.linesIterator.exists(l =>
+      l.contains("Join Inner") && l.contains("shingle"))
+    assert(!shingleJoin,
+      s"posting self-join on shingle resurfaced (r20 regression shape):\n$opt")
     assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"), "cartesian")
   }
 

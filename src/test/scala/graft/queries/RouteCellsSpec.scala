@@ -55,6 +55,39 @@ class RouteCellsSpec extends SparkSuite {
         s" batch-only=${(viaBatch -- viaExpr).take(5)}")
   }
 
+  test("hierarchical state, k=2 == driver reference at 4096 cells (the v16 shape)") {
+    // v16/s14 route with k = nprobe over the THRESHOLDED state (r21);
+    // past the threshold that is the two-level hierarchy, so pin the
+    // multi-cell hierarchical route against an independent driver-side
+    // reference: top-2 supers by (dp desc, super asc), then top-2 cells
+    // by (dp desc, cell asc) among those supers' kids.
+    val cdf = RoutingFixtures.centroids(spark, nCells)
+    val (supers, kidsDf) = Vectors.hierarchyForRowRoute(cdf, nCells)
+    val kids: Map[Int, Seq[(Int, Seq[Double])]] = kidsDf.collect().map { r =>
+      r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(k => (k.getInt(0), k.getSeq[Double](1)))
+    }.toMap
+    val qs = queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val want = qs.flatMap { case (qid, q) =>
+      val topSupers = supers
+        .map { case (sid, sc) => (sid, dot(q, sc)) }
+        .sortBy { case (sid, dp) => (-dp, sid) }.take(2).map(_._1)
+      topSupers.flatMap(kids(_))
+        .map { case (cell, cc) => (cell, dot(q, cc)) }
+        .sortBy { case (cell, dp) => (-dp, cell) }.take(2)
+        .map { case (cell, _) => (qid, cell) }
+    }.toSet
+    val got = Vectors.rowRouteCells(
+        queries, Vectors.hierRouterState(cdf, nCells), superProbe = 2, k = 2)
+      .select("q_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want,
+      s"hier k=2 route diverged: expr-only=${(got -- want).take(5)}" +
+        s" ref-only=${(want -- got).take(5)}")
+  }
+
   test("emitted centroids are the routed cells' quantizer centroids") {
     val cdf = RoutingFixtures.centroids(spark, nCells)
     val routed = Vectors.rowRouteCells(
